@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.lake.Tables._
+
+/** Core relational operator surface (SURVEY.md §2.3–§2.7) exercised on the
+  * driver testdata tables. Each query has a matching DuckDB oracle in
+  * [[oracles]] — column names are aligned, every query ends in a
+  * deterministic ORDER BY, double aggregates are rounded so the
+  * hash-compare is stable across engines.
+  *
+  * Scale notes (100 TB): all queries are single declarative plans —
+  * filters/projections reach the parquet scan, aggregates get map-side
+  * partial aggregation (`HashAggregateExec` partial/final), top-k plans as
+  * `TakeOrderedAndProject` (no global sort), and the one dimension join
+  * broadcasts the small side.
+  */
+object CoreQueries {
+
+  /** A1+O1 (ETL_glue_pregao_B3.json:164): hash group-by + SUM, ORDER BY
+    * DESC LIMIT 5 — the reference's one real analytical query, re-keyed to
+    * the testdata star schema. Ties broken by group keys so LIMIT is
+    * deterministic. Plans as partial+final HashAggregate → global top-5 via
+    * TakeOrderedAndProject (each partition contributes ≤5 rows: no full
+    * sort even at 100 TB).
+    */
+  def a1GroupbySumTop5(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy(desc("total_qty"), asc("l_returnflag"), asc("l_linestatus"))
+      .limit(5)
+
+  /** P1 (src/etl.py:163-164): filter on two string not-equals, projected.
+    * Both predicates push down to the parquet scan (PushedFilters).
+    */
+  def p1FilterNeq(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type") =!= "error" && col("event_type") =!= "signup")
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** P2 (src/query_db.py:39): IS NULL predicate, expressed the way a lake
+    * engine surfaces "missing" rows — a left join whose unmatched side is
+    * null. Orders with no lineitem. Plans as a shuffled/broadcast anti-side
+    * null-filter; at scale prefer the equivalent left_anti (see o5).
+    */
+  def p2IsnullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val l = lineitem(s, d).select(col("l_orderkey")).distinct()
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      .filter(col("l_orderkey").isNull)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** O4 (src/etl.py:144): UNION ALL of homogeneous frames via unionByName
+    * (allowMissingColumns mirrors the schema-drift tolerance of §1.3).
+    */
+  def o4UnionAll(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val a = e.filter(col("event_type") === "purchase")
+      .select("event_id", "event_type", "value")
+    val b = e.filter(col("event_type") === "click")
+      .select("event_id", "event_type", "value")
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("event_id")
+  }
+
+  /** §2.4 joins (engine built-ins exercised per SURVEY §2.4 plan): inner
+    * join orders ⋈ customer with the dimension side broadcast — at 100 TB
+    * the fact side never shuffles for this join.
+    */
+  def j1JoinBroadcastAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** §2.4: left semi join — EXISTS shape (customers that have an urgent
+    * order). Broadcast of the build side keeps it shuffle-free.
+    */
+  def j2SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** §2.4: left anti join — NOT EXISTS (customers with no orders). */
+  def j3AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** §2.4: multi-way star join (fact ⋈ dim ⋈ dim ⋈ dim), TPC-H Q5 shape —
+    * revenue per nation. All dimension sides are broadcastable; the single
+    * shuffle is the final group-by.
+    */
+  def j4StarJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("n_name")
+
+  /** §2.6 windows: row_number partitioned top-N (top-3 orders per customer
+    * by totalprice; orderkey tiebreak keeps it deterministic).
+    */
+  def w1WindowTopn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** §2.6 windows: running cumulative sum per key ordered by time
+    * (rowsBetween unboundedPreceding..current), the generalization of the
+    * reference's 7-day rolling semantics (SURVEY §2.6).
+    */
+  def w2RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata; the
+      // running sum is strictly increasing within a partition, so adding
+      // it makes the output order total.
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  /** §2.6 windows: lag/lead — per-user previous event value delta. */
+  def w3LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(s, d)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .select("user_id", "event_id", "value", "prev_value", "next_type")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** O2 (src/bitoin_coin_gecko_api.py:59): full ORDER BY DESC + LIMIT —
+    * newest-first listing. Spark plans LIMIT'd sort as distributed top-k.
+    */
+  def o2SortDescLimit(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .orderBy(desc("event_id"))
+      .select("event_id", "user_id", "event_type")
+      .limit(100)
+
+  /** A2 (src/etl.py:145): COUNT — single-row table cardinality. */
+  def a2Count(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  /** §2.5 extension: distinct aggregates + multi-agg in one pass
+    * (countDistinct, min/max/avg). avg is re-derived as sum/count at the
+    * output to keep cross-engine float determinism.
+    */
+  def a3MultiAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_custs"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
+    * both segments' buyer sets, via intersect of projected keys.
+    */
+  def o5Intersect(s: SparkSession, d: String): DataFrame = {
+    val buyers = orders(s, d).select(col("o_custkey"))
+    val rich = customer(s, d).filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("o_custkey"))
+    buyers.intersect(rich).orderBy("o_custkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_groupby_sum_top5" -> (a1GroupbySumTop5 _),
+    "p1_filter_neq"       -> (p1FilterNeq _),
+    "p2_isnull_outer"     -> (p2IsnullOuterJoin _),
+    "o4_union_all"        -> (o4UnionAll _),
+    "j1_join_broadcast"   -> (j1JoinBroadcastAgg _),
+    "j2_semi_join"        -> (j2SemiJoin _),
+    "j3_anti_join"        -> (j3AntiJoin _),
+    "j4_star_join"        -> (j4StarJoin _),
+    "w1_window_topn"      -> (w1WindowTopn _),
+    "w2_running_sum"      -> (w2RunningSum _),
+    "w3_lag_lead"         -> (w3LagLead _),
+    "o2_sort_desc_limit"  -> (o2SortDescLimit _),
+    "a2_count"            -> (a2Count _),
+    "a3_multi_agg"        -> (a3MultiAgg _),
+    "o5_intersect"        -> (o5Intersect _),
+  )
+
+  /** DuckDB oracles. Aggregate integer results are CAST to BIGINT (DuckDB
+    * widens SUM/COUNT to HUGEINT which would hash-mismatch int64).
+    */
+  def oracles: Map[String, String] = Map(
+    "a1_groupby_sum_top5" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY total_qty DESC, l_returnflag, l_linestatus LIMIT 5""".stripMargin,
+    "p1_filter_neq" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type <> 'error' AND event_type <> 'signup'
+        |ORDER BY event_id""".stripMargin,
+    "p2_isnull_outer" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_orderkey IS NULL ORDER BY o_orderkey""".stripMargin,
+    "o4_union_all" ->
+      """SELECT * FROM (
+        |  SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events WHERE event_type = 'click')
+        |ORDER BY event_id""".stripMargin,
+    "j1_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "j2_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_star_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "w1_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "w3_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "o2_sort_desc_limit" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "a2_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+    "a3_multi_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "o5_intersect" ->
+      """SELECT o_custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0
+        |ORDER BY o_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.CoreQueries
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every core query runs and (except empty-by-construction) returns rows") {
+    val mayBeEmpty = Set("j3_anti_join")
+    CoreQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(mayBeEmpty(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("a1 top5 has exactly 5 rows, descending totals") {
+    val rows = CoreQueries.a1GroupbySumTop5(spark, sf).collect()
+    assert(rows.length == 5)
+    val totals = rows.map(_.getDouble(2))
+    assert(totals.sameElements(totals.sortBy(-_)))
+  }
+
+  test("every query key has either an oracle or a documented omission") {
+    val keys = CoreQueries.queries.keySet
+    assert(CoreQueries.oracles.keySet.subsetOf(keys))
+  }
+
+  test("j1 plan broadcasts the dimension side") {
+    val plan = CoreQueries.j1JoinBroadcastAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("p1 filter is pushed down to the parquet scan") {
+    val plan = CoreQueries.p1FilterNeq(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"expected pushed filters:\n$plan")
+  }
+}
