@@ -1,0 +1,90 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.time.LocalDate
+
+/** Partitioned-parquet lake layout of the reference (SURVEY.md §2.1 S3,
+  * §2.2 K1/K2/K4): Hive-style `ano=YYYY/mes=MM/dia=DD` raw zone and
+  * `(acao, created_at)`-partitioned refined zone, snappy parquet, with
+  * schema-drift-tolerant reads (§1.3).
+  */
+object Lake {
+
+  /** S3 (ETL_glue_pregao_B3.json:269-343): recursive partitioned-parquet
+    * scan. Drift tolerance per SURVEY §1.3: either merge file schemas or
+    * impose an explicit superset schema (missing columns read as null —
+    * exactly Glue's `UPDATE_IN_DATABASE` evolution behavior).
+    *
+    * Scale: `mergeSchema` footer-merges every file's schema — O(files) on
+    * the driver. At 100 TB prefer the explicit superset schema: constant
+    * cost, and still lets Catalyst prune partitions and push filters.
+    */
+  def readRaw(spark: SparkSession, path: String,
+      superset: Option[StructType] = None): DataFrame =
+    superset match {
+      case Some(schema) => spark.read.schema(schema).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
+  /** K1 (src/etl.py:191-221): date-partitioned raw write. Partition values
+    * zero-padded (`mes=08`) like the reference paths (src/etl.py:203).
+    * Dynamic partition overwrite makes the daily re-run idempotent without
+    * truncating other days — the reference got this by writing one fixed
+    * filename per day.
+    */
+  def writeRawDaily(df: DataFrame, path: String, date: LocalDate): Unit =
+    df.withColumn("ano", lit(f"${date.getYear}%04d"))
+      .withColumn("mes", lit(f"${date.getMonthValue}%02d"))
+      .withColumn("dia", lit(f"${date.getDayOfMonth}%02d"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy("ano", "mes", "dia")
+      .parquet(path)
+
+  /** K2 (ETL_glue_pregao_B3.json:240-268): refined-zone append, snappy,
+    * partitioned by (acao, created_at); optionally registered in the
+    * catalog (Glue's `tech_fiap.b3_fiap` ≙ `saveAsTable`).
+    */
+  def writeRefined(df: DataFrame, path: String,
+      table: Option[String] = None): Unit = {
+    val w = df.write
+      .mode("append")
+      .option("compression", "snappy")
+      .partitionBy("acao", "created_at")
+    table match {
+      case Some(t) => w.option("path", path).format("parquet").saveAsTable(t)
+      case None => w.parquet(path)
+    }
+  }
+
+  /** K6 (src/query_db.py:36-43) rewritten for an immutable lake: the SQL
+    * `UPDATE ... SET data_hora = now()-1d WHERE data_hora IS NULL` becomes
+    * a coalesce-projection + partition overwrite. No in-place mutation on
+    * parquet (SURVEY §2.2 K6 caveat).
+    */
+  def backfillDataHora(df: DataFrame): DataFrame =
+    df.withColumn("data_hora",
+      coalesce(col("data_hora"),
+        date_format(timestamp_add("DAY", lit(-1), current_timestamp()),
+          "yyyy-MM-dd HH:mm:ss")))
+
+  /** Small-file compaction (SURVEY §4: the reference writes ~6 KB/day
+    * files — lethal at 100 TB). Rewrites a table directory to
+    * `ceil(bytes / targetFileBytes)` files. Uses the scan's input size
+    * statistic, not a collect.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))
+    val tmp = path.stripSuffix("/") + "_compacted"
+    df.repartition(files).write.mode("overwrite")
+      .option("compression", "snappy").parquet(tmp)
+  }
+}

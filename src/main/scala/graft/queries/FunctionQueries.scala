@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.lake.Tables._
+import graft.ops.Formats
+
+/** Scalar-function and clean/cast operator surface (SURVEY.md §2.3 P3–P9,
+  * §2.8) exercised on testdata with DuckDB oracles. All stages are narrow
+  * projections — they fuse into the scan's WholeStageCodegen span.
+  */
+object FunctionQueries {
+
+  /** P3+P4+P5+P6+P9 composed — the B3 clean/typify shape on the documents
+    * table: regex-strip the non-numeric prefix, null-safe cast (pandas
+    * `errors='coerce'` ≙ try_cast), arithmetic rescale, bulk rename.
+    */
+  def p3CleanCastPipeline(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("valor_limpo", regexp_replace(col("source"), "[^0-9]", ""))
+      .withColumn("src_num", col("valor_limpo").try_cast(LongType))
+      .withColumn("chars_k", round(col("n_chars") / lit(1000), 6))
+      .drop("valor_limpo")
+      .withColumnsRenamed(Map("doc_id" -> "id", "lang" -> "idioma"))
+      .select("id", "idioma", "src_num", "chars_k")
+      .orderBy("id")
+
+  /** §2.8 date functions: to_date/date_format/date_sub/between — monthly
+    * order rollup over a date-typed filter window.
+    */
+  def fDateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(to_date(col("o_orderdate"))
+        .between(lit("1997-01-01"), lit("1999-12-31")))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("month")
+
+  /** §2.8 string functions: upper/substring/length/concat_ws/lpad. */
+  def fStringFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 4).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        Formats.zeroPad2(col("c_nationkey")).as("nation_padded"))
+      .orderBy("c_custkey")
+
+  /** §2.8 JSON extract (S5's `data["bitcoin"]["brl"]` shape) on the events
+    * props column: `get_json_object` + coerce cast.
+    */
+  def fJsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        Formats.jsonLong(col("props"), "$.k").as("k_val"))
+      .orderBy("event_id")
+
+  /** K7 (src/bitoin_coin_gecko_api.py:66): BR-locale money formatting —
+    * `f"{v:,.2f}"` with `,`↔`.` swapped.
+    */
+  def fBrMoney(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), Formats.brMoney(col("o_totalprice")).as("preco_br"))
+      .orderBy("o_orderkey")
+
+  /** K6 (src/query_db.py:36-43): UPDATE-where-null rewritten as a
+    * coalesce projection — null lag values backfilled with a sentinel.
+    */
+  def k6CoalesceUpdate(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    events(s, d)
+      .withColumn("prev_value",
+        coalesce(lag("value", 1).over(w), lit(-1.0)))
+      .select("user_id", "event_id", "prev_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_clean_cast_pipeline" -> (p3CleanCastPipeline _),
+    "f_date_funcs"           -> (fDateFuncs _),
+    "f_string_funcs"         -> (fStringFuncs _),
+    "f_json_extract"         -> (fJsonExtract _),
+    "f_br_money"             -> (fBrMoney _),
+    "k6_coalesce_update"     -> (k6CoalesceUpdate _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p3_clean_cast_pipeline" ->
+      """SELECT doc_id AS id, lang AS idioma,
+        |  TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) AS src_num,
+        |  round(n_chars / 1000.0, 6) AS chars_k
+        |FROM documents ORDER BY id""".stripMargin,
+    "f_date_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1999-12-31'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "f_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 4) AS name_prefix,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |  lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS nation_padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f_json_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f_br_money" ->
+      """SELECT o_orderkey,
+        |  translate(format('{:,}', CAST(floor(o_totalprice) AS BIGINT)), ',', '.')
+        |  || ',' || substring(CAST(round(o_totalprice - floor(o_totalprice), 2) + 1.001 AS VARCHAR), 3, 2)
+        |  AS preco_br
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k6_coalesce_update" ->
+      """SELECT user_id, event_id,
+        |  coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), -1.0)
+        |    AS prev_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Schemas
+import graft.ops.{B3Transform, RefinedQuery}
+import graft.lake.Lake
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
+/** B3 pipeline semantics vs the reference's committed artifacts: the
+  * SQLite row ('ALOS3','ALLOS','ON ED NM',476976044,0.494,...) is the
+  * golden post-transform value (FIXTURES.md §1.2).
+  */
+class B3PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def scraped = spark.createDataFrame(
+    Seq(
+      Row("ALOS3", "ALLOS", "ON ED NM", "476.976.044", 494L),
+      Row("PETR4", "PETROBRAS", "PN N2", "3.700.000.000", 4129L),
+      Row("BADLY", "BROKEN", "ON", "not-a-number", 10L),
+      Row("Redutor", "", "", "1.000", 1L),
+      Row("Quantidade Teórica Total", "", "", "2.000", 2L)
+    ).asJava, Schemas.b3Scraped)
+
+  test("P1-P9 transform matches the reference's committed values") {
+    val out = B3Transform.transform(scraped, stampTimestamp = false)
+    assert(out.columns.toSeq ==
+      Seq("cod", "acao", "tipo", "qtde_teorica", "part_teorica_porc"))
+    val rows = out.orderBy("cod").collect()
+    assert(rows.length == 3) // summary rows filtered (P1)
+    val alos = rows.find(_.getString(0) == "ALOS3").get
+    assert(alos.getString(1) == "ALLOS")
+    assert(alos.getLong(3) == 476976044L)       // P3+P4: dots stripped, cast
+    assert(alos.getDouble(4) == 0.494)          // P5: ÷1000
+    val bad = rows.find(_.getString(0) == "BADLY").get
+    assert(bad.isNullAt(3))                     // P4: coerce → null
+  }
+
+  test("P8 stamp has the reference's yyyy-MM-dd HH:mm:ss string encoding") {
+    val out = B3Transform.transform(scraped)
+    val v = out.select("data_hora").head().getString(0)
+    assert(v.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+  }
+
+  test("refined pipeline (SQL text form): top-5 by total, schema golden") {
+    val raw = B3Transform.transform(scraped, stampTimestamp = false)
+    val refined = RefinedQuery.refinedSql(spark, raw)
+    assert(refined.columns.toSeq ==
+      Schemas.b3Refined.fields.map(_.name).toSeq)
+    val top = refined.collect()
+    assert(top.length == 3) // 3 groups (BADLY sums to null, ranked last)
+    // PETR4 (3.7e9) must rank above ALOS3 (4.77e8)
+    assert(top.head.getString(0) == "PETR4")
+    assert(top.head.getLong(2) == 3700000000L)
+  }
+
+  test("refined DSL and SQL forms agree on ranked totals") {
+    val raw = B3Transform.transform(scraped, stampTimestamp = false)
+    val a = RefinedQuery.refinedSql(spark, raw)
+      .select("cod", "total_qtde_teorica_dos_ultimos_7_dias").collect().toSeq
+    val b = RefinedQuery.refinedDsl(raw)
+      .select("cod", "total_qtde_teorica_dos_ultimos_7_dias").collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
+  test("lake roundtrip: daily partitioned write, drift-tolerant read") {
+    val dir = java.nio.file.Files.createTempDirectory("lake").toString
+    val day1 = B3Transform.transform(scraped, stampTimestamp = false)
+    val day2 = B3Transform.transform(scraped) // +data_hora → drifted schema
+    Lake.writeRawDaily(day1, dir, LocalDate.of(2025, 7, 31))
+    Lake.writeRawDaily(day2, dir, LocalDate.of(2025, 8, 1))
+    // zero-padded partition paths like the reference's raw zone
+    assert(new java.io.File(s"$dir/ano=2025/mes=07/dia=31").isDirectory)
+    assert(new java.io.File(s"$dir/ano=2025/mes=08/dia=01").isDirectory)
+    val merged = Lake.readRaw(spark, dir)
+    assert(merged.count() == 6)
+    assert(merged.columns.contains("data_hora")) // drift surfaced
+    assert(merged.filter(col("data_hora").isNull).count() == 3) // day1 rows
+    // superset-schema read: declared drift column present even if absent in files
+    val sup = Lake.readRaw(spark, dir, Some(Schemas.b3RawSuperset))
+    assert(sup.columns.contains("valor_limpo"))
+    assert(sup.filter(col("valor_limpo").isNotNull).count() == 0)
+  }
+
+  test("idempotent daily rewrite: dynamic partition overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("lake2").toString
+    val day = B3Transform.transform(scraped, stampTimestamp = false)
+    Lake.writeRawDaily(day, dir, LocalDate.of(2025, 8, 1))
+    Lake.writeRawDaily(day, dir, LocalDate.of(2025, 8, 2))
+    Lake.writeRawDaily(day, dir, LocalDate.of(2025, 8, 2)) // re-run same day
+    val all = Lake.readRaw(spark, dir)
+    assert(all.count() == 6) // day re-run replaced, not duplicated or truncated
+  }
+
+  test("K6 backfill: only null data_hora rows updated") {
+    val dir = java.nio.file.Files.createTempDirectory("lake3").toString
+    val day1 = B3Transform.transform(scraped, stampTimestamp = false)
+    val day2 = B3Transform.transform(scraped)
+    Lake.writeRawDaily(day1, dir, LocalDate.of(2025, 7, 31))
+    Lake.writeRawDaily(day2, dir, LocalDate.of(2025, 8, 1))
+    val written = Lake.readRaw(spark, dir)
+    // the stamp actually persisted for day2 (current_timestamp is
+    // per-query, so day2's plan can't be re-evaluated to get it)
+    val orig = written.filter(col("data_hora").isNotNull)
+      .select("data_hora").head().getString(0)
+    val filled = Lake.backfillDataHora(written)
+    assert(filled.filter(col("data_hora").isNull).count() == 0)
+    assert(filled.filter(col("data_hora") === orig).count() == 3)
+  }
+}
