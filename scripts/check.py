@@ -50,20 +50,24 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+            got_raw = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             failures += 1
             continue
         try:
-            exp = norm(con.execute(sql).fetchdf())
+            exp_raw = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error ({e})")
             failures += 1
             continue
         problems = []
-        if list(got.columns) != list(exp.columns):
-            problems.append(f"cols spark={list(got.columns)} duck={list(exp.columns)}")
+        # positional compare BEFORE norm's sort — the driver may compare
+        # schemas positionally, so a column-order mismatch must fail here
+        if list(got_raw.columns) != list(exp_raw.columns):
+            problems.append(
+                f"col order spark={list(got_raw.columns)} duck={list(exp_raw.columns)}")
+        got, exp = norm(got_raw), norm(exp_raw)
         if len(got) != len(exp):
             problems.append(f"rows spark={len(got)} duck={len(exp)}")
         if not problems:

@@ -1,24 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract). Emits ONE JSON line with per-query
+  * wall seconds on SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (VERDICT r1 "What's wrong" #3):
+  *   - action is a `noop`-format write, not `count()` — count() lets
+  *     Catalyst prune every column a query computes but does not
+  *     aggregate, so scalar-function queries would measure scan-only.
+  *     The noop sink materializes every output row end-to-end.
+  *   - one warmup pass over all queries at sf0.001 before timing —
+  *     absorbs session init + whole-stage-codegen compilation + JIT so
+  *     the first timed query isn't 10× inflated.
+  *   - a failed query records -1 AND lands in an explicit "errors" list
+  *     instead of silently passing with a bogus timing.
+  */
 object Bench {
+  private def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).exists())
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try runNoop(fn(spark, warmupDir)) catch { case _: Throwable => () }
+      }
+
+    var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { runNoop(fn(spark, sfDir)); true }
+        catch { case _: Throwable => errors ::= name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

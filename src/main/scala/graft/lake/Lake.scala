@@ -74,8 +74,15 @@ object Lake {
 
   /** Small-file compaction (SURVEY §4: the reference writes ~6 KB/day
     * files — lethal at 100 TB). Rewrites a table directory to
-    * `ceil(bytes / targetFileBytes)` files. Uses the scan's input size
-    * statistic, not a collect.
+    * `ceil(bytes / targetFileBytes)` files and swaps the result into
+    * place. Uses the scan's input size statistic, not a collect.
+    *
+    * The swap (delete original, rename tmp) is NOT atomic across both
+    * steps — a crash between them leaves only `<path>_compacting` on
+    * disk. That is the same contract as every non-transactional
+    * Hive-style overwrite; a table format (Delta/Iceberg) is the real
+    * fix at 100 TB. Readers racing the swap see either old or new files,
+    * never a mix, because the tmp dir is invisible until the rename.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
@@ -83,8 +90,15 @@ object Lake {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
       (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))
-    val tmp = path.stripSuffix("/") + "_compacted"
+    val tmp = path.stripSuffix("/") + "_compacting"
     df.repartition(files).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $path failed; data preserved at $tmp")
   }
 }

@@ -24,8 +24,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * truncate to microsecond TimestampType — the same truncation DuckDB
-    * applies, so oracle comparisons line up.
+    * truncate to microsecond TimestampType with INTEGER division (`div`) —
+    * `/ 1000` is double division and at epoch-nanos magnitude (~1.8e18,
+    * ulp 256 ns) the rounded double can differ from truncation by 1 µs
+    * (ADVICE r1). `ts div 1000` matches DuckDB's truncation exactly.
+    *
+    * `nanosAsLong` is pre-set by all of our session builders
+    * (Verify/Bench/TestSpark); the set here is a defensive idempotent
+    * fallback for driver-owned sessions that call SparkEntry.queries
+    * directly — without it the read throws, so it is required, not a
+    * convenience.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,8 +41,7 @@ object Tables {
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L)
-            .cast(org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -45,11 +45,19 @@ object RefinedQuery {
     * ETL_glue_pregao_B3.json:164) → re-stamp → rename timestamp→created_at
     * (json:225-239).
     */
+  /** The view name is unique per call and dropped immediately after
+    * analysis (spark.sql resolves views eagerly), so concurrent or nested
+    * callers on one SparkSession can't read each other's data (ADVICE r1).
+    */
   def refinedSql(spark: SparkSession, raw: DataFrame): DataFrame = {
-    raw.withColumn("timestamp", gsNow()).createOrReplaceTempView("myDataSource")
-    spark.sql(sevenDayQuery)
-      .withColumn("timestamp", gsNow())
-      .withColumnRenamed("timestamp", "created_at")
+    val view = "myDataSource_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    raw.withColumn("timestamp", gsNow()).createOrReplaceTempView(view)
+    try {
+      spark.sql(sevenDayQuery.replace("myDataSource", view))
+        .withColumn("timestamp", gsNow())
+        .withColumnRenamed("timestamp", "created_at")
+    } finally spark.catalog.dropTempView(view)
   }
 
   /** DSL form of the same plan, deterministic under ties. */

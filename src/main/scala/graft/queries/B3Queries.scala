@@ -26,13 +26,16 @@ object B3Queries {
 
   /** The 7-day filter is a tautology by construction (the timestamp is
     * stamped in-run), so the oracle is the plain group-by top-5; both
-    * engines stamp created_at with their own current date (same day).
+    * engines stamp created_at with their own current date. The Spark side
+    * runs with session timezone UTC, so the oracle pins UTC too — DuckDB's
+    * bare `current_date` is host-local and would flake across midnight on
+    * a non-UTC host (ADVICE r1).
     */
   def oracles: Map[String, String] = Map(
     "ref_b3_refined_top5" ->
       """SELECT p_brand AS cod, p_type AS acao,
         |  CAST(sum(p_size) AS BIGINT) AS total_qtde_teorica_dos_ultimos_7_dias,
-        |  strftime(current_date, '%Y-%m-%d') AS created_at
+        |  strftime(timezone('UTC', now()), '%Y-%m-%d') AS created_at
         |FROM part GROUP BY 1, 2
         |ORDER BY total_qtde_teorica_dos_ultimos_7_dias DESC, cod, acao
         |LIMIT 5""".stripMargin)

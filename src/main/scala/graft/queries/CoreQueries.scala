@@ -70,12 +70,15 @@ object CoreQueries {
   }
 
   /** §2.4 joins (engine built-ins exercised per SURVEY §2.4 plan): inner
-    * join orders ⋈ customer with the dimension side broadcast — at 100 TB
-    * the fact side never shuffles for this join.
+    * join orders ⋈ customer. No forced broadcast hint: customer GROWS with
+    * scale (multi-GB at 100 TB), and a hint overrides
+    * autoBroadcastJoinThreshold — OOM at 1000 executors. Let the threshold
+    * + AQE pick broadcast while the dim is small and degrade to shuffle
+    * join when it isn't (VERDICT r1 "What's wrong" #1).
     */
   def j1JoinBroadcastAgg(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .join(broadcast(customer(s, d)),
+      .join(customer(s, d),
         col("o_custkey") === col("c_custkey"), "inner")
       .groupBy("c_mktsegment")
       .agg(
@@ -105,13 +108,15 @@ object CoreQueries {
       .orderBy("c_custkey")
 
   /** §2.4: multi-way star join (fact ⋈ dim ⋈ dim ⋈ dim), TPC-H Q5 shape —
-    * revenue per nation. All dimension sides are broadcastable; the single
-    * shuffle is the final group-by.
+    * revenue per nation. lineitem⋈orders is a fact-fact shuffle join (the
+    * right plan; bucket both on orderkey at 100 TB). Only `nation` keeps a
+    * broadcast hint — it is BOUNDED (25 rows) at any scale. `customer`
+    * grows with SF, so its join is left to threshold/AQE (VERDICT #1).
     */
   def j4StarJoin(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
