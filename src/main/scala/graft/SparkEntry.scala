@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{B3Queries, CoreQueries, FunctionQueries}
+import graft.text.{Dedup, TextAnalysis}
+import graft.sim.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +23,10 @@ object SparkEntry {
     CoreQueries.a1GroupbySumTop5(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries
+    CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles
+    CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
 }

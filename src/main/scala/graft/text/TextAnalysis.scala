@@ -1,0 +1,196 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+import graft.functions.Hashing
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. Extension layer (brief: language-ID, quality
+  * scoring, token counting, document fingerprinting). All operators are
+  * narrow projections + one aggregation at most — the shapes that stay
+  * scan-bound at 100 TB.
+  *
+  * Tokenization is a single-space split: portable bit-for-bit between
+  * Spark `split(text, ' ')` and DuckDB `string_split(text, ' ')`
+  * (both keep interior/trailing empties the same way).
+  */
+object TextAnalysis {
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("toks", split(col("text"), " "))
+
+  /** Per-language corpus profile: doc count, char volume, average
+    * tokens — one partial-agg shuffle on a low-cardinality key.
+    */
+  def t1LangProfile(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg(size(col("toks"))), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-document token statistics: whitespace token count, distinct
+    * count, type-token ratio. Pure projection. The ratio is reported in
+    * floor'd basis points: `round()` tie-breaking differs between
+    * engines on exact .xxxx5 values, `floor` of an identical double
+    * never does.
+    */
+  def t2TokenStats(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        floor(size(array_distinct(col("toks"))).cast("double") * 10000.0 /
+          size(col("toks"))).cast("long").as("ttr_bp"))
+      .orderBy("doc_id")
+
+  /** Global top-20 token bigrams: explode n-grams → count → top-k.
+    * Explode fans out ~|tokens| rows but the aggregate is map-side
+    * partial, and the top-20 is TakeOrderedAndProject — no global sort.
+    */
+  def t3TopNgrams(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          |  i -> concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2)))"""
+          .stripMargin)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("ngram"))
+      .limit(20)
+
+  /** Quality score: length saturation + non-stopword density, the
+    * standard cheap pre-filter before expensive pipeline stages.
+    * Reported in floor'd basis points: `n_chars/1000` puts a trailing 5
+    * in the 4th decimal for every odd n_chars, and Spark/DuckDB round()
+    * break that tie differently — floor of the identical double is
+    * deterministic in both.
+    */
+  def t4QualityScore(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .withColumn("stop_hits", expr(
+        "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))"))
+      .select(
+        col("doc_id"),
+        col("stop_hits"),
+        floor(
+          (least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stop_hits").cast("double") / size(col("toks"))) * 0.5)
+            * 10000.0).cast("long").as("quality_bp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: stopword-list hit counts per candidate
+    * language, argmax with a deterministic tie-break order
+    * (en > de > es > und). A real pipeline would use char-n-gram
+    * profiles; the *shape* (narrow projection, no shuffle) is identical.
+    */
+  def t5LangId(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .withColumn("hits_en", expr(
+        "size(filter(toks, x -> x IN ('the', 'a', 'and', 'of')))"))
+      .withColumn("hits_de", expr(
+        "size(filter(toks, x -> x IN ('der', 'die', 'das', 'und')))"))
+      .withColumn("hits_es", expr(
+        "size(filter(toks, x -> x IN ('el', 'la', 'los', 'y')))"))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("hits_en") >= col("hits_de") &&
+          col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+          .when(col("hits_de") >= col("hits_es") && col("hits_de") > 0, "de")
+          .when(col("hits_es") > 0, "es")
+          .otherwise("und").as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: a sequential polynomial rolling hash over
+    * token hashes (order-sensitive) and a canonical bag-of-words md5
+    * (order-insensitive). Both pure projections; either can drive an
+    * exact-dedup group-by at scale.
+    */
+  def t6Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val tokH = Hashing.h32Sql("x")
+    toks(s, d)
+      .select(
+        col("doc_id"),
+        expr(
+          s"""aggregate(transform(toks, x -> $tokH % 1000000007L), 0L,
+             |  (acc, h) -> (acc * 31 + h) % 1000000007L)""".stripMargin)
+          .as("fp_rolling"),
+        md5(expr(
+          "array_join(array_sort(array_distinct(toks)), ' ')"))
+          .as("fp_canonical"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_profile"  -> (t1LangProfile _),
+    "t2_token_stats"   -> (t2TokenStats _),
+    "t3_top_ngrams"    -> (t3TopNgrams _),
+    "t4_quality_score" -> (t4QualityScore _),
+    "t5_lang_id"       -> (t5LangId _),
+    "t6_fingerprint"   -> (t6Fingerprint _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t1_lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t2_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS INTEGER) AS n_uniq,
+        |  CAST(floor(CAST(len(list_distinct(t)) AS DOUBLE) * 10000.0 / len(t))
+        |    AS BIGINT) AS ttr_bp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t3_top_ngrams" ->
+      """SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(len(t)-1),
+        |    i -> t[i+1] || ' ' || t[i+2])) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+    "t4_quality_score" ->
+      """SELECT doc_id, CAST(stop_hits AS INTEGER) AS stop_hits,
+        |  CAST(floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
+        |    (1.0 - CAST(stop_hits AS DOUBLE) / len(t)) * 0.5) * 10000.0)
+        |    AS BIGINT) AS quality_bp
+        |FROM (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS t,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS stop_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t5_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+        |    WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+        |    WHEN hits_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'and', 'of'))) AS hits_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der', 'die', 'das', 'und'))) AS hits_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('el', 'la', 'los', 'y'))) AS hits_es
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t6_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '),
+         |        x -> ${Hashing.h32Duck("x")} % 1000000007)),
+         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_rolling,
+         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         |    AS fp_canonical
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

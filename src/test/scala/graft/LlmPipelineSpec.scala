@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Dedup, TextAnalysis}
+import graft.sim.Similarity
+
+/** LLM-data-pipeline operator specs (dedup / similarity / text
+  * analysis). Correctness vs DuckDB is the driver's gate; these tests
+  * pin the SCALE-critical physical properties — the ones that decide
+  * whether the operator survives 100 TB.
+  */
+class LlmPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every dedup/text/sim query runs and returns rows") {
+    val all = Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+    all.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("minhash LSH finds the planted near-duplicates with high Jaccard") {
+    val jac = Dedup.d4NgramJaccard(spark, sf).collect()
+    assert(jac.nonEmpty, "no candidate pair passed the 0.8 Jaccard verify")
+    assert(jac.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("LSH candidate joins are bucketed equi-joins, never cartesian") {
+    Seq(
+      "d2" -> Dedup.d2MinhashLsh(spark, sf),
+      "d3" -> Dedup.d3Simhash(spark, sf),
+      "s2" -> Similarity.s2AnnLsh(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("s1 brute-force baseline returns a full top-5 per query vector") {
+    val rows = Similarity.s1CosineTopk(spark, sf).collect()
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5))
+    // ranks are 1..5 and cosine is non-increasing within a query
+    perQuery.keys.foreach { q =>
+      val rs = rows.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      assert(rs.map(_.getInt(3)).sameElements(1 to 5))
+      val cs = rs.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("exact dedup keeps the minimum doc_id per content hash") {
+    val df = Dedup.d1ExactDedup(spark, sf)
+    val n = df.count()
+    val docs = graft.lake.Tables.documents(spark, sf).count()
+    assert(n <= docs)
+    assert(df.selectExpr("min(n_copies)").head.getLong(0) >= 1)
+  }
+
+  test("simhash/minhash signature stages are narrow (no shuffle before the band join)") {
+    // one Exchange for the self-join key + one for the final sort is
+    // expected; the signature computation itself must not add one.
+    val plan = Dedup.d2MinhashLsh(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 6, s"too many exchanges ($exchanges):\n$plan")
+  }
+}
