@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{B3Queries, CoreQueries, FunctionQueries}
 import graft.text.{Dedup, TextAnalysis}
 import graft.sim.Similarity
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,9 +25,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
-      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
+      StreamQueries.oracles
 }

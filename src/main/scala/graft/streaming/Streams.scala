@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.ops.Formats
+
+/** Structured-Streaming surface of the reference (SURVEY.md §2.9):
+  *
+  *   T1  1 Hz point ingest loop    (/root/reference/src/ingest_strem_btc.py:44-58)
+  *   T2  64 MB / 60 s buffered delivery to the lake
+  *       (/root/reference/src/create_firehose_stream.py:27-48)
+  *   T3  file-arrival-triggered downstream job — the S3→SQS→Lambda chain
+  *       (/root/reference/src/sqs.py:63-87, trigger_glue.py:5-29), which
+  *       Structured Streaming's file source IS, natively
+  *   T4  stream status polling     (create_firehose_stream.py:51-67)
+  *
+  * Design: sources and sinks are declared, state lives in the
+  * checkpoint. The same transformation functions run on batch frames
+  * (SparkEntry's `st*` queries give them DuckDB oracles) and on
+  * streaming frames (MemoryStream drives them in tests) — Spark's
+  * unified batch/stream plan is the point, there is no separate
+  * streaming engine to maintain.
+  *
+  * Scale notes (100 TB/day ingest): the file source scales by listing
+  * cost — at real volume set `maxFilesPerTrigger`, keep the raw zone
+  * date-partitioned so listing stays bounded; the watermark bounds
+  * window state, so the stateful agg's memory is (windows in flight ×
+  * keys), independent of stream length.
+  */
+object Streams {
+
+  /** T1: the 1 Hz tick source. Spark's rate source replaces the
+    * reference's `while True: sleep(1)` loop; `priceOf` abstracts the
+    * REST fetch (src/ingest_strem_btc.py:24-33) — production swaps in a
+    * `mapPartitions` HTTP call; tests and local runs use the default
+    * deterministic synthetic price so the pipeline is reproducible.
+    */
+  def tickSource(spark: SparkSession, rowsPerSecond: Int = 1,
+      priceOf: Column => Column = syntheticPrice): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("timestamp").as("data_hora"),
+        priceOf(col("value")).as("preco_brl"))
+
+  /** Deterministic fake BTC/BRL price: bounded random walk around the
+    * reference's observed magnitude (~600k BRL).
+    */
+  def syntheticPrice(seq: Column): Column =
+    round(lit(600000.0) + pmod(seq * 7919, lit(20000)) - 10000.0, 2)
+
+  /** The JSON record shape Firehose receives
+    * (src/ingest_strem_btc.py:52-56): `{"timestamp": "...", "price": N}`.
+    */
+  def asTickJson(df: DataFrame): DataFrame =
+    df.select(Formats.tickJson(
+      Formats.tsString(col("data_hora")), col("preco_brl")).as("value"))
+
+  /** T2: buffered micro-batch delivery. The 60 s ProcessingTime trigger
+    * reproduces Firehose's IntervalInSeconds=60 buffering hint
+    * (create_firehose_stream.py:35-38); Spark has no size-based trigger,
+    * so SizeInMBs=64 maps to the trigger interval alone — documented
+    * deviation, same delivery semantics (at-least-once into the dir,
+    * exactly-once with the checkpoint).
+    */
+  def bufferedSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      format: String = "json"): DataStreamWriter[Row] =
+    df.writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+
+  /** T3: file-arrival-triggered processing. The file source + checkpoint
+    * IS the S3-event→SQS→Lambda chain: each new file under `path` is
+    * processed exactly once; `Trigger.AvailableNow` gives the
+    * run-per-arrival batch shape with maxConcurrentRuns=1 semantics for
+    * free (one query, one checkpoint).
+    */
+  def rawZoneStream(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1000)
+      .parquet(path)
+
+  /** Watermarked tumbling-window aggregate — the natural composition of
+    * T1→T2 (SURVEY §2.9 extension). Works identically on batch and
+    * streaming inputs; on a stream the watermark lets Spark drop window
+    * state once event time passes window end + `lateness`.
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, valueCol: String,
+      window: String = "1 hour", lateness: String = "2 minutes",
+      stream: Boolean = true): DataFrame = {
+    val in = if (stream) df.withWatermark(tsCol, lateness) else df
+    in.groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        round(sum(col(valueCol).cast("decimal(18,6)")), 2)
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_ticks"), col("total_value"))
+  }
+
+  /** T4: status polling (`describe_delivery_stream until ACTIVE`,
+    * create_firehose_stream.py:51-67). Blocks until the query has
+    * processed all currently-available input or `timeoutMs` elapses.
+    */
+  def awaitProcessed(q: StreamingQuery, timeoutMs: Long = 60000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (!q.isActive) return true
+      q.processAllAvailable()
+      return true
+    }
+    false
+  }
+
+  /** One-line status snapshot (T4's poll body). */
+  def statusOf(q: StreamingQuery): String =
+    s"${q.name}: active=${q.isActive} ${q.status.message}"
+}

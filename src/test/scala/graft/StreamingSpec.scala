@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Streaming slice (SURVEY §2.9 T1–T4) driven by MemoryStream and temp
+  * dirs — no wall-clock sleeps: AvailableNow / processAllAvailable give
+  * deterministic micro-batch boundaries.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("T1 tick source is a streaming plan with the tick schema") {
+    val df = Streams.tickSource(spark, rowsPerSecond = 5)
+    assert(df.isStreaming)
+    assert(df.columns.sameElements(Array("data_hora", "preco_brl")))
+  }
+
+  test("tumblingAgg over MemoryStream: watermark finalizes windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val in = ms.toDF().toDF("data_hora", "preco_brl")
+    val agg = Streams.tumblingAgg(in, "data_hora", "preco_brl",
+      window = "1 minute", lateness = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData((t("2024-01-01 00:00:10"), 10.0),
+        (t("2024-01-01 00:00:40"), 20.0))
+      q.processAllAvailable()
+      // advance event time far enough that the first window's watermark
+      // (window end + 1 min lateness) has passed -> window emitted
+      ms.addData((t("2024-01-01 00:05:00"), 5.0))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 30.0)),
+        s"first window missing/wrong: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("T2 buffered sink delivers tick JSON records to the lake path") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val ticks = Streams.asTickJson(ms.toDF().toDF("data_hora", "preco_brl"))
+    val out = tmp("t2out"); val ckp = tmp("t2ckp")
+    ms.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 600123.45))
+    // AvailableNow for test speed; production default is the 60 s
+    // ProcessingTime trigger (Firehose's IntervalInSeconds=60)
+    val q = Streams.bufferedSink(ticks, out, ckp,
+      trigger = Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length == 1)
+    assert(lines.head ==
+      """{"value":"{\"timestamp\":\"2024-01-01 12:00:00\",\"price\":600123.45}"}""")
+    assert(new java.io.File(ckp).exists())
+  }
+
+  test("T3 file-arrival stream processes each raw file exactly once across restarts") {
+    val raw = tmp("t3raw"); val out = tmp("t3out"); val ckp = tmp("t3ckp")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v DOUBLE")
+    def arrive(ids: Range): Unit =
+      ids.map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+        .write.mode("append").parquet(raw)
+    def runOnce(): Unit = {
+      val q = Streams.rawZoneStream(spark, schema, raw)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    arrive(0 until 10); runOnce()
+    assert(spark.read.parquet(out).count() == 10)
+    arrive(10 until 15); runOnce()
+    // 15, not 25: the checkpoint (the SQS/Lambda single-flight ledger)
+    // prevents reprocessing the first batch's files
+    assert(spark.read.parquet(out).count() == 15)
+    assert(spark.read.parquet(out).agg(Map("id" -> "max")).head.getLong(0) == 14)
+  }
+
+  test("T4 status poll reports progress on an active query") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val q = ms.toDF().writeStream.format("noop").queryName("t4q").start()
+    try {
+      ms.addData(1, 2, 3)
+      assert(Streams.awaitProcessed(q))
+      assert(Streams.statusOf(q).contains("t4q"))
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
+  test("st1 batch form and streaming form produce the same windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (Timestamp.valueOf("2024-02-01 10:00:05"), 1.0),
+      (Timestamp.valueOf("2024-02-01 10:20:00"), 2.0),
+      (Timestamp.valueOf("2024-02-01 11:00:00"), 4.0))
+    // batch
+    val batch = Streams.tumblingAgg(
+      data.toDF("ts", "value"), "ts", "value", "1 hour", stream = false)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // stream (complete mode shows all windows without waiting for the
+    // watermark; values must match the batch plan exactly)
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = Streams.tumblingAgg(ms.toDF().toDF("ts", "value"),
+      "ts", "value", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("st1_both")
+      .outputMode("complete").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("st1_both").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+}
