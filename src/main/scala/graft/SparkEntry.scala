@@ -5,6 +5,7 @@ import graft.queries.{B3Queries, CoreQueries, FunctionQueries}
 import graft.text.{Dedup, TextAnalysis}
 import graft.sim.Similarity
 import graft.streaming.StreamQueries
+import graft.mm.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,10 +27,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ Multimodal.queries
 
+  /** mm3 is deliberately absent: per-partition Scala decode kernels
+    * have no SQL mirror — the driver records its rows-only check.
+    */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      StreamQueries.oracles
+      StreamQueries.oracles ++ Multimodal.oracles
 }

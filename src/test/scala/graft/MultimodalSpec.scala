@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mm.Multimodal
+
+/** Multimodal plumbing: binary payload columns, stub decode, batched
+  * mapPartitions frame sampling.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("media table carries payloads as opaque binary with typed metadata") {
+    val mt = Multimodal.mediaTable(spark, sf)
+    assert(mt.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val meta = Multimodal.mm1MediaMeta(spark, sf).collect()
+    assert(meta.nonEmpty)
+    // stub-decoded dims stay in the declared [64, 512) range
+    assert(meta.forall { r =>
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      w >= 64 && w < 512 && h >= 64 && h < 512
+    })
+  }
+
+  test("mm3 frame sampling: batched typed kernel, framesPer rows per media item") {
+    val frames = Multimodal.mm3FrameSample(spark, sf, framesPer = 4).collect()
+    val n = Multimodal.mediaTable(spark, sf).count()
+    assert(frames.length == n * 4)
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.values.forall(_.map(_.frame_idx).sorted.sameElements(0 until 4)))
+    // deterministic: same payload + idx -> same hash on rerun
+    val again = Multimodal.mm3FrameSample(spark, sf, framesPer = 4).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.frame_hash)).toSet ==
+      again.map(f => (f.media_id, f.frame_idx, f.frame_hash)).toSet)
+  }
+
+  test("mm2 features are ANN-ready: 8-dim doubles in [0,1)") {
+    val rows = Multimodal.mm2FakeFeatures(spark, sf).collect()
+    assert(rows.forall { r =>
+      val v = r.getSeq[Double](1)
+      v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)
+    })
+  }
+}
