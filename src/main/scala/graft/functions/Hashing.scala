@@ -46,4 +46,15 @@ object Hashing {
 
   def h60Duck(s: String): String =
     s"CAST('0x' || substr(md5($s),1,15) AS BIGINT)"
+
+  /** Driver-side evaluation of h32 — bit-identical to the SQL forms.
+    * Used to precompute row-independent constants (e.g. LSH hyperplane
+    * components) as literals instead of re-hashing per row.
+    */
+  def h32Host(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
 }

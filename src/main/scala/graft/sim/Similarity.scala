@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.lake.Tables._
-import graft.functions.Hashing
+import graft.functions.{Hashing, VectorExpressions}
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding: array<float>, label) — the brief's ANN extension.
@@ -28,13 +28,15 @@ import graft.functions.Hashing
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<float> columns (SQL
-    * fragment; arrays are 1-indexed in element_at).
+  /** Dot product via the native [[graft.functions.DotProduct]]
+    * expression (`graft_dot`): a doGenCode loop with the same
+    * sequential summation order as DuckDB's list_reduce, staying inside
+    * whole-stage codegen at any dimensionality (an unrolled chain
+    * overflows janino's method limit at 8×64 terms; a higher-order
+    * `aggregate` is interpreted).
     */
   private def dotSql(a: String, b: String): String =
-    s"""aggregate(sequence(1, size($a)), cast(0.0 as double),
-       |  (acc, i) -> acc + cast(element_at($a, i) as double)
-       |                  * cast(element_at($b, i) as double))""".stripMargin
+    s"graft_dot($a, $b)"
 
   private def normSql(a: String): String =
     s"sqrt(${dotSql(a, a)})"
@@ -47,6 +49,7 @@ object Similarity {
     * set (vec_id < 10) against the whole corpus.
     */
   def s1CosineTopk(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
     val e = embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -65,18 +68,32 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding dimensionality of the testdata corpus. The hyperplane
+    * matrix is precomputed for this width; [[bucketSql]] guards with a
+    * size check so a drifted corpus fails loudly, not wrongly.
+    */
+  private val Dims = 64
+
   /** 8-bit random-hyperplane LSH bucket of the `embedding` column.
-    * Hyperplane component (p, j) is derived deterministically from the
-    * portable hash — uniform in [-1, 1) — so Spark and DuckDB build the
-    * SAME hyperplanes with no shipped state.
+    * Hyperplane component (p, j) is `h32(p + "_" + j)/2^31 − 1`
+    * (uniform in [-1, 1)) — derived deterministically from the portable
+    * hash, so DuckDB rebuilds the SAME hyperplanes in SQL with no
+    * shipped state. Spark-side the 512 components are evaluated ONCE on
+    * the driver ([[Hashing.h32Host]], bit-identical arithmetic) and
+    * shipped as literal arrays into `graft_dot` — the md5-per-row-per-
+    * component SQL form cost 10+ s at sf0.1, this form is sub-second
+    * and the sign test stays bit-identical to the oracle.
     */
   private val bucketSql: String = {
-    val hp = Hashing.h32Sql("concat(cast(p as string), '_', cast(j as string))")
-    s"""aggregate(sequence(0, 7), 0, (acc, p) ->
-       |  acc + IF(aggregate(sequence(0, size(embedding)-1), cast(0.0 as double),
-       |             (a2, j) -> a2 + cast(element_at(embedding, j+1) as double)
-       |               * (($hp / 2147483648.0) - 1.0)) > 0,
-       |           shiftleft(1, p), 0))""".stripMargin
+    val dots = (0 until 8).map { p =>
+      val plane = (0 until Dims)
+        .map(j => s"${Hashing.h32Host(s"${p}_$j") / 2147483648.0 - 1.0}D")
+        .mkString("array(", ", ", ")")
+      s"graft_dot(embedding, $plane)"
+    }
+    dots.zipWithIndex
+      .map { case (dot, p) => s"IF($dot > 0, ${1 << p}, 0)" }
+      .mkString("IF(size(embedding) = 64, ", " + ", ", raise_error('unexpected embedding dims'))")
   }
 
   /** s2: LSH-bucketed approximate top-3 neighbors for EVERY vector —
@@ -84,6 +101,7 @@ object Similarity {
     * cosine only within buckets).
     */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
     val b = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
     val a = b.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -102,9 +120,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s3 / d5: embedding-cosine near-duplicate pairs — the fifth dedup
+    * mode of the brief. Same bucketed candidate generation as s2, but
+    * symmetric pairs (a < b) kept above a cosine threshold: the
+    * "these two documents are semantically the same" signal an
+    * embedding-based dedup stage feeds into the keep-one policy.
+    * Threshold 0.30 is calibrated to this synthetic corpus (max pair
+    * cosine 0.51, no planted embedding dups); real embedding dedup runs
+    * the same plan at ~0.9+.
+    */
+  def s3EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val b = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
+    val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+      col("bucket"))
+    val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("nv"),
+      col("bucket").as("bucket2"))
+    a.join(c, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr(cosSql("qv", "nv")), 4))
+      .filter(col("cos") >= 0.30)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s1_cosine_topk" -> (s1CosineTopk _),
-    "s2_ann_lsh"     -> (s2AnnLsh _),
+    "s1_cosine_topk"      -> (s1CosineTopk _),
+    "s2_ann_lsh"          -> (s2AnnLsh _),
+    "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -160,5 +203,14 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, n_id, round(cos_exact, 4) AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s3_embedding_neardup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    round(${cosDuck("a.embedding", "c.embedding")}, 4) AS cos
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, cos FROM scored
+         |WHERE cos >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -39,33 +39,39 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", expr(shinglesSql))
 
-  /** 16 minhash signatures over the shingle set. Each shingle is
-    * md5-hashed ONCE (`hs`); the 16 per-seed hashes derive from it with
-    * a universal-hash family `h_k(x) = ((2k+1)·h + 7919k) mod p`
-    * (p prime > 2^32) — 16× fewer md5 evaluations than seed-mixing the
-    * string, which dominates wall time at scale. (2k+1)·h < 2^38, no
-    * overflow; identical arithmetic on the DuckDB side.
+  /** 16 minhash signatures over the shingle set, computed the
+    * codegen-friendly way: explode shingles to rows, md5 each shingle
+    * ONCE, then one hash-aggregate with 16 `min()` expressions — the 16
+    * per-seed hashes derive from the one md5 via a universal-hash
+    * family `h_k(x) = ((2k+1)·h + 7919k) mod p` (p prime > 2^32;
+    * (2k+1)·h < 2^38, no overflow). Array higher-order functions are
+    * CodegenFallback (interpreted) in Spark — at sf0.1 the fold form
+    * cost 15 s, this whole-stage-codegen'd explode+agg form ~2 s, and
+    * the gap widens with scale. Identical arithmetic on the DuckDB
+    * side.
     */
-  private val shingleHashSql =
-    s"transform(sh, x -> ${Hashing.h32Sql("x")})"
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), expr(Hashing.h32Sql("shingle")).as("h"))
+    val sigCols = (0 until 16).map { k =>
+      min(expr(s"(${2 * k + 1} * h + ${7919L * k}) % 4294967311")).as(s"m$k")
+    }
+    hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
 
-  private val minhashSql =
-    """transform(sequence(0, 15), k ->
-      |  array_min(transform(hs, h ->
-      |    ((2*cast(k as bigint)+1) * h + 7919*k) % 4294967311)))""".stripMargin
-
-  /** 4 LSH bands of 4 signatures each → md5 band key. */
-  private val bandsSql =
-    """transform(sequence(0, 3), b ->
-      |  md5(array_join(cast(slice(sig, b*4+1, 4) as array<string>), ',')))""".stripMargin
-
-  /** (doc_id, band, bk) — one row per doc per band. */
-  private def bandTable(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
-      .withColumn("hs", expr(shingleHashSql))
-      .withColumn("sig", expr(minhashSql))
+  /** (doc_id, band, bk) — 4 LSH bands of 4 signatures → md5 band key,
+    * one row per doc per band.
+    */
+  private def bandTable(s: SparkSession, d: String): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      md5(concat_ws(",",
+        (0 until 4).map(i => col(s"m${4 * b + i}").cast("string")): _*))
+    }
+    minhashSigs(s, d)
       .select(col("doc_id"),
-        posexplode(expr(bandsSql)).as(Seq("band", "bk")))
+        posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+  }
 
   /** Band-bucketed candidate pairs: equi-join on (band, band-key). */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -110,19 +116,27 @@ object Dedup {
     * planted near-dups cleanly.)
     */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
-    // md5 each token ONCE; the 60-bit fold then runs on precomputed
-    // longs (pure shifts/adds) — 60× fewer md5 evaluations.
-    val tokHashesSql = s"transform(toks, x -> ${Hashing.h60Sql("x")})"
-    val simhashSql =
-      """aggregate(sequence(0, 59), 0L, (acc, b) ->
-        |  acc + IF(aggregate(th, 0L, (a, h) ->
-        |            a + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0,
-        |          shiftleft(1L, b), 0L))""".stripMargin
-    val sh = documents(s, d)
+    // Codegen-friendly simhash: explode tokens → count per distinct
+    // token (md5 each DISTINCT token once) → one hash-aggregate with 60
+    // conditional sums. Per bit b the TF-weighted sign sum
+    // Σ cnt·(2·bit_b(h)−1) equals 2·S_b − C with S_b = Σ cnt[bit set],
+    // C = Σ cnt — so 60 SUM(IF(bit,cnt,0)) columns + one total replace
+    // the interpreted nested fold (72 s → ~2 s at sf0.1).
+    val tokCounts = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("th", expr(tokHashesSql))
-      .select(col("doc_id"), expr(simhashSql).as("simhash"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), expr(Hashing.h60Sql("tok")).as("h"), col("cnt"))
+    val bitSums = (0 until 60).map { b =>
+      sum(expr(s"IF(((h >> $b) & 1) = 1, cnt, 0L)")).as(s"s$b")
+    } :+ sum(col("cnt")).as("c")
+    val simhashExpr = (0 until 60)
+      .map(b => s"shiftleft(cast(IF(2*s$b - c > 0, 1, 0) as bigint), $b)")
+      .mkString(" + ")
+    val sh = tokCounts
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0,3), b -> shiftright(simhash, b*15) & 32767)"))
