@@ -191,6 +191,22 @@ object CoreQueries {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** §2.5 extension: ROLLUP — subtotal hierarchy (status, priority) →
+    * (status) → grand total in one pass. Null grouping markers are
+    * coalesced to 'ALL' so cross-engine NULL ordering (Spark NULLS
+    * FIRST vs DuckDB NULLS LAST) can't touch the sort.
+    */
+  def a4Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -216,6 +232,7 @@ object CoreQueries {
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
+    "a4_rollup"           -> (a4Rollup _),
     "o5_intersect"        -> (o5Intersect _),
   )
 
@@ -295,6 +312,13 @@ object CoreQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "a4_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "o5_intersect" ->
       """SELECT o_custkey FROM orders
         |INTERSECT

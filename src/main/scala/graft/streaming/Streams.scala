@@ -109,6 +109,30 @@ object Streams {
         col("n_ticks"), col("total_value"))
   }
 
+  /** Custom streaming state (§2.9 extension, brief:
+    * `KeyValueGroupedDataset.mapGroupsWithState` for state the built-in
+    * windows can't express): cumulative per-key stats that survive
+    * across micro-batches. State lives in the state store (checkpoint),
+    * sized O(distinct keys) — at 100 TB/day stream volume that's the
+    * bound that matters, not stream length. Output mode: Update.
+    */
+  def runningUserStats(
+      ticks: org.apache.spark.sql.Dataset[(String, Double)])
+      : org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_._1)
+      .mapGroupsWithState(
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (c, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => c += 1; t += r._2 }
+          state.update((c, t))
+          (user, c, math.round(t * 100) / 100.0)
+      }
+  }
+
   /** T4: status polling (`describe_delivery_stream until ACTIVE`,
     * create_firehose_stream.py:51-67). Blocks until the query has
     * processed all currently-available input or `timeoutMs` elapses.

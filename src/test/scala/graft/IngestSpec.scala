@@ -65,6 +65,28 @@ class IngestSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 633210.55)
   }
 
+  test("S1: HTML-table adapter reproduces the pandas scrape shape, locale strings intact") {
+    val page1 =
+      """<table class="table"><tr><th>Código</th><th>Ação</th><th>Tipo</th>
+        |<th>Qtde. Teórica</th><th>Part. (%)</th></tr>
+        |<tr><td>ALOS3</td><td>ALLOS</td><td>ON ED NM</td><td>476.976.044</td><td>0,494</td></tr>
+        |<tr><td>Redutor</td><td></td><td></td><td>1.000</td><td>1</td></tr>
+        |</table>""".stripMargin
+    val page2 =
+      """<table><tr><td>PETR4</td><td>PETROBRAS</td><td>PN N2</td>
+        |<td>3.700.000.000</td><td>4,129</td></tr></table>""".stripMargin
+    val df = graft.ingest.B3Ingest.toDataFrame(spark, Seq(page1, page2))
+    // pages stacked UNION ALL-style; header row skipped
+    assert(df.count() == 3)
+    val alos = df.filter(df("Código") === "ALOS3").head()
+    assert(alos.getString(3) == "476.976.044")  // qtde stays locale string
+    assert(alos.getLong(4) == 494L)             // pandas comma-thousands quirk
+    // downstream: the existing B3 transform consumes the adapter output
+    val out = graft.ops.B3Transform.transform(df, stampTimestamp = false)
+    assert(out.filter(out("cod") === "ALOS3").head().getLong(3) == 476976044L)
+    assert(out.count() == 2)                    // Redutor filtered (P1)
+  }
+
   test("bitcoin pipeline e2e: JDBC history grows + K4 daily single-file parquet layout") {
     val url = derbyUrl("e2e")
     val base = Files.createTempDirectory("btc_parquet").toString

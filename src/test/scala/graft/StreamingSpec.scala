@@ -104,6 +104,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-key state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val out = Streams.runningUserStats(ms.toDS())
+    val q = out.toDF("user", "n", "total")
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      ms.addData(("u1", 10.0), ("u1", 5.0), ("u2", 1.0))
+      q.processAllAvailable()
+      ms.addData(("u1", 2.5), ("u3", 7.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends updated rows; latest per key wins
+      val latest = spark.table("user_stats").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest("u1") == ((3L, 17.5)))  // state carried across batches
+      assert(latest("u2") == ((1L, 1.0)))
+      assert(latest("u3") == ((1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("st1 batch form and streaming form produce the same windows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
