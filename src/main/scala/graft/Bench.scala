@@ -32,7 +32,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val warmupDir = "/root/testdata/sf0.001"
+    // sf0.01, not sf0.001: the tiny tier doesn't run the md5/LSH hot
+    // loops long enough to trigger C2 JIT, and the first heavy query
+    // then pays ~3× (observed d2 4.4 s warm vs 12.6 s cold).
+    val warmupDir = "/root/testdata/sf0.01"
     if (new java.io.File(warmupDir).exists())
       SparkEntry.queries.foreach { case (_, fn) =>
         try runNoop(fn(spark, warmupDir)) catch { case _: Throwable => () }

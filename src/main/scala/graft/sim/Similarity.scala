@@ -110,7 +110,11 @@ object Similarity {
       col("bucket").as("bucket2"))
     val w = Window.partitionBy("q_id")
       .orderBy(desc("cos_exact"), asc("n_id"))
-    a.join(c, col("bucket") === col("bucket2") && col("q_id") =!= col("n_id"))
+    // shuffle_hash on both sides -> identical exchanges -> ReuseExchange
+    // computes the bucket projection once (broadcast is impossible at
+    // corpus scale anyway)
+    a.join(c.hint("shuffle_hash"),
+        col("bucket") === col("bucket2") && col("q_id") =!= col("n_id"))
       .withColumn("cos_exact", expr(cosSql("qv", "nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -137,7 +141,8 @@ object Similarity {
       col("bucket"))
     val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("nv"),
       col("bucket").as("bucket2"))
-    a.join(c, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+    a.join(c.hint("shuffle_hash"), // ReuseExchange, see s2
+        col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
       .withColumn("cos", round(expr(cosSql("qv", "nv")), 4))
       .filter(col("cos") >= 0.30)
       .select("vec_a", "vec_b", "cos")

@@ -73,11 +73,18 @@ object Dedup {
         posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
   }
 
-  /** Band-bucketed candidate pairs: equi-join on (band, band-key). */
+  /** Band-bucketed candidate pairs: equi-join on (band, band-key).
+    * The shuffle_hash hint forces BOTH sides to shuffle on the band key
+    * (instead of broadcasting one side at small scale): the two shuffle
+    * subtrees are canonically identical, so ReuseExchange computes the
+    * expensive signature stage ONCE — and at 100 TB a broadcast of the
+    * full band table is impossible anyway, so this is also the only
+    * plan shape that survives scale.
+    */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bt = bandTable(s, d)
     val a = bt.as("a")
-    val b = bt.as("b")
+    val b = bt.as("b").hint("shuffle_hash")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -142,7 +149,7 @@ object Dedup {
         "transform(sequence(0,3), b -> shiftright(simhash, b*15) & 32767)"))
         .as(Seq("band", "bk")))
     val a = bands.as("a")
-    val b = bands.as("b")
+    val b = bands.as("b").hint("shuffle_hash") // ReuseExchange (see candidatePairs)
     a.join(b,
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Dedup
+import graft.sim.Similarity
+
+/** Physical-plan audit for the at-scale properties of the round-2
+  * operators: exchange reuse on self-joins (the signature computation
+  * must run once, not once per join side) and scan pruning.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("LSH self-joins reuse the signature exchange (compute once, not twice)") {
+    Seq(
+      "d2" -> Dedup.d2MinhashLsh(spark, sf),
+      "s2" -> Similarity.s2AnnLsh(spark, sf)
+    ).foreach { case (name, df) =>
+      df.collect() // AQE materializes stage reuse at runtime
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("reused"),
+        s"$name does not reuse the self-join exchange:\n$plan")
+      // and the join is the scale-safe symmetric-shuffle form, not a
+      // broadcast of the full corpus's band/bucket table
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"$name self-join is not a shuffle join:\n$plan")
+    }
+  }
+
+  test("documents scan prunes to the columns the dedup queries read") {
+    val plan = Dedup.d1ExactDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"d1 reads more than (doc_id, text):\n$plan")
+  }
+}
