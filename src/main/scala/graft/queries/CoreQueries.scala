@@ -163,6 +163,29 @@ object CoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.6 extension: gap-based sessionization — the batch form of the
+    * classic streaming sessionizer. New session when the per-user gap
+    * exceeds 1 hour (epoch-µs comparison: portable, no interval-type
+    * divergence); session id = running count of session starts. Two
+    * window passes over one shuffle on user_id, then the session
+    * rollup reuses the same partitioning.
+    */
+  def w4Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 3600000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(runSum))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
+      .orderBy("user_id", "sess_id")
+  }
+
   /** O2 (src/bitoin_coin_gecko_api.py:59): full ORDER BY DESC + LIMIT —
     * newest-first listing. Spark plans LIMIT'd sort as distributed top-k.
     */
@@ -217,6 +240,19 @@ object CoreQueries {
     buyers.intersect(rich).orderBy("o_custkey")
   }
 
+  /** §2.7 set ops: EXCEPT (distinct) — users with a big purchase but no
+    * big error event. (The value filter keeps the sets distinct — at
+    * this data scale every user has every plain event type.)
+    */
+  def o6Except(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.filter(col("event_type") === "purchase" && col("value") > 90)
+      .select("user_id")
+      .except(e.filter(col("event_type") === "error" && col("value") > 90)
+        .select("user_id"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_groupby_sum_top5" -> (a1GroupbySumTop5 _),
     "p1_filter_neq"       -> (p1FilterNeq _),
@@ -229,6 +265,8 @@ object CoreQueries {
     "w1_window_topn"      -> (w1WindowTopn _),
     "w2_running_sum"      -> (w2RunningSum _),
     "w3_lag_lead"         -> (w3LagLead _),
+    "w4_sessionize"       -> (w4Sessionize _),
+    "o6_except"           -> (o6Except _),
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
@@ -312,6 +350,29 @@ object CoreQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "w4_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 3600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "o6_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+        |ORDER BY user_id""".stripMargin,
     "a4_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

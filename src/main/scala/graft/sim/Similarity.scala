@@ -149,10 +149,62 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** s4: IVF-style ANN — the other standard index shape the brief
+    * names. Coarse quantizer: every 25th vector is a centroid
+    * (deterministic, no trained state to ship); every vector is
+    * assigned to its nearest centroid (inverted lists); a query probes
+    * its nprobe=2 nearest centroids and scores exact cosine only inside
+    * those lists.
+    *
+    * Scale shape: the centroid set is small → broadcast to both the
+    * assignment and the probe joins (the corpus never shuffles for
+    * assignment); candidates meet in an equi-join on cent_id. At real
+    * scale the centroids come from k-means and nlist ~ sqrt(n), but the
+    * plan is identical.
+    */
+  def s4IvfTopk(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // inverted lists: nearest centroid per vector (exact-double argmax,
+    // cent_id tiebreak)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_c"), asc("cent_id"))
+    val lists = e.join(broadcast(cents))
+      .withColumn("cos_c", expr(cosSql("embedding", "cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("cent_id"))
+    // probes: nprobe=2 nearest centroids per query vector
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(desc("cos_c"), asc("cent_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .join(broadcast(cents))
+      .withColumn("cos_c", expr(cosSql("qv", "cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    // exact scoring inside the probed lists only
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    probes.join(lists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_exact", expr(cosSql("qv", "nv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos_exact"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"      -> (s1CosineTopk _),
     "s2_ann_lsh"          -> (s2AnnLsh _),
     "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
+    "s4_ivf_topk"         -> (s4IvfTopk _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -217,5 +269,33 @@ object Similarity {
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, cos FROM scored
          |WHERE cos >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
+    "s4_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 25 = 0
+         |), lists AS (
+         |  SELECT n_id, nv, cent_id FROM (
+         |    SELECT e.vec_id AS n_id, e.embedding AS nv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosDuck("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT q_id, qv, cent_id FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS qv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosDuck("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2
+         |), ranked AS (
+         |  SELECT q_id, n_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_exact DESC, n_id) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT p.q_id, l.n_id, ${cosDuck("p.qv", "l.nv")} AS cos_exact
+         |    FROM probes p JOIN lists l ON p.cent_id = l.cent_id
+         |    WHERE p.q_id <> l.n_id))
+         |SELECT q_id, n_id, round(cos_exact, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
   )
 }

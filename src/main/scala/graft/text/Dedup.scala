@@ -32,12 +32,18 @@ object Dedup {
       |                      element_at(toks, i+2),
       |                      element_at(toks, i+3))))""".stripMargin
 
-  /** docs with tokens + distinct 3-gram shingles (narrow projection). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** docs with tokens + distinct 3-gram shingles (narrow projection).
+    * Takes any frame with (doc_id, text) — the corpus-level API below
+    * and the testdata queries share this core.
+    */
+  private def shingledDf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", expr(shinglesSql))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledDf(documents(s, d))
 
   /** 16 minhash signatures over the shingle set, computed the
     * codegen-friendly way: explode shingles to rows, md5 each shingle
@@ -50,8 +56,8 @@ object Dedup {
     * the gap widens with scale. Identical arithmetic on the DuckDB
     * side.
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingled(s, d)
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = shingledDf(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), expr(Hashing.h32Sql("shingle")).as("h"))
     val sigCols = (0 until 16).map { k =>
@@ -63,12 +69,12 @@ object Dedup {
   /** (doc_id, band, bk) — 4 LSH bands of 4 signatures → md5 band key,
     * one row per doc per band.
     */
-  private def bandTable(s: SparkSession, d: String): DataFrame = {
+  private def bandTable(docs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       md5(concat_ws(",",
         (0 until 4).map(i => col(s"m${4 * b + i}").cast("string")): _*))
     }
-    minhashSigs(s, d)
+    minhashSigs(docs)
       .select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
   }
@@ -81,8 +87,8 @@ object Dedup {
     * full band table is impossible anyway, so this is also the only
     * plan shape that survives scale.
     */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bt = bandTable(s, d)
+  def candidatePairsFor(docs: DataFrame): DataFrame = {
+    val bt = bandTable(docs)
     val a = bt.as("a")
     val b = bt.as("b").hint("shuffle_hash")
     a.join(b,
@@ -112,7 +118,7 @@ object Dedup {
     * hash buckets (the 100 TB-safe shape the r1 verdict required).
     */
   def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
-    candidatePairs(s, d).orderBy("doc_a", "doc_b")
+    candidatePairsFor(documents(s, d)).orderBy("doc_a", "doc_b")
 
   /** SimHash near-dup pairs: 60-bit simhash (term-frequency-weighted
     * sign sum per bit) computed in a single narrow projection via
@@ -165,18 +171,47 @@ object Dedup {
     * candidate-then-verify dedup pipeline (candidates from d2's bucketed
     * join; the exact measure touches only |candidates| pairs, not n²).
     */
-  def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sets = shingled(s, d).select(col("doc_id"), col("sh"))
-    candidatePairs(s, d)
+  def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(documents(s, d), 0.8).orderBy("doc_a", "doc_b")
+
+  /** Corpus API: LSH candidates verified by exact 3-gram Jaccard ≥
+    * `minJaccard` → (doc_a, doc_b, jac).
+    */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sets = shingledDf(docs).select(col("doc_id"), col("sh"))
+    candidatePairsFor(docs)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .withColumn("jac", round(
         col("inter").cast("double") /
           (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")), 4))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= minJaccard)
       .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Corpus API: drop exact duplicates, keeping the lowest doc_id per
+    * content hash. One shuffle; input schema preserved.
+    */
+  def dropExactDuplicates(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    docs.withColumn("__fp", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Corpus API: drop near-duplicates — for every verified pair the
+    * higher doc_id is removed (transitively: any doc that is the
+    * "b" of some pair goes, the canonical lowest survivor of each
+    * dup-cluster stays). Anti-join against the bucketed pair set; no
+    * all-pairs work anywhere.
+    */
+  def dropNearDuplicates(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val losers = nearDupPairs(docs, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -61,6 +61,38 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(df.selectExpr("min(n_copies)").head.getLong(0) >= 1)
   }
 
+  test("corpus API: dropExactDuplicates keeps one row per content, schema intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropExactDuplicates(docs)
+    assert(out.columns.sameElements(docs.columns))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+  }
+
+  test("corpus API: dropNearDuplicates removes the planted near-dups, keeps one survivor") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val pairs = Dedup.nearDupPairs(docs, 0.8).collect()
+    val kept = Dedup.dropNearDuplicates(docs, 0.8)
+    assert(kept.count() == docs.count() - pairs.map(_.getLong(1)).distinct.length)
+    // every surviving pair-member is a doc_a-side (lowest) survivor
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    pairs.foreach { p => assert(!keptIds.contains(p.getLong(1))) }
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val o = graft.lake.Tables.orders(spark, sf)
+    val c = graft.lake.Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, Seq("o_custkey")).count()
+    val salted = graft.ops.SkewJoin.saltedInner(o, c, "o_custkey", salts = 8)
+    assert(salted.count() == plain)
+    // no stray helper column in the output
+    assert(!salted.columns.contains("__salt"))
+  }
+
   test("simhash/minhash signature stages are narrow (no shuffle before the band join)") {
     // one Exchange for the self-join key + one for the final sort is
     // expected; the signature computation itself must not add one.
