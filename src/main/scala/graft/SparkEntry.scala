@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{B3Queries, CoreQueries, FunctionQueries}
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Dedup, Pipelines, TextAnalysis}
 import graft.sim.Similarity
 import graft.streaming.StreamQueries
 import graft.mm.Multimodal
@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      StreamQueries.queries ++ Multimodal.queries
+      StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries
 
   /** mm3 is deliberately absent: per-partition Scala decode kernels
     * have no SQL mirror — the driver records its rows-only check.
@@ -35,5 +35,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      StreamQueries.oracles ++ Multimodal.oracles
+      StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles
 }

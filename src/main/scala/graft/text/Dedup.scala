@@ -225,9 +225,12 @@ object Dedup {
 
   private val h60DuckX = Hashing.h60Duck("x")
 
-  private val shingledDuck =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  /** Oracle CTE chain from any source relation (the composed pipeline
+    * oracle reuses it on a filtered corpus).
+    */
+  private[text] def shingledDuckFrom(src: String) =
+    s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
       |), sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(len(t)-2),
@@ -235,8 +238,11 @@ object Dedup {
       |  FROM toks WHERE len(t) >= 3
       |)""".stripMargin
 
-  private val candidateDuck =
-    shingledDuck + s""", hsh AS (
+  /** Same chain without the leading WITH, for splicing after caller
+    * CTEs (the composed pipeline oracle).
+    */
+  private[text] def candidateCtes(src: String): String =
+    shingledDuckFrom(src) + s""", hsh AS (
       |  SELECT doc_id, list_transform(s, x -> ${Hashing.h32Duck("x")}) AS hs
       |  FROM sh
       |), sig AS (
@@ -253,6 +259,8 @@ object Dedup {
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
       |)""".stripMargin
+
+  private val candidateDuck = "WITH " + candidateCtes("documents")
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
