@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Session-extension injector — the supported way to ship the engine's
+  * native expressions to every session of a cluster:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * makes `graft_dot` resolvable in SQL text and `expr(...)` plans
+  * without per-query registration (the in-code fallback
+  * [[graft.functions.VectorExpressions.ensureRegistered]] covers
+  * sessions created without the config). This is the brief's extension
+  * point (c): SparkSessionExtensions for engine-level additions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+  }
+}

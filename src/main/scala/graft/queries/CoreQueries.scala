@@ -230,6 +230,39 @@ object CoreQueries {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** §2.5 extension: exact percentiles per group. Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation formula
+    * (lo + (hi-lo)·frac over the sorted group), so exact doubles match.
+    * Note this is the EXACT (sort-based) form — at 100 TB you'd reach
+    * for `approx_percentile` (t-digest, partial-aggregable); its result
+    * depends on merge order, so it can't be oracle-checked (see
+    * `a6_approx_distinct`'s spec-based tolerance check for that
+    * pattern).
+    */
+  def a5Percentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("q25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("q50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("q75"))
+      .orderBy("o_orderstatus")
+
+  /** §2.5 extension: approx_count_distinct (HLL++ sketch) — the
+    * partial-aggregable cardinality sketch a 100 TB pipeline uses
+    * instead of exact COUNT DISTINCT. The sketch result depends on
+    * merge order, so there is no cross-engine oracle — the spec bounds
+    * its error against the exact count instead; the driver records a
+    * rows-only check.
+    */
+  def a6ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct("o_custkey").as("approx_custs"),
+        countDistinct("o_custkey").as("exact_custs"))
+      .orderBy("o_orderstatus")
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -271,6 +304,8 @@ object CoreQueries {
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
+    "a5_percentile"       -> (a5Percentile _),
+    "a6_approx_distinct"  -> (a6ApproxDistinct _),
     "o5_intersect"        -> (o5Intersect _),
   )
 
@@ -373,6 +408,15 @@ object CoreQueries {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
         |ORDER BY user_id""".stripMargin,
+    // a6_approx_distinct is deliberately oracle-less (sketch results are
+    // merge-order-dependent); the driver records rows-only, the spec
+    // bounds the error.
+    "a5_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS q25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS q50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS q75
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "a4_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

@@ -50,6 +50,40 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(CoreQueries.oracles.keySet.subsetOf(keys))
   }
 
+  test("a6 HLL sketch stays within 5% of the exact distinct count") {
+    CoreQueries.a6ApproxDistinct(spark, sf).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("graft_dot resolves via SparkSessionExtensions injection") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force TestSpark init first
+    // getOrCreate returns the existing default session (ignoring
+    // extensions), so clear it to get a genuinely new session over the
+    // same SparkContext, then restore.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // withExtensions: spark.sql.extensions is a STATIC conf read from
+      // the SparkContext at launch, which this shared-context test can't
+      // change; production sessions set the config, tests inject direct
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      // no VectorExpressions.ensureRegistered call — the extension did it
+      val v = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(v == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("j1 plan broadcasts the dimension side") {
     val plan = CoreQueries.j1JoinBroadcastAgg(spark, sf)
       .queryExecution.executedPlan.toString
