@@ -176,10 +176,23 @@ object Dedup {
 
   /** Corpus API: LSH candidates verified by exact 3-gram Jaccard ≥
     * `minJaccard` → (doc_a, doc_b, jac).
+    *
+    * The candidate pair set is localCheckpoint'd (eager, tiny — LSH
+    * reduces n² to the near-dup neighborhood): without it the band-join
+    * pipeline re-executes for every downstream reference, and the
+    * verify stage re-shingles the whole corpus. With it, shingling for
+    * the exact-Jaccard step runs only on the docs that actually appear
+    * in a pair (broadcast semi-join prefilter) — at 100 TB that is the
+    * difference between re-reading the corpus and touching a few
+    * thousand rows.
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sets = shingledDf(docs).select(col("doc_id"), col("sh"))
-    candidatePairsFor(docs)
+    val pairs = candidatePairsFor(docs).localCheckpoint()
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = shingledDf(docs.join(ids, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("sh"))
+    pairs
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
