@@ -163,6 +163,31 @@ object CoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.10 + §2.6: the window top-N's scale alternative — a typed
+    * `Aggregator` keeping each group's top-3 with map-side partial
+    * aggregation, so the shuffle carries ≤3 rows per (task, group)
+    * instead of every row (the window form sorts whole groups after a
+    * full shuffle). Same output contract as w1, same oracle.
+    */
+  def w5TopkAggregator(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = new graft.functions.TopKAggregator(3).toColumn
+    orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, price, key) => (price, key) }
+      .agg(topk.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(
+        col("o_custkey"),
+        col("item._2").as("o_orderkey"),
+        col("item._1").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** §2.6 extension: gap-based sessionization — the batch form of the
     * classic streaming sessionizer. New session when the per-user gap
     * exceeds 1 hour (epoch-µs comparison: portable, no interval-type
@@ -299,6 +324,7 @@ object CoreQueries {
     "w2_running_sum"      -> (w2RunningSum _),
     "w3_lag_lead"         -> (w3LagLead _),
     "w4_sessionize"       -> (w4Sessionize _),
+    "w5_topk_aggregator"  -> (w5TopkAggregator _),
     "o6_except"           -> (o6Except _),
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "a2_count"            -> (a2Count _),
@@ -385,6 +411,13 @@ object CoreQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "w5_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "w4_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,
