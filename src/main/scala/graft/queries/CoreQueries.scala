@@ -141,8 +141,14 @@ object CoreQueries {
     * reference's 7-day rolling semantics (SURVEY §2.6).
     */
   def w2RunningSum(s: SparkSession, d: String): DataFrame = {
+    // l_quantity in the frame ordering: (shipdate, orderkey, linenumber)
+    // is NOT unique at sf0.1, and rows tied there but differing in
+    // quantity would make the running prefix order-dependent (engines
+    // break ties differently). With quantity in the key, remaining ties
+    // are sum-interchangeable.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"),
+        asc("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
@@ -389,7 +395,7 @@ object CoreQueries {
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,

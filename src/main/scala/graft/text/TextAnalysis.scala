@@ -105,6 +105,21 @@ object TextAnalysis {
           .otherwise("und").as("lang_pred"))
       .orderBy("doc_id")
 
+  /** BPE-ish regex token counting (the brief's second tokenizer): runs
+    * of letters, runs of digits, or single other non-space chars — the
+    * pre-tokenization split GPT-style BPE vocabularies apply before
+    * merges. Counted next to the whitespace count so drift between the
+    * two measures (punctuation-heavy docs) is visible.
+    */
+  def t7RegexTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -132,6 +147,7 @@ object TextAnalysis {
     "t4_quality_score" -> (t4QualityScore _),
     "t5_lang_id"       -> (t5LangId _),
     "t6_fingerprint"   -> (t6Fingerprint _),
+    "t7_regex_tokens"  -> (t7RegexTokens _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -182,6 +198,12 @@ object TextAnalysis {
         |      x -> x IN ('el', 'la', 'los', 'y'))) AS hits_es
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "t7_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t6_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(
