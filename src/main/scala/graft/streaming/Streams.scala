@@ -109,6 +109,21 @@ object Streams {
         col("n_ticks"), col("total_value"))
   }
 
+  /** Streaming K3: append each micro-batch to a JDBC table via
+    * foreachBatch — the streaming twin of the reference's poll-loop →
+    * SQLite INSERT (bitoin_coin_gecko_api.py:50-54). foreachBatch gives
+    * at-least-once into the DB (exactly-once needs an idempotent key or
+    * txn dedup — documented contract, same as Firehose DirectPut).
+    */
+  def jdbcSink(df: DataFrame, url: String, table: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ingest.Jdbc.append(batch, url, table)
+      }
+
   /** Custom streaming state (§2.9 extension, brief:
     * `KeyValueGroupedDataset.mapGroupsWithState` for state the built-in
     * windows can't express): cumulative per-key stats that survive

@@ -104,6 +104,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming K3: foreachBatch appends micro-batches to the JDBC table") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = {
+      val dir = tmp("derby_stream")
+      s"jdbc:derby:$dir/db;create=true"
+    }
+    graft.ingest.Jdbc.ensurePrecoBitcoinTable(url)
+    val ms = MemoryStream[(Timestamp, Double)]
+    val q = graft.streaming.Streams.jdbcSink(
+      ms.toDF().toDF("data_hora", "preco_brl"),
+      url, "preco_bitcoin", tmp("t5ckp")).start()
+    try {
+      ms.addData((Timestamp.valueOf("2025-08-01 10:00:00"), 600000.0))
+      q.processAllAvailable()
+      ms.addData((Timestamp.valueOf("2025-08-01 10:00:01"), 600100.0))
+      q.processAllAvailable()
+      val hist = graft.ingest.Jdbc
+        .readOrderedDesc(spark, url, "preco_bitcoin", "ID").collect()
+      assert(hist.length == 2)
+      assert(hist.head.getDouble(2) == 600100.0) // newest first, DB-owned ids
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]
