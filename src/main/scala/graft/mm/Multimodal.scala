@@ -40,7 +40,7 @@ object Multimodal {
     */
   def mm1MediaMeta(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
-      .withColumn("h", expr(Hashing.h32Sql("cast(payload as string)")))
+      .withColumn("h", Hashing.h32(col("payload").cast("string")))
       .select(
         col("media_id"),
         length(col("payload")).as("n_bytes"),

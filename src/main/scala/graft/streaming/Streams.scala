@@ -60,6 +60,19 @@ object Streams {
     df.select(Formats.tickJson(
       Formats.tsString(col("data_hora")), col("preco_brl")).as("value"))
 
+  /** Parse the tick JSON back to typed rows — the read side of K5 (what
+    * a consumer of the Firehose-delivered zone runs). `from_json` with
+    * the declared schema; malformed records become null-field rows
+    * (PERMISSIVE), preserved rather than dropped.
+    */
+  def parseTickJson(df: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.model.BtcTick] = {
+    import df.sparkSession.implicits._
+    df.select(from_json(col("value"), graft.model.Schemas.btcStream).as("t"))
+      .select(col("t.timestamp"), col("t.price"))
+      .as[graft.model.BtcTick]
+  }
+
   /** T2: buffered micro-batch delivery. The 60 s ProcessingTime trigger
     * reproduces Firehose's IntervalInSeconds=60 buffering hint
     * (create_firehose_stream.py:35-38); Spark has no size-based trigger,

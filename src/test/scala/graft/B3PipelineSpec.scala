@@ -79,6 +79,11 @@ class B3PipelineSpec extends AnyFunSuite {
     assert(merged.count() == 6)
     assert(merged.columns.contains("data_hora")) // drift surfaced
     assert(merged.filter(col("data_hora").isNull).count() == 3) // day1 rows
+    // typed view of the raw zone (Dataset[PregaoB3Row], SURVEY §1.1)
+    import spark.implicits._
+    val typed = merged.drop("ano", "mes", "dia").as[graft.model.PregaoB3Row]
+    assert(typed.filter((r: graft.model.PregaoB3Row) =>
+      r.qtde_teorica.exists(_ > 1000000000L)).count() == 2) // PETR4 ×2 days
     // superset-schema read: declared drift column present even if absent in files
     val sup = Lake.readRaw(spark, dir, Some(Schemas.b3RawSuperset))
     assert(sup.columns.contains("valor_limpo"))

@@ -103,9 +103,11 @@ class IngestSpec extends AnyFunSuite {
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       assert(parts.length == 1, s"expected 1 file in $dir")
     }
-    // S7: two ticks in the DB, newest first
-    val hist = Jdbc.readOrderedDesc(spark, url, "preco_bitcoin", "ID").collect()
-    assert(hist.length == 2 && hist.head.getTimestamp(1) == d2)
+    // S7: two ticks in the DB, newest first — typed via the model row
+    val hist = Jdbc.readOrderedDesc(spark, url, "preco_bitcoin", "ID")
+      .selectExpr("DATA_HORA as data_hora", "PRECO_BRL as preco_brl")
+      .as[graft.model.PrecoBitcoinRow].collect()
+    assert(hist.length == 2 && hist.head.data_hora == d2)
     // partition-discovery read over the whole K4 tree sees both days
     assert(spark.read.parquet(base).count() == 2)
   }

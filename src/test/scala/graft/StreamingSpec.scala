@@ -67,6 +67,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(lines.head ==
       """{"value":"{\"timestamp\":\"2024-01-01 12:00:00\",\"price\":600123.45}"}""")
     assert(new java.io.File(ckp).exists())
+    // read side of K5: the delivered zone parses back to typed ticks
+    val parsed = graft.streaming.Streams.parseTickJson(
+      spark.read.json(out).selectExpr("value")).collect()
+    assert(parsed.length == 1)
+    assert(parsed.head == graft.model.BtcTick("2024-01-01 12:00:00", 600123.45))
   }
 
   test("T3 file-arrival stream processes each raw file exactly once across restarts") {
