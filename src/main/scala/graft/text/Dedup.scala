@@ -57,9 +57,22 @@ object Dedup {
     * side.
     */
   private def minhashSigs(docs: DataFrame): DataFrame = {
-    val hashed = shingledDf(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), expr(Hashing.h32Sql("shingle")).as("h"))
+    // Explode a cheap index sequence and build+hash each shingle ONCE
+    // per exploded row. Exploding the shingle ARRAY instead makes
+    // constraint inference copy the whole array expression into the
+    // scan filter (isnotnull/size>0), evaluating the interpreted
+    // transform+array_distinct twice per row — measured 4.3 s vs 1.5 s
+    // for this stage at sf0.1. min() over the shingle multiset equals
+    // min() over the distinct set, so signatures (and the oracle, which
+    // keeps the list_distinct form) are unchanged.
+    val shingleSql =
+      "concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2), element_at(toks, i+3))"
+    val hashed = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks)-3)")).as("i"))
+      .select(col("doc_id"), expr(Hashing.h32Sql(shingleSql)).as("h"))
     val sigCols = (0 until 16).map { k =>
       min(expr(s"(${2 * k + 1} * h + ${7919L * k}) % 4294967311")).as(s"m$k")
     }
