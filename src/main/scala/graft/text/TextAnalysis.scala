@@ -54,10 +54,16 @@ object TextAnalysis {
     */
   def t3TopNgrams(s: SparkSession, d: String): DataFrame =
     toks(s, d)
-      .select(explode(expr(
-        """transform(sequence(0, size(toks)-2),
-          |  i -> concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2)))"""
-          .stripMargin)).as("ngram"))
+      .filter(size(col("toks")) >= 2)
+      // explode the cheap index sequence, build the n-gram after the
+      // generator — exploding a transform-built array makes constraint
+      // inference evaluate the whole array twice per row (see
+      // Dedup.minhashSigs)
+      .select(col("toks"),
+        explode(expr("sequence(0, size(toks)-2)")).as("i"))
+      .select(expr(
+        "concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2))")
+        .as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("ngram"))
