@@ -194,6 +194,31 @@ object CoreQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** §2.6: time-RANGE rolling window (SURVEY's "7-day rolling sum per
+    * ticker" generalization) — rangeBetween over a day-number ordering,
+    * the frame the reference's WHERE-range query only approximates.
+    * Daily pre-aggregation first, so the range frame slides over one
+    * row per (supplier, day) — at 100 TB the pre-agg shrinks the window
+    * input by the per-day row count, and both shuffles share the
+    * supplier partitioning. Decimal-cast sums: a range frame's CONTENT
+    * is deterministic but engines accumulate its rows in different
+    * orders.
+    */
+  def w6RangeRolling(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_suppkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("day_qty"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("qty_7d",
+        round(sum("day_qty").over(w), 2).cast("double"))
+      .select(col("l_suppkey"), col("day").cast("int").as("day"),
+        col("qty_7d"))
+      .orderBy("l_suppkey", "day")
+  }
+
   /** §2.6 extension: gap-based sessionization — the batch form of the
     * classic streaming sessionizer. New session when the per-user gap
     * exceeds 1 hour (epoch-µs comparison: portable, no interval-type
@@ -331,6 +356,7 @@ object CoreQueries {
     "w3_lag_lead"         -> (w3LagLead _),
     "w4_sessionize"       -> (w4Sessionize _),
     "w5_topk_aggregator"  -> (w5TopkAggregator _),
+    "w6_range_rolling"    -> (w6RangeRolling _),
     "o6_except"           -> (o6Except _),
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "a2_count"            -> (a2Count _),
@@ -417,6 +443,16 @@ object CoreQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "w6_range_rolling" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey,
+        |    CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS INTEGER) AS day,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, day,
+        |  CAST(round(sum(day_qty) OVER (PARTITION BY l_suppkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS qty_7d
+        |FROM daily ORDER BY l_suppkey, day""".stripMargin,
     "w5_topk_aggregator" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
