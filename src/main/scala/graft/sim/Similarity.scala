@@ -21,10 +21,13 @@ import graft.functions.{Hashing, VectorExpressions}
   *     so the "cross" join is a broadcast nested loop over 10 rows —
   *     linear in the corpus, embarrassingly parallel, no shuffle of the
   *     big side.
-  *   - s2 is the scale path: random-hyperplane LSH assigns every vector
-  *     a bucket in a narrow projection; candidates meet in a bucket-key
-  *     equi-join (shuffle on an 8-bit key — at real scale use 16-24 bits
-  *     so buckets stay executor-sized), never an n² crossJoin.
+  *   - s2 is the scale path: multi-table random-hyperplane LSH assigns
+  *     every vector one bucket per hash table in a narrow projection;
+  *     candidates meet in a (table, bucket) equi-join — never an n²
+  *     crossJoin. Bits per table size the buckets (keep them
+  *     executor-sized at scale); table count buys recall.
+  *   - s4 is the IVF alternative: broadcast coarse quantizer, inverted
+  *     lists, probe-limited exact scoring.
   */
 object Similarity {
 
@@ -74,27 +77,54 @@ object Similarity {
     */
   private val Dims = 64
 
-  /** 8-bit random-hyperplane LSH bucket of the `embedding` column.
+  /** Multi-table random-hyperplane LSH: [[Tables]] hash tables of
+    * [[Bits]] hyperplane bits each (32 hyperplanes total). A pair is a
+    * candidate if it collides in ANY table — for this corpus's top
+    * neighbors (cos ≈ 0.5, near-orthogonal random vectors) a single
+    * 8-bit table has collision probability (1−θ/π)^8 ≈ 4% and measured
+    * recall@3 of 0.0; 8 tables × 4 bits gives 1−(1−p⁴)⁸ ≈ 0.8 on the
+    * best neighbor. Table count/width are THE recall-vs-cost knobs of
+    * hyperplane LSH; at denser similarity regimes fewer/wider tables
+    * win.
+    *
     * Hyperplane component (p, j) is `h32(p + "_" + j)/2^31 − 1`
     * (uniform in [-1, 1)) — derived deterministically from the portable
     * hash, so DuckDB rebuilds the SAME hyperplanes in SQL with no
-    * shipped state. Spark-side the 512 components are evaluated ONCE on
-    * the driver ([[Hashing.h32Host]], bit-identical arithmetic) and
-    * shipped as literal arrays into `graft_dot` — the md5-per-row-per-
-    * component SQL form cost 10+ s at sf0.1, this form is sub-second
-    * and the sign test stays bit-identical to the oracle.
+    * shipped state. Spark-side the components are evaluated ONCE on the
+    * driver ([[Hashing.h32Host]], bit-identical arithmetic) and shipped
+    * as literal arrays into `graft_dot` (the md5-per-row SQL form cost
+    * 10+ s at sf0.1; this form is sub-second, sign test bit-identical).
     */
-  private val bucketSql: String = {
-    val dots = (0 until 8).map { p =>
+  private val Tables = 8
+  private val Bits = 4
+
+  /** array<int> of the row's bucket in each table. */
+  private val bucketsSql: String = {
+    def dot(p: Int) = {
       val plane = (0 until Dims)
         .map(j => s"${Hashing.h32Host(s"${p}_$j") / 2147483648.0 - 1.0}D")
         .mkString("array(", ", ", ")")
       s"graft_dot(embedding, $plane)"
     }
-    dots.zipWithIndex
-      .map { case (dot, p) => s"IF($dot > 0, ${1 << p}, 0)" }
-      .mkString("IF(size(embedding) = 64, ", " + ", ", raise_error('unexpected embedding dims'))")
+    val tables = (0 until Tables).map { t =>
+      (0 until Bits)
+        .map(b => s"IF(${dot(t * Bits + b)} > 0, ${1 << b}, 0)")
+        .mkString("(", " + ", ")")
+    }
+    tables.mkString(
+      "IF(size(embedding) = 64, array(", ", ",
+      "), raise_error('unexpected embedding dims'))")
   }
+
+  /** (vec_id, embedding, tbl, bk) — one row per vector per hash table.
+    * Self-joins must alias THIS one frame (not rename columns): an
+    * extra rename projection would make the two exchange subtrees
+    * canonically different and defeat ReuseExchange.
+    */
+  private def bucketTable(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(expr(bucketsSql)).as(Seq("tbl", "bk")))
 
   /** s2: LSH-bucketed approximate top-3 neighbors for EVERY vector —
     * the shape that survives 100× scale-up (bucket equi-join; exact
@@ -102,19 +132,21 @@ object Similarity {
     */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
-    val b = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
-    val a = b.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-      col("bucket"))
-    val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-      col("bucket").as("bucket2"))
+    val bt = bucketTable(s, d)
+    val a = bt.as("a")
+    val c = bt.as("c").hint("shuffle_hash")
     val w = Window.partitionBy("q_id")
       .orderBy(desc("cos_exact"), asc("n_id"))
     // shuffle_hash on both sides -> identical exchanges -> ReuseExchange
     // computes the bucket projection once (broadcast is impossible at
-    // corpus scale anyway)
-    a.join(c.hint("shuffle_hash"),
-        col("bucket") === col("bucket2") && col("q_id") =!= col("n_id"))
+    // corpus scale anyway); dropDuplicates collapses multi-table
+    // collisions BEFORE the exact cosine so each pair is scored once
+    a.join(c,
+        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
+          col("a.vec_id") =!= col("c.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("a.embedding").as("qv"),
+        col("c.vec_id").as("n_id"), col("c.embedding").as("nv"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("cos_exact", expr(cosSql("qv", "nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -135,14 +167,15 @@ object Similarity {
     */
   def s3EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
-    val b = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
-    val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
-      col("bucket"))
-    val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("nv"),
-      col("bucket").as("bucket2"))
-    a.join(c.hint("shuffle_hash"), // ReuseExchange, see s2
-        col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+    val bt = bucketTable(s, d)
+    val a = bt.as("a")
+    val c = bt.as("c").hint("shuffle_hash") // ReuseExchange, see s2
+    a.join(c,
+        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
+          col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("qv"),
+        col("c.vec_id").as("vec_b"), col("c.embedding").as("nv"))
+      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos", round(expr(cosSql("qv", "nv")), 4))
       .filter(col("cos") >= 0.30)
       .select("vec_a", "vec_b", "cos")
@@ -219,16 +252,25 @@ object Similarity {
   private def cosDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
 
+  /** Per-table bucket, mirroring [[bucketsSql]]: hyperplane index
+    * p = tbl*Bits + b, hashed exactly like the Spark literals.
+    */
   private val bucketDuck: String = {
     val hp = Hashing.h32Duck(
-      "CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
-    s"""CAST(list_sum(list_transform(range(8), p ->
+      "CAST(tbl*4 + b AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+    s"""CAST(list_sum(list_transform(range(4), b ->
        |  CASE WHEN list_reduce(list_transform(range(len(embedding)),
        |         j -> CAST(embedding[j+1] AS DOUBLE)
        |              * (($hp / 2147483648.0) - 1.0)),
        |         (x, y) -> x + y) > 0
-       |       THEN (1 << p) ELSE 0 END)) AS INTEGER)""".stripMargin
+       |       THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
   }
+
+  private val bucketTableDuck: String =
+    s"""b AS (
+       |  SELECT vec_id, embedding, tbl, $bucketDuck AS bk
+       |  FROM embeddings, range(8) tt(tbl)
+       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "s1_cosine_topk" ->
@@ -247,12 +289,15 @@ object Similarity {
          |SELECT q_id, n_id, round(cos_exact, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s2_ann_lsh" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings
+      s"""WITH $bucketTableDuck, cand AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM b a JOIN b c
+         |    ON a.tbl = c.tbl AND a.bk = c.bk AND a.vec_id <> c.vec_id
          |), scored AS (
-         |  SELECT a.vec_id AS q_id, c.vec_id AS n_id,
-         |    ${cosDuck("a.embedding", "c.embedding")} AS cos_exact
-         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+         |  SELECT q_id, n_id,
+         |    ${cosDuck("e1.embedding", "e2.embedding")} AS cos_exact
+         |  FROM cand JOIN embeddings e1 ON q_id = e1.vec_id
+         |            JOIN embeddings e2 ON n_id = e2.vec_id
          |), ranked AS (
          |  SELECT q_id, n_id, cos_exact,
          |    CAST(row_number() OVER (PARTITION BY q_id
@@ -261,12 +306,15 @@ object Similarity {
          |SELECT q_id, n_id, round(cos_exact, 4) AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "s3_embedding_neardup" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings
+      s"""WITH $bucketTableDuck, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+         |  FROM b a JOIN b c
+         |    ON a.tbl = c.tbl AND a.bk = c.bk AND a.vec_id < c.vec_id
          |), scored AS (
-         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         |    round(${cosDuck("a.embedding", "c.embedding")}, 4) AS cos
-         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |  SELECT vec_a, vec_b,
+         |    round(${cosDuck("e1.embedding", "e2.embedding")}, 4) AS cos
+         |  FROM cand JOIN embeddings e1 ON vec_a = e1.vec_id
+         |            JOIN embeddings e2 ON vec_b = e2.vec_id)
          |SELECT vec_a, vec_b, cos FROM scored
          |WHERE cos >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
     "s4_ivf_topk" ->
