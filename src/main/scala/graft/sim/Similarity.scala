@@ -116,15 +116,27 @@ object Similarity {
       "), raise_error('unexpected embedding dims'))")
   }
 
-  /** (vec_id, embedding, tbl, bk) — one row per vector per hash table.
+  /** (vec_id, tbl, bk) — one row per vector per hash table, IDS ONLY:
+    * carrying the embedding array through the candidate join/dedup
+    * shuffles moved ~1 GB at sf0.1; candidates travel as id pairs and
+    * the arrays join back for scoring (the oracle's shape too).
     * Self-joins must alias THIS one frame (not rename columns): an
     * extra rename projection would make the two exchange subtrees
     * canonically different and defeat ReuseExchange.
     */
   private def bucketTable(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(expr(bucketsSql)).as(Seq("tbl", "bk")))
+
+  /** (vec_id, embedding, nrm) — per-vector norm computed ONCE instead
+    * of twice per scored pair (same double as the per-pair form: same
+    * input, same fold).
+    */
+  private def normedEmbeddings(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
 
   /** s2: LSH-bucketed approximate top-3 neighbors for EVERY vector —
     * the shape that survives 100× scale-up (bucket equi-join; exact
@@ -140,14 +152,19 @@ object Similarity {
     // shuffle_hash on both sides -> identical exchanges -> ReuseExchange
     // computes the bucket projection once (broadcast is impossible at
     // corpus scale anyway); dropDuplicates collapses multi-table
-    // collisions BEFORE the exact cosine so each pair is scored once
-    a.join(c,
+    // collisions BEFORE scoring so each pair is scored once
+    val cand = a.join(c,
         col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
           col("a.vec_id") =!= col("c.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("a.embedding").as("qv"),
-        col("c.vec_id").as("n_id"), col("c.embedding").as("nv"))
+      .select(col("a.vec_id").as("q_id"), col("c.vec_id").as("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("cos_exact", expr(cosSql("qv", "nv")))
+    val e = normedEmbeddings(s, d)
+    cand
+      .join(e.as("eq"), col("q_id") === col("eq.vec_id"))
+      .join(e.as("en"), col("n_id") === col("en.vec_id"))
+      .withColumn("cos_exact",
+        expr(dotSql("eq.embedding", "en.embedding")) /
+          (col("eq.nrm") * col("en.nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"),
@@ -170,13 +187,18 @@ object Similarity {
     val bt = bucketTable(s, d)
     val a = bt.as("a")
     val c = bt.as("c").hint("shuffle_hash") // ReuseExchange, see s2
-    a.join(c,
+    val cand = a.join(c,
         col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
           col("a.vec_id") < col("c.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("qv"),
-        col("c.vec_id").as("vec_b"), col("c.embedding").as("nv"))
+      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", round(expr(cosSql("qv", "nv")), 4))
+    val e = normedEmbeddings(s, d)
+    cand
+      .join(e.as("eq"), col("vec_a") === col("eq.vec_id"))
+      .join(e.as("en"), col("vec_b") === col("en.vec_id"))
+      .withColumn("cos", round(
+        expr(dotSql("eq.embedding", "en.embedding")) /
+          (col("eq.nrm") * col("en.nrm")), 4))
       .filter(col("cos") >= 0.30)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
