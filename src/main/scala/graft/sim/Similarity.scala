@@ -72,7 +72,7 @@ object Similarity {
   }
 
   /** Embedding dimensionality of the testdata corpus. The hyperplane
-    * matrix is precomputed for this width; [[bucketSql]] guards with a
+    * matrix is precomputed for this width; [[bucketsSql]] guards with a
     * size check so a drifted corpus fails loudly, not wrongly.
     */
   private val Dims = 64

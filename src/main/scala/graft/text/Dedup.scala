@@ -15,11 +15,13 @@ import graft.functions.Hashing
   * Every operator is BUCKETED — candidate generation is a hash-key
   * equi-join (band key / simhash band), never an all-pairs crossJoin.
   * At 100 TB: exact dedup is one shuffle on a 16-byte hash; MinHash/
-  * SimHash signatures are computed in a narrow projection (array
-  * higher-order functions, no explode of shingles into rows), so the
-  * only wide stages are the band-key self-join and the final distinct.
-  * All hashes are md5-derived for DuckDB-oracle parity — see
-  * [[graft.functions.Hashing]] for the one-line xxhash64 swap note.
+  * SimHash signatures are computed by whole-stage-codegen'd
+  * explode + hash-aggregate stages (each shingle/token md5-hashed once,
+  * per-seed values derived arithmetically), so the wide stages are the
+  * signature aggregation, the band-key self-join (symmetric shuffles →
+  * ReuseExchange), and the final distinct. All hashes are md5-derived
+  * for DuckDB-oracle parity — see [[graft.functions.Hashing]] for the
+  * one-line xxhash64 swap note.
   */
 object Dedup {
 
