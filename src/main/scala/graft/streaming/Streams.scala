@@ -161,6 +161,58 @@ object Streams {
       }
   }
 
+  /** Streaming sessionization via flatMapGroupsWithState — the brief's
+    * named API for custom state, where the built-in session_window can't
+    * express the output contract (emit ONE closed-session row per
+    * session, only when the event-time watermark proves it over).
+    *
+    * State: per-user open session; timeout: event time of the last
+    * event + `gapSeconds`. When the watermark passes that, the session
+    * closes, emits, and its state is dropped — so state size is
+    * O(users with an open session), not O(stream length).
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSeconds: Long = 1800,
+      lateness: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[SessionEvent],
+         state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.n, s.total,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val buf = rows.toSeq
+            val prev = state.getOption.getOrElse(OpenSession(0L, 0.0,
+              Long.MaxValue, Long.MinValue))
+            val next = buf.foldLeft(prev) { (acc, e) =>
+              OpenSession(acc.n + 1, acc.total + e.value,
+                math.min(acc.startMs, e.ts.getTime),
+                math.max(acc.lastMs, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + gapSeconds * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
+  final case class SessionEvent(user: String, ts: java.sql.Timestamp,
+      value: Double)
+  final case class OpenSession(n: Long, total: Double, startMs: Long,
+      lastMs: Long)
+  final case class ClosedSession(user: String, n_events: Long,
+      total: Double, start: java.sql.Timestamp, end: java.sql.Timestamp)
+
   /** T4: status polling (`describe_delivery_stream until ACTIVE`,
     * create_firehose_stream.py:51-67). Blocks until the query has
     * processed all currently-available input or `timeoutMs` elapses.

@@ -154,6 +154,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: session emits only when the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.SessionEvent
+    val ms = MemoryStream[SessionEvent]
+    val out = graft.streaming.Streams.sessionizeStream(
+      ms.toDS(), gapSeconds = 1800, lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      def ev(u: String, t: String, v: Double) =
+        SessionEvent(u, Timestamp.valueOf(t), v)
+      ms.addData(ev("u1", "2024-03-01 10:00:00", 1.0),
+        ev("u1", "2024-03-01 10:00:10", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").isEmpty) // session still open
+      // an event 2h later pushes the watermark past u1's gap timeout
+      ms.addData(ev("u2", "2024-03-01 12:00:00", 5.0))
+      q.processAllAvailable()
+      ms.addData(ev("u2", "2024-03-01 12:00:01", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").as[graft.streaming.Streams.ClosedSession]
+        .collect()
+      assert(rows.length == 1, s"expected exactly u1's closed session: ${rows.mkString}")
+      val s = rows.head
+      assert(s.user == "u1" && s.n_events == 2 && s.total == 3.0)
+      assert(s.start == Timestamp.valueOf("2024-03-01 10:00:00"))
+      assert(s.end == Timestamp.valueOf("2024-03-01 10:00:10"))
+    } finally q.stop()
+  }
+
   test("st1 batch form and streaming form produce the same windows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
