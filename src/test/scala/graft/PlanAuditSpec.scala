@@ -27,6 +27,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("raw-zone date filter prunes partitions (the pruning the reference misses, SURVEY 4)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    Seq(("A", 1L), ("B", 2L)).toDF("cod", "qtde_teorica")
+      .write.mode("overwrite").parquet(s"$dir/ano=2025/mes=07/dia=31")
+    Seq(("C", 3L)).toDF("cod", "qtde_teorica")
+      .write.mode("overwrite").parquet(s"$dir/ano=2025/mes=08/dia=01")
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("mes") === "08")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(mes"),
+      s"mes filter not applied as a partition filter:\n$plan")
+    assert(df.count() == 1)
+    // the scan must list only the matching partition's file
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("mes=07") || scanned.contains("..."),
+      s"pruned partition still listed:\n$scanned")
+  }
+
   test("documents scan prunes to the columns the dedup queries read") {
     val plan = Dedup.d1ExactDedup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
