@@ -204,6 +204,19 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Corpus API (mirrors [[graft.text.Dedup.dropNearDuplicates]]): drop
+    * the higher-id member of every embedding near-dup pair ≥ the
+    * threshold — anti-join against the bucketed pair set, keeping the
+    * lowest-id survivor per duplicate cluster.
+    */
+  def dropEmbeddingNearDuplicates(s: SparkSession, d: String,
+      minCosine: Double = 0.30): DataFrame = {
+    val losers = s3EmbeddingNeardup(s, d)
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+    embeddings(s, d).join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** s4: IVF-style ANN — the other standard index shape the brief
     * names. Coarse quantizer: every 25th vector is a centroid
     * (deterministic, no trained state to ship); every vector is

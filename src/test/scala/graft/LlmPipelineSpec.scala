@@ -106,6 +106,15 @@ class LlmPipelineSpec extends AnyFunSuite {
     pairs.foreach { p => assert(!keptIds.contains(p.getLong(1))) }
   }
 
+  test("corpus API: dropEmbeddingNearDuplicates keeps the lowest-id survivor") {
+    val all = graft.lake.Tables.embeddings(spark, sf).count()
+    val pairs = Similarity.s3EmbeddingNeardup(spark, sf).collect()
+    val kept = Similarity.dropEmbeddingNearDuplicates(spark, sf)
+    assert(kept.count() == all - pairs.map(_.getLong(1)).distinct.length)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    pairs.foreach(p => assert(!keptIds.contains(p.getLong(1))))
+  }
+
   test("salted join is row-identical to the plain join") {
     val o = graft.lake.Tables.orders(spark, sf)
     val c = graft.lake.Tables.customer(spark, sf)
