@@ -185,6 +185,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization state survives a query restart (state-store recovery)") {
+    import spark.implicits._
+    import graft.streaming.Streams.SessionEvent
+    val src = tmp("recov_src"); val out = tmp("recov_out"); val ckp = tmp("recov_ckp")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user STRING, ts TIMESTAMP, value DOUBLE")
+    def arrive(rows: (String, String, Double)*): Unit =
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+        .toDF("user", "ts", "value")
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(schema).parquet(src)
+        .as[SessionEvent]
+      val q = graft.streaming.Streams
+        .sessionizeStream(events, gapSeconds = 1800, lateness = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    // run 1: open u1's session, stop the query (nothing emitted yet)
+    arrive(("u1", "2024-03-01 10:00:00", 1.0), ("u1", "2024-03-01 10:00:10", 2.0))
+    runOnce()
+    // run 2: a NEW query on the same checkpoint sees a later event; the
+    // restored state must close u1's session exactly once
+    arrive(("u2", "2024-03-01 12:00:00", 5.0))
+    runOnce()
+    arrive(("u2", "2024-03-01 12:00:05", 1.0))
+    runOnce()
+    val sessions = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(sessions.count(_._1 == "u1") == 1,
+      s"expected exactly one closed u1 session after restart: ${sessions.mkString}")
+    assert(sessions.find(_._1 == "u1").get == (("u1", 2L, 3.0)))
+  }
+
   test("st1 batch form and streaming form produce the same windows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
