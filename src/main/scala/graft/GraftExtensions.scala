@@ -6,15 +6,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.DotProduct
 
 /** Session-extension injector — the supported way to ship the engine's
-  * native expressions to every session of a cluster:
+  * native expressions and optimizer rules to every session of a
+  * cluster:
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * makes `graft_dot` resolvable in SQL text and `expr(...)` plans
-  * without per-query registration (the in-code fallback
-  * [[graft.functions.VectorExpressions.ensureRegistered]] covers
-  * sessions created without the config). This is the brief's extension
-  * point (c): SparkSessionExtensions for engine-level additions.
+  * Injects:
+  *   - `graft_dot` (native dot-product expression), resolvable in SQL
+  *     text and `expr(...)` plans without per-query registration (the
+  *     in-code fallback
+  *     [[graft.functions.VectorExpressions.ensureRegistered]] covers
+  *     sessions created without the config);
+  *   - [[graft.plans.NullFilterToAntiJoin]], the left-join-IS-NULL →
+  *     anti-join rewrite Catalyst lacks.
+  *
+  * This is the brief's extension point (c): SparkSessionExtensions for
+  * engine-level additions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(exprs.head, exprs(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.NullFilterToAntiJoin)
   }
 }

@@ -17,6 +17,7 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
@@ -82,6 +83,22 @@ class CoreQueriesSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
     }
+  }
+
+  test("NullFilterToAntiJoin rewrites p2's left-join-IS-NULL into a single-shuffle anti join") {
+    val df = CoreQueries.p2IsnullOuterJoin(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"expected the custom rule to plan an anti join:\n$plan")
+    assert(!plan.contains("LeftOuter"), s"outer join survived:\n$plan")
+    // results identical to the as-written semantics (j3 shape)
+    val viaRule = df.collect().map(_.getLong(0)).toSet
+    val expected = graft.lake.Tables.orders(spark, sf)
+      .join(graft.lake.Tables.lineitem(spark, sf).select("l_orderkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"), "left_anti")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaRule == expected)
   }
 
   test("j1 plan broadcasts the dimension side") {
