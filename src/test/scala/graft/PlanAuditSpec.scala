@@ -14,6 +14,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("LSH self-joins reuse the signature exchange (compute once, not twice)") {
     Seq(
       "d2" -> Dedup.d2MinhashLsh(spark, sf),
+      "d3" -> Dedup.d3Simhash(spark, sf),
       "s2" -> Similarity.s2AnnLsh(spark, sf)
     ).foreach { case (name, df) =>
       df.collect() // AQE materializes stage reuse at runtime
