@@ -286,6 +286,20 @@ object CoreQueries {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** §2.5 extension: CUBE — all grouping-set combinations in one pass
+    * (rollup's hierarchy plus the priority-only marginals). Same
+    * null-marker coalescing as a4.
+    */
+  def a7Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy("status", "priority")
+
   /** §2.5 extension: exact percentiles per group. Spark `percentile`
     * and DuckDB `quantile_cont` share the linear-interpolation formula
     * (lo + (hi-lo)·frac over the sorted group), so exact doubles match.
@@ -363,6 +377,7 @@ object CoreQueries {
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
     "a5_percentile"       -> (a5Percentile _),
+    "a7_cube"             -> (a7Cube _),
     "a6_approx_distinct"  -> (a6ApproxDistinct _),
     "o5_intersect"        -> (o5Intersect _),
   )
@@ -486,6 +501,12 @@ object CoreQueries {
     // a6_approx_distinct is deliberately oracle-less (sketch results are
     // merge-order-dependent); the driver records rows-only, the spec
     // bounds the error.
+    "a7_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "a5_percentile" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS q25,
