@@ -64,19 +64,26 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT fixed names: with both children non-nullable,
+      // nullSafeCodeGen splices this block un-braced at method scope, so
+      // two DotProducts in one projection would redeclare fixed locals —
+      // a janino compile error and a silent interpreted fallback.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       val getX =
-        if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
+        if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
       val getY =
-        if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
+        if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $getX * $getY;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getX * $getY;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -77,12 +77,14 @@ object Lake {
     * `ceil(bytes / targetFileBytes)` files and swaps the result into
     * place. Uses the scan's input size statistic, not a collect.
     *
-    * The swap (delete original, rename tmp) is NOT atomic across both
-    * steps — a crash between them leaves only `<path>_compacting` on
-    * disk. That is the same contract as every non-transactional
-    * Hive-style overwrite; a table format (Delta/Iceberg) is the real
-    * fix at 100 TB. Readers racing the swap see either old or new files,
-    * never a mix, because the tmp dir is invisible until the rename.
+    * Swap order: original → `<path>_old`, tmp → original, delete
+    * `_old` — so the old data survives every failure point (a crash
+    * leaves it recoverable at `_old` or still in place), and the
+    * no-data window readers can observe is one rename, not a
+    * delete+rename. Still not transactional — a reader can hit
+    * path-not-found inside that one-rename window on stores without
+    * atomic rename; a table format (Delta/Iceberg) is the real fix at
+    * 100 TB.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
@@ -95,10 +97,18 @@ object Lake {
       .option("compression", "snappy").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_old")
     val fs = target.getFileSystem(conf)
-    fs.delete(target, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+    fs.delete(old, true) // leftover of a previously-failed compact
+    if (!fs.rename(target, old))
       throw new java.io.IOException(
-        s"compact: rename $tmp -> $path failed; data preserved at $tmp")
+        s"compact: rename $path -> $old failed; table untouched, new data at $tmp")
+    if (!fs.rename(tmpPath, target)) {
+      fs.rename(old, target) // roll back so readers keep the old files
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $path failed; original restored")
+    }
+    fs.delete(old, true)
   }
 }

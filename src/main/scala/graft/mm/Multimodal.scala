@@ -48,11 +48,11 @@ object Multimodal {
         (lit(64) + pmod(expr("h div 448"), lit(448))).cast("int").as("height"))
       .orderBy("media_id")
 
-  /** mm2: stub feature extraction — an 8-dim hash-derived vector per
-    * payload, the shape a real embedding model would emit. Output plugs
-    * straight into [[graft.sim.Similarity]]'s ANN path.
+  /** mm2 vectors: stub feature extraction — an 8-dim hash-derived vector
+    * per payload, the shape a real embedding model would emit. Output
+    * plugs straight into [[graft.sim.Similarity]]'s ANN path.
     */
-  def mm2FakeFeatures(s: SparkSession, d: String): DataFrame = {
+  def mm2FeatureVectors(s: SparkSession, d: String): DataFrame = {
     val h = Hashing.h32Sql("concat(cast(payload as string), '#', cast(i as string))")
     mediaTable(s, d)
       .select(col("media_id"),
@@ -60,8 +60,18 @@ object Multimodal {
         // both engines' SQL and decimal division would leak into the type
         expr(s"transform(sequence(0, 7), i -> cast($h % 1000 as double) / cast(1000 as double))")
           .as("feat"))
-      .orderBy("media_id")
   }
+
+  /** mm2 query: the feature vectors exploded to scalar (media_id, i, val)
+    * rows. The value surface must hold only hashable scalars (an
+    * `array<double>` column crashes the driver's pandas sort, r2 verdict
+    * #1); [[mm2FeatureVectors]] keeps the array shape for the ANN path.
+    */
+  def mm2FakeFeatures(s: SparkSession, d: String): DataFrame =
+    mm2FeatureVectors(s, d)
+      .select(col("media_id"), posexplode(col("feat")).as(Seq("i", "val")))
+      .select(col("media_id"), col("i").cast("long").as("i"), col("val"))
+      .orderBy("media_id", "i")
 
   final case class Media(media_id: Long, payload: Array[Byte])
   final case class Frame(media_id: Long, frame_idx: Int, frame_hash: Long)
@@ -121,11 +131,10 @@ object Multimodal {
          |      FROM documents)
          |ORDER BY media_id""".stripMargin,
     "mm2_fake_features" ->
-      s"""SELECT doc_id AS media_id,
-         |  list_transform(range(8), i ->
-         |    CAST(${Hashing.h32Duck("text || '#' || CAST(i AS VARCHAR)")} % 1000
-         |      AS DOUBLE) / CAST(1000 AS DOUBLE))
-         |    AS feat
-         |FROM documents ORDER BY media_id""".stripMargin,
+      s"""SELECT doc_id AS media_id, CAST(i AS BIGINT) AS i,
+         |  CAST(${Hashing.h32Duck("text || '#' || CAST(i AS VARCHAR)")} % 1000
+         |    AS DOUBLE) / CAST(1000 AS DOUBLE) AS val
+         |FROM documents, range(8) t(i)
+         |ORDER BY media_id, i""".stripMargin,
   )
 }

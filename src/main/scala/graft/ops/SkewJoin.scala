@@ -21,11 +21,16 @@ object SkewJoin {
   def saltedInner(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // any deterministic-ish per-row assignment works; partition id +
-    // row position spreads a hot key evenly without a real RNG
+    // The salt must be DETERMINISTIC IN ROW CONTENT: partition-id or
+    // row-position salts change when a map task is recomputed after a
+    // fetch failure, duplicating/losing rows once some reducers already
+    // consumed the original output (the SPARK-23207 class of bug —
+    // exactly the large-cluster scenario salting targets). hash() over
+    // every column gives the same salt on every recompute. Caveat: rows
+    // that are full duplicates share a salt; dedup first (or include a
+    // unique key column) if the hot key's rows are literally identical.
     val salted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts))
-        .cast("int"))
+      pmod(hash(big.columns.map(col): _*), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

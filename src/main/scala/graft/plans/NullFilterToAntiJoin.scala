@@ -15,25 +15,45 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * them; the anti join short-circuits per probe row and any DISTINCT
   * that was guarding the right side becomes prunable).
   *
-  * Soundness: under a LEFT OUTER join whose condition contains an
-  * equality referencing right-side attribute `a`, every MATCHED output
-  * row has `a` non-null (an equality never matches on null), so
-  * `IS NULL(a)` keeps exactly the unmatched rows — the anti join's
-  * result — with all right-side columns null. The rewrite preserves the
-  * full schema by projecting null literals under the right side's
-  * original exprIds; column pruning then drops the ones nobody reads.
+  * Soundness: the rewrite is valid only when every MATCHED output row
+  * provably has `a` non-null. That needs a TOP-LEVEL CONJUNCT of the
+  * join condition that is null-intolerant on `a` — an `EqualTo` whose
+  * operand containing `a` evaluates to null when `a` is null (then the
+  * conjunct, and so the whole condition, can't be true). An equality
+  * buried under a disjunction (`l.k = r.k OR l.flag = 1`) or wrapped in
+  * a null-tolerant expression (`coalesce(r.k, 0) = l.k`) guarantees
+  * nothing: matched rows CAN carry a null `a`, and the anti join would
+  * drop rows the outer+IS NULL form keeps. `splitConjunctivePredicates`
+  * + a conservative direct-operand check enforce exactly that.
+  *
+  * The rewrite preserves the full schema by projecting null literals
+  * under the right side's original exprIds; column pruning then drops
+  * the ones nobody reads.
   *
   * Registered via [[graft.GraftExtensions]] (injectOptimizerRule).
   */
-object NullFilterToAntiJoin extends Rule[LogicalPlan] {
+object NullFilterToAntiJoin extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Does some equality inside `cond` reference `attr` (⇒ matched rows
-    * can't have it null)?
+  /** Is `e` null whenever `attr` is null? Conservative: `attr` itself or
+    * a cast chain over it (Cast propagates null). Anything else —
+    * coalesce, IF, ±0-ary null-tolerant functions — returns false and
+    * blocks the rewrite.
+    */
+  private def nullIntolerantOn(e: Expression, attr: Attribute): Boolean =
+    e match {
+      case a: Attribute => a.semanticEquals(attr)
+      case c: Cast => nullIntolerantOn(c.child, attr)
+      case _ => false
+    }
+
+  /** Does a top-level conjunct of `cond` force `attr` non-null on every
+    * matched row?
     */
   private def equalityGuarantees(cond: Expression, attr: Attribute): Boolean =
-    cond.collectFirst {
-      case e: EqualTo if e.references.contains(attr) => e
-    }.isDefined
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(l, r) => nullIntolerantOn(l, attr) || nullIntolerantOn(r, attr)
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(IsNull(attr: Attribute),

@@ -215,16 +215,23 @@ object Streams {
 
   /** T4: status polling (`describe_delivery_stream until ACTIVE`,
     * create_firehose_stream.py:51-67). Blocks until the query has
-    * processed all currently-available input or `timeoutMs` elapses.
+    * processed all currently-available input or `timeoutMs` elapses —
+    * returns false on expiry. `processAllAvailable` itself blocks
+    * unboundedly (a hung/slow-trigger query never returns), so it runs
+    * on a bounded-join daemon thread; the abandoned thread parks
+    * harmlessly until the query stops.
     */
   def awaitProcessed(q: StreamingQuery, timeoutMs: Long = 60000): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (!q.isActive) return true
-      q.processAllAvailable()
-      return true
-    }
-    false
+    if (!q.isActive) return true
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      try { q.processAllAvailable(); done.set(true) }
+      catch { case _: Throwable => () }
+    }, s"graft-awaitProcessed-${q.id}")
+    t.setDaemon(true)
+    t.start()
+    t.join(timeoutMs)
+    done.get() || !q.isActive
   }
 
   /** One-line status snapshot (T4's poll body). */

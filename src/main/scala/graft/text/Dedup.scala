@@ -192,17 +192,25 @@ object Dedup {
   /** Corpus API: LSH candidates verified by exact 3-gram Jaccard ≥
     * `minJaccard` → (doc_a, doc_b, jac).
     *
-    * The candidate pair set is localCheckpoint'd (eager, tiny — LSH
-    * reduces n² to the near-dup neighborhood): without it the band-join
-    * pipeline re-executes for every downstream reference, and the
-    * verify stage re-shingles the whole corpus. With it, shingling for
-    * the exact-Jaccard step runs only on the docs that actually appear
-    * in a pair (broadcast semi-join prefilter) — at 100 TB that is the
-    * difference between re-reading the corpus and touching a few
+    * The candidate pair set is materialized eagerly (it is tiny — LSH
+    * reduces n² to the near-dup neighborhood): without that the
+    * band-join pipeline re-executes for every downstream reference, and
+    * the verify stage re-shingles the whole corpus. With it, shingling
+    * for the exact-Jaccard step runs only on the docs that actually
+    * appear in a pair (broadcast semi-join prefilter) — at 100 TB that
+    * is the difference between re-reading the corpus and touching a few
     * thousand rows.
+    *
+    * `materialize` picks the durability tier (r2 verdict #5):
+    * the default `localCheckpoint()` is executor-local — fastest, but a
+    * lost executor forces full candidate recomputation. A long cluster
+    * run passes `_.checkpoint()` (reliable, replicated via the
+    * configured checkpoint dir) or a parquet write-out/read-back, which
+    * survive executor loss at the cost of one remote write.
     */
-  def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val pairs = candidatePairsFor(docs).localCheckpoint()
+  def nearDupPairs(docs: DataFrame, minJaccard: Double,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val pairs = materialize(candidatePairsFor(docs))
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sets = shingledDf(docs.join(ids, Seq("doc_id"), "left_semi"))
@@ -236,8 +244,9 @@ object Dedup {
     * dup-cluster stays). Anti-join against the bucketed pair set; no
     * all-pairs work anywhere.
     */
-  def dropNearDuplicates(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
-    val losers = nearDupPairs(docs, minJaccard)
+  def dropNearDuplicates(docs: DataFrame, minJaccard: Double = 0.8,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val losers = nearDupPairs(docs, minJaccard, materialize)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

@@ -101,6 +101,65 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(viaRule == expected)
   }
 
+  test("NullFilterToAntiJoin does NOT fire when the equality can match a null attribute (ADVICE r2 high)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Seq(Some(1L), None).toDF("rk")
+    // disjunction: the (5, flag=1) row matches BOTH right rows via the
+    // flag arm, so a matched output row carries rk = null — the IS NULL
+    // filter must keep it; the anti-join rewrite would drop it.
+    val or = Seq((5L, 1)).toDF("lk", "flag")
+      .join(r, col("lk") === col("rk") || col("flag") === 1, "left")
+      .filter(col("rk").isNull)
+    assert(!or.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      "rule fired on a disjunctive condition")
+    assert(or.count() == 1)
+    // null-tolerant operand: coalesce(rk, 0) = lk matches rk = null to
+    // lk = 0 — again a matched row with a null attribute.
+    val co = Seq(0L).toDF("lk")
+      .join(r, coalesce(col("rk"), lit(0L)) === col("lk"), "left")
+      .filter(col("rk").isNull)
+    assert(!co.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      "rule fired on a null-tolerant equality operand")
+    assert(co.count() == 1)
+  }
+
+  test("two graft_dot calls in one projection codegen cleanly (freshName, ADVICE r2)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // non-nullable children make nullSafeCodeGen splice the block
+    // un-braced at method scope — fixed local names would redeclare and
+    // janino would throw here (generate() has no interpreted fallback)
+    val arr = Literal.create(Array(1.0, 2.0), ArrayType(DoubleType, false))
+    val proj = GenerateMutableProjection.generate(Seq(
+      graft.functions.DotProduct(arr, arr),
+      graft.functions.DotProduct(arr, arr)))
+    val row = proj(InternalRow.empty)
+    assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 5.0)
+  }
+
+  test("approx_percentile tracks the exact percentile within bound (the 100 TB path for a5)") {
+    import org.apache.spark.sql.functions._
+    // t-digest-style sketch: partial-aggregable, merge-order-dependent,
+    // so no cross-engine oracle — spec-bounded against the exact form
+    // instead (same pattern as a6's HLL check)
+    graft.lake.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("ex"))
+      .collect().foreach { r =>
+        val ap = r.getSeq[Double](1)
+        val ex = r.getSeq[Double](2)
+        ap.zip(ex).foreach { case (a, e) =>
+          assert(math.abs(a - e) / math.abs(e) < 0.05,
+            s"${r.getString(0)}: approx=$a exact=$e")
+        }
+      }
+  }
+
   test("j1 plan broadcasts the dimension side") {
     val plan = CoreQueries.j1JoinBroadcastAgg(spark, sf)
       .queryExecution.executedPlan.toString

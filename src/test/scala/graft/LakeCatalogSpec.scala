@@ -51,6 +51,9 @@ class LakeCatalogSpec extends AnyFunSuite {
     // no orphan tmp dir left behind (r1: compact previously wrote a
     // copy and never swapped)
     assert(!new java.io.File(path + "_compacting").exists())
+    // nor the rename-aside dir (r2 ADVICE: swap is old->_old, tmp->old,
+    // delete _old — so a crash never leaves the table path empty)
+    assert(!new java.io.File(path + "_old").exists())
     val back = spark.read.parquet(path)
     assert(back.count() == 1000)
     assert(back.agg(Map("id" -> "sum")).head.getLong(0) == 500500L)

@@ -115,6 +115,21 @@ class LlmPipelineSpec extends AnyFunSuite {
     pairs.foreach(p => assert(!keptIds.contains(p.getLong(1))))
   }
 
+  test("nearDupPairs with a reliable checkpoint matches the localCheckpoint default (r2 verdict #5)") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val default = Dedup.nearDupPairs(docs, 0.8).collect().map(key).toSet
+    val reliable = Dedup.nearDupPairs(docs, 0.8, _.checkpoint())
+      .collect().map(key).toSet
+    assert(reliable == default)
+    // the reliable form actually wrote replicated checkpoint state
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "reliable checkpoint dir is empty — checkpoint() did not materialize")
+  }
+
   test("salted join is row-identical to the plain join") {
     val o = graft.lake.Tables.orders(spark, sf)
     val c = graft.lake.Tables.customer(spark, sf)

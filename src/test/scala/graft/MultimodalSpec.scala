@@ -35,10 +35,22 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("mm2 features are ANN-ready: 8-dim doubles in [0,1)") {
-    val rows = Multimodal.mm2FakeFeatures(spark, sf).collect()
+    val rows = Multimodal.mm2FeatureVectors(spark, sf).collect()
     assert(rows.forall { r =>
       val v = r.getSeq[Double](1)
       v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)
     })
+    // the query surface is the exploded scalar form (array columns are
+    // unhashable in the driver's compare — r2 verdict #1): same values,
+    // 8 rows per media item, i in 0..7
+    val exploded = Multimodal.mm2FakeFeatures(spark, sf).collect()
+    assert(exploded.length == rows.length * 8)
+    val byMedia = exploded.groupBy(_.getLong(0))
+    val vecs = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    byMedia.foreach { case (id, rs) =>
+      val vals = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(rs.map(_.getLong(1)).sorted.sameElements(0L until 8L))
+      assert(vals.sameElements(vecs(id)))
+    }
   }
 }

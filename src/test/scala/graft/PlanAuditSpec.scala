@@ -28,6 +28,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("j1 final AQE plan broadcasts the customer side at sf0.1 (r2 bench-regression adjudication)") {
+    // r2's j1 0.72→6.12 s was flagged as unexplained. Two back-to-back
+    // r3 bench runs measured 0.63 s / 0.49 s with no code change — the
+    // 6 s was a one-off environmental stall (Bench now reports
+    // min-of-2). This pins the plan side: under the default threshold,
+    // the sf0.1 customer side (~15k rows) must broadcast.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).exists())
+    val df = graft.queries.CoreQueries.j1JoinBroadcastAgg(spark, sf01)
+    df.collect() // materialize the FINAL adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer side not broadcast in the final sf0.1 plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected sort-merge join at sf0.1:\n$plan")
+  }
+
   test("raw-zone date filter prunes partitions (the pruning the reference misses, SURVEY 4)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune").toString

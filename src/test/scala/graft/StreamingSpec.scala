@@ -109,6 +109,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T4 awaitProcessed honors its timeout on a stuck query (r2 verdict #4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val q = ms.toDF().writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        gate.await() // a hung sink: the batch never completes
+      }.start()
+    try {
+      ms.addData(1)
+      val t0 = System.nanoTime()
+      assert(!Streams.awaitProcessed(q, timeoutMs = 1000),
+        "awaitProcessed returned true while the batch was stuck")
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(waitedMs >= 900, s"returned before the timeout: $waitedMs ms")
+    } finally { gate.countDown(); q.stop() }
+  }
+
   test("streaming K3: foreachBatch appends micro-batches to the JDBC table") {
     implicit val sqlCtx = spark.sqlContext
     val url = {
