@@ -54,27 +54,39 @@ class LlmPipelineSpec extends AnyFunSuite {
   }
 
   test("ANN recall@3 vs the exact baseline: LSH and IVF both find real neighbors") {
-    val exact = Similarity.s1CosineTopk(spark, sf).collect()
-      .filter(_.getInt(3) <= 3)
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    def recall(df: org.apache.spark.sql.DataFrame): Double = {
-      val approx = df.collect().filter(_.getLong(0) < 10)
-        .groupBy(_.getLong(0)).view
-        .mapValues(_.sortBy(_.getInt(3)).take(3).map(_.getLong(1)).toSet).toMap
-      val rs = exact.keys.toSeq.map { q =>
-        approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 3.0
+    def recallAt(dir: String): (Double, Double) = {
+      val exact = Similarity.s1CosineTopk(spark, dir).collect()
+        .filter(_.getInt(3) <= 3)
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recall(df: org.apache.spark.sql.DataFrame): Double = {
+        val approx = df.collect().filter(_.getLong(0) < 10)
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.sortBy(_.getInt(3)).take(3).map(_.getLong(1)).toSet).toMap
+        val rs = exact.keys.toSeq.map { q =>
+          approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 3.0
+        }
+        rs.sum / rs.length
       }
-      rs.sum / rs.length
+      (recall(Similarity.s2AnnLsh(spark, dir)),
+        recall(Similarity.s4IvfTopk(spark, dir)))
     }
-    val lsh = recall(Similarity.s2AnnLsh(spark, sf))
-    val ivf = recall(Similarity.s4IvfTopk(spark, sf))
     // 8 tables x 4 bits gives ~0.8 collision prob on this corpus's best
-    // neighbors; nprobe=2 IVF is weaker by construction. Floors are set
-    // well under the measured values (0.70 / 0.43 at sf0.01) to absorb
-    // tier-to-tier variation without letting a recall collapse (the
-    // single-table 8-bit variant measured 0.0) slip through.
+    // neighbors; nprobe=2 IVF is weaker by construction. Tiny-tier
+    // floors sit under the measured values to absorb tier variation
+    // without letting a recall collapse (the single-table 8-bit variant
+    // measured 0.0) slip through.
+    val (lsh, ivf) = recallAt(sf)
     assert(lsh >= 0.4, s"LSH recall@3 collapsed: $lsh")
     assert(ivf >= 0.2, s"IVF recall@3 collapsed: $ivf")
+    // sf0.01 recall is deterministic (hash-derived hyperplanes, fixed
+    // corpus): pin the measured 0.70 / 0.433 so an LSH/IVF param change
+    // can't silently destroy quality (r2 verdict #6).
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).exists()) {
+      val (lsh2, ivf2) = recallAt(sf001)
+      assert(lsh2 >= 0.7, s"LSH recall@3 at sf0.01 regressed: $lsh2 (was 0.70)")
+      assert(ivf2 >= 0.43, s"IVF recall@3 at sf0.01 regressed: $ivf2 (was 0.433)")
+    }
   }
 
   test("exact dedup keeps the minimum doc_id per content hash") {
