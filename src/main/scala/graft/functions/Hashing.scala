@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * Scale note (100 TB): md5 is ~10× slower than xxhash64 per byte, but
   * the hash runs inside a narrow projection (no shuffle, no spill,
   * whole-stage codegen keeps it in the scan stage), so dedup stays
-  * scan-bound. A production build would swap `h32Sql` for
-  * `xxhash64(...)` — every operator here takes the hash expression as a
-  * string constant precisely so that swap is one line.
+  * scan-bound. The production swap is a first-class code path: the
+  * dedup cores take a [[HashFamily]] and [[xxFamily]] is the xxhash64
+  * instance (recall-equivalence tested in LlmPipelineSpec, timed by
+  * tools/HashBench).
   */
 object Hashing {
 
@@ -46,6 +47,28 @@ object Hashing {
 
   def h60Duck(s: String): String =
     s"CAST('0x' || substr(md5($s),1,15) AS BIGINT)"
+
+  /** A pluggable hash family for the dedup/LSH candidate cores.
+    * [[md5Family]] (default) is the cross-engine-portable form the
+    * DuckDB oracle gate requires; [[xxFamily]] is the production swap.
+    */
+  final case class HashFamily(h32: String => String, h60: String => String)
+
+  val md5Family: HashFamily = HashFamily(h32Sql, h60Sql)
+
+  /** Production family: xxhash64 masked to the same non-negative
+    * 32-/60-bit ranges as the md5 forms (so the minhash universal-hash
+    * arithmetic stays overflow-free). Spark-native and ~10× cheaper per
+    * byte than md5, but NOT reproducible in DuckDB — use it on runs
+    * without the cross-engine gate. Measured (tools/HashBench, sf0.1):
+    * d2 candidate pipeline 2.45 s → 2.09 s (1.17×) — modest here
+    * because the testdata docs are short and the pipeline is
+    * explode/agg/join-bound; the hash's share grows linearly with
+    * document length, so real corpora gain more.
+    */
+  val xxFamily: HashFamily = HashFamily(
+    s => s"(xxhash64($s) & 4294967295)",
+    s => s"(xxhash64($s) & 1152921504606846975)")
 
   /** Driver-side evaluation of h32 — bit-identical to the SQL forms.
     * Used to precompute row-independent constants (e.g. LSH hyperplane

@@ -242,6 +242,27 @@ object CoreQueries {
       .orderBy("user_id", "sess_id")
   }
 
+  /** §2.6 windows: rank-family functions — dense_rank / ntile /
+    * percent_rank / cume_dist in one window pass (one shuffle on the
+    * partition key, one in-partition sort). The fractional ranks are
+    * FLOOR'd to integer millionths rather than round()ed: floor of the
+    * same double is engine-identical, while round's HALF-tie mode
+    * differs between Spark and DuckDB when a k/n value lands on an
+    * exact .xxxxxx5.
+    */
+  def w7RankFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_u"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_u"))
+      .orderBy("o_orderkey")
+  }
+
   /** O2 (src/bitoin_coin_gecko_api.py:59): full ORDER BY DESC + LIMIT —
     * newest-first listing. Spark plans LIMIT'd sort as distributed top-k.
     */
@@ -299,6 +320,39 @@ object CoreQueries {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"))
       .orderBy("status", "priority")
+
+  /** §2.5 extension: explicit GROUPING SETS — the non-hierarchical
+    * marginals ROLLUP/CUBE can't express selectively (status totals AND
+    * priority totals, nothing else). One Expand + one shuffle, same as
+    * a4/a7. Same null-marker coalescing.
+    */
+  def a8GroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** §2.5 extension: PIVOT — long-to-wide conditional aggregation
+    * (status × priority revenue matrix). Values are EXPLICIT: without
+    * them Spark runs a collect-distinct pre-pass to discover the
+    * columns — an extra full scan at 100 TB, and a nondeterministic
+    * schema. The oracle is the portable CASE-WHEN form (one hash-agg,
+    * identical plan shape in both engines).
+    */
+  def a9Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderstatus")
 
   /** §2.5 extension: exact percentiles per group. Spark `percentile`
     * and DuckDB `quantile_cont` share the linear-interpolation formula
@@ -378,6 +432,9 @@ object CoreQueries {
     "a4_rollup"           -> (a4Rollup _),
     "a5_percentile"       -> (a5Percentile _),
     "a7_cube"             -> (a7Cube _),
+    "a8_grouping_sets"    -> (a8GroupingSets _),
+    "a9_pivot"            -> (a9Pivot _),
+    "w7_rank_funcs"       -> (w7RankFuncs _),
     "a6_approx_distinct"  -> (a6ApproxDistinct _),
     "o5_intersect"        -> (o5Intersect _),
   )
@@ -525,5 +582,31 @@ object CoreQueries {
         |INTERSECT
         |SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0
         |ORDER BY o_custkey""".stripMargin,
+    "a8_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "a9_pivot" ->
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "w7_rank_funcs" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_u,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_u
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

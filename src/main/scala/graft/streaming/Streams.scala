@@ -137,6 +137,23 @@ object Streams {
         graft.ingest.Jdbc.append(batch, url, table)
       }
 
+  /** Streaming exact dedup (§2.9 × the dedup layer): the streaming twin
+    * of [[graft.text.Dedup.dropExactDuplicates]] — a training-data
+    * ingest stream dropping records already seen by key.
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: on a stream
+    * the plain form keeps every key's state FOREVER (unbounded at
+    * 100 TB/day); the watermarked form evicts state once event time
+    * passes lateness, so state is O(keys per watermark window) — the
+    * dedup guarantee holds for duplicates arriving within `lateness` of
+    * each other, which is the deliverable contract of at-least-once
+    * upstream delivery (Firehose/SQS redelivery windows are minutes,
+    * not days).
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom streaming state (§2.9 extension, brief:
     * `KeyValueGroupedDataset.mapGroupsWithState` for state the built-in
     * windows can't express): cumulative per-key stats that survive

@@ -58,7 +58,8 @@ object Dedup {
     * the gap widens with scale. Identical arithmetic on the DuckDB
     * side.
     */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
+  private def minhashSigs(docs: DataFrame,
+      fam: Hashing.HashFamily): DataFrame = {
     // Explode a cheap index sequence and build+hash each shingle ONCE
     // per exploded row. Exploding the shingle ARRAY instead makes
     // constraint inference copy the whole array expression into the
@@ -74,7 +75,7 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(0, size(toks)-3)")).as("i"))
-      .select(col("doc_id"), expr(Hashing.h32Sql(shingleSql)).as("h"))
+      .select(col("doc_id"), expr(fam.h32(shingleSql)).as("h"))
     val sigCols = (0 until 16).map { k =>
       min(expr(s"(${2 * k + 1} * h + ${7919L * k}) % 4294967311")).as(s"m$k")
     }
@@ -84,12 +85,12 @@ object Dedup {
   /** (doc_id, band, bk) — 4 LSH bands of 4 signatures → md5 band key,
     * one row per doc per band.
     */
-  private def bandTable(docs: DataFrame): DataFrame = {
+  private def bandTable(docs: DataFrame, fam: Hashing.HashFamily): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       md5(concat_ws(",",
         (0 until 4).map(i => col(s"m${4 * b + i}").cast("string")): _*))
     }
-    minhashSigs(docs)
+    minhashSigs(docs, fam)
       .select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
   }
@@ -101,9 +102,14 @@ object Dedup {
     * expensive signature stage ONCE — and at 100 TB a broadcast of the
     * full band table is impossible anyway, so this is also the only
     * plan shape that survives scale.
+    *
+    * `fam` picks the shingle hash family: the md5 default is what the
+    * DuckDB oracle can reproduce; production runs pass
+    * [[Hashing.xxFamily]] (same plan, cheaper per byte).
     */
-  def candidatePairsFor(docs: DataFrame): DataFrame = {
-    val bt = bandTable(docs)
+  def candidatePairsFor(docs: DataFrame,
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame = {
+    val bt = bandTable(docs, fam)
     val a = bt.as("a")
     val b = bt.as("b").hint("shuffle_hash")
     a.join(b,
@@ -209,8 +215,9 @@ object Dedup {
     * survive executor loss at the cost of one remote write.
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double,
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val pairs = materialize(candidatePairsFor(docs))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame = {
+    val pairs = materialize(candidatePairsFor(docs, fam))
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sets = shingledDf(docs.join(ids, Seq("doc_id"), "left_semi"))
@@ -245,8 +252,9 @@ object Dedup {
     * all-pairs work anywhere.
     */
   def dropNearDuplicates(docs: DataFrame, minJaccard: Double = 0.8,
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val losers = nearDupPairs(docs, minJaccard, materialize)
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame = {
+    val losers = nearDupPairs(docs, minJaccard, materialize, fam)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

@@ -127,6 +127,23 @@ class LlmPipelineSpec extends AnyFunSuite {
     pairs.foreach(p => assert(!keptIds.contains(p.getLong(1))))
   }
 
+  test("production hash family (xxhash64) recalls the md5-verified near-dup pairs") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    // ground truth: pairs that PASS the exact-Jaccard verify (hash
+    // family only affects candidate generation, not the verify measure)
+    val verified = Dedup.nearDupPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    val xxVerified = Dedup.nearDupPairs(docs, 0.8,
+        fam = graft.functions.Hashing.xxFamily).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // different family -> different random band buckets, but any pair
+    // at jaccard >= 0.8 collides in some band w.p. ~0.9; on this corpus
+    // both families recall the identical verified set (deterministic).
+    assert(xxVerified == verified,
+      s"xx family missed ${verified -- xxVerified}, added ${xxVerified -- verified}")
+  }
+
   test("nearDupPairs with a reliable checkpoint matches the localCheckpoint default (r2 verdict #5)") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

@@ -150,6 +150,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, Double)]
+    val deduped = Streams.dedupStream(
+      ms.toDF().toDF("key", "ts", "value"), Seq("key"), "ts",
+      lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // same-batch duplicate + distinct key
+      ms.addData(("a", t("2024-01-01 00:00:00"), 1.0),
+        ("a", t("2024-01-01 00:00:01"), 2.0),
+        ("b", t("2024-01-01 00:00:02"), 3.0))
+      q.processAllAvailable()
+      // cross-batch duplicate inside the watermark window -> dropped
+      ms.addData(("a", t("2024-01-01 00:00:30"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 2, s"expected {a,b} once each: ${rows.mkString(", ")}")
+      assert(rows.map(_.getString(0)).sorted.sameElements(Array("a", "b")))
+      // state is bounded: the plan uses the watermark-evicting operator
+      assert(q.lastProgress.stateOperators.exists(
+        _.operatorName.contains("dedupe")),
+        s"expected a dedupe state operator: ${q.lastProgress}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]
