@@ -95,20 +95,59 @@ object Lake {
     val tmp = path.stripSuffix("/") + "_compacting"
     df.repartition(files).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp)
+    swapInto(spark, tmp, path)
+  }
+
+  /** Rename-aside directory swap shared by [[compact]] and
+    * [[upsertByKey]]: original → `_old`, tmp → original, delete `_old`.
+    * Old data survives every failure point; the reader-visible no-data
+    * window is one rename.
+    */
+  private def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_old")
     val fs = target.getFileSystem(conf)
-    fs.delete(old, true) // leftover of a previously-failed compact
+    fs.delete(old, true) // leftover of a previously-failed swap
     if (!fs.rename(target, old))
       throw new java.io.IOException(
-        s"compact: rename $path -> $old failed; table untouched, new data at $tmp")
+        s"swap: rename $path -> $old failed; table untouched, new data at $tmp")
     if (!fs.rename(tmpPath, target)) {
       fs.rename(old, target) // roll back so readers keep the old files
       throw new java.io.IOException(
-        s"compact: rename $tmp -> $path failed; original restored")
+        s"swap: rename $tmp -> $path failed; original restored")
     }
     fs.delete(old, true)
+  }
+
+  /** K-layer extension: keyed upsert into a parquet directory — the
+    * lake analogue of the reference's JDBC append (K3) + UPDATE (K6)
+    * pair for the refined zone. Parquet is immutable, so upsert =
+    * anti-join existing rows against the incoming keys, union the
+    * increment, rewrite, swap.
+    *
+    * Scale contract: point `path` at ONE partition directory (the day /
+    * acao dir the increment touches), not a table root — the rewrite is
+    * O(partition), and partition pruning keeps concurrent readers off
+    * the swap. Row-level MERGE without the rewrite needs a table format
+    * (Delta/Iceberg); this is the non-transactional Hive-style
+    * equivalent, same contract as every INSERT OVERWRITE.
+    */
+  def upsertByKey(spark: SparkSession, increment: DataFrame, path: String,
+      key: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      increment.write.option("compression", "snappy").parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "_upserting"
+    existing
+      .join(increment.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(increment)
+      .write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    swapInto(spark, tmp, path)
   }
 }

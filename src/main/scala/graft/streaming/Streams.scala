@@ -137,6 +137,34 @@ object Streams {
         graft.ingest.Jdbc.append(batch, url, table)
       }
 
+  /** Stream-stream enrichment join (§2.9 extension): ticks joined to a
+    * second stream of reference updates (the streaming twin of j1's
+    * dim join — e.g. enriching a Firehose tick stream with a
+    * slowly-updating quote/rate stream). Both sides carry watermarks
+    * and the join condition bounds the event-time distance, so Spark
+    * can evict buffered rows once the watermark passes the bound —
+    * state is O(rows within the interval), independent of stream
+    * length. An unbounded-condition stream-stream join would buffer
+    * both streams forever; Spark rejects it in append mode, and this
+    * API makes the bound explicit.
+    *
+    * Inner join: a tick emits when (and only when) a reference row for
+    * its key exists within `maxDelay` BEFORE the tick — the "enrich
+    * with the latest known rate" contract under at-least-once delivery.
+    */
+  def enrichStream(ticks: DataFrame, refs: DataFrame, key: String,
+      tickTs: String, refTs: String,
+      lateness: String = "10 minutes",
+      maxDelay: String = "1 hour"): DataFrame = {
+    val t = ticks.withWatermark(tickTs, lateness)
+    val r = refs.withWatermark(refTs, lateness)
+    t.join(r,
+      t(key) === r(key) &&
+        r(refTs) <= t(tickTs) &&
+        r(refTs) >= t(tickTs) - expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   /** Streaming exact dedup (§2.9 × the dedup layer): the streaming twin
     * of [[graft.text.Dedup.dropExactDuplicates]] — a training-data
     * ingest stream dropping records already seen by key.
