@@ -199,13 +199,31 @@ object CoreQueries {
     * the frame the reference's WHERE-range query only approximates.
     * Daily pre-aggregation first, so the range frame slides over one
     * row per (supplier, day) — at 100 TB the pre-agg shrinks the window
-    * input by the per-day row count, and both shuffles share the
-    * supplier partitioning. Decimal-cast sums: a range frame's CONTENT
-    * is deterministic but engines accumulate its rows in different
-    * orders.
+    * input by the per-day row count.
+    *
+    * ONE exchange, not two: the explicit `repartition(l_suppkey)`
+    * hash-partitions on the supplier alone, which satisfies BOTH the
+    * aggregate's ClusteredDistribution(l_suppkey, day) (a partitioning
+    * on a subset of the grouping keys co-locates every group) and the
+    * window's ClusteredDistribution(l_suppkey) — so the agg and the
+    * window run back-to-back in one stage with no second shuffle.
+    * Without it the agg exchanges on (l_suppkey, day), which does NOT
+    * satisfy the window's supplier-only requirement, and the plan pays
+    * a second exchange (the r3 two-exchange shape). Trade-off, measured
+    * in PROGRESS r4: the one-shuffle form moves the exchange BELOW the
+    * aggregate, giving up map-side combine — it shuffles the pruned
+    * 3-column lineitem rows instead of partially-agged (supp, day)
+    * rows. At sf0.1 density (~1.5 rows per supplier-day) the partial
+    * agg removes almost nothing, so one shuffle wins; at 100 TB with
+    * many rows per supplier-day, flip back to the plain two-exchange
+    * groupBy whose first shuffle carries combiner-reduced rows.
+    * Decimal-cast sums: a range frame's CONTENT is deterministic but
+    * engines accumulate its rows in different orders.
     */
   def w6RangeRolling(s: SparkSession, d: String): DataFrame = {
     val daily = lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"),
         datediff(col("l_shipdate"), lit("1970-01-01")).as("day"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("day_qty"))
