@@ -149,8 +149,14 @@ object Streams {
     * API makes the bound explicit.
     *
     * Inner join: a tick emits when (and only when) a reference row for
-    * its key exists within `maxDelay` BEFORE the tick — the "enrich
-    * with the latest known rate" contract under at-least-once delivery.
+    * its key exists within `maxDelay` BEFORE the tick. MULTI-MATCH
+    * FAN-OUT: this is a relational join, so a tick whose interval
+    * covers N reference updates emits N rows — one per matching ref —
+    * not one row with "the latest". That shape is what a training-data
+    * pipeline usually wants anyway (every applicable rate revision,
+    * immediately, per micro-batch); when the contract really is
+    * one-row-per-tick, use [[enrichStreamLatest]], and pay its
+    * watermark-delayed emission.
     */
   def enrichStream(ticks: DataFrame, refs: DataFrame, key: String,
       tickTs: String, refTs: String,
@@ -163,6 +169,32 @@ object Streams {
         r(refTs) <= t(tickTs) &&
         r(refTs) >= t(tickTs) - expr(s"INTERVAL $maxDelay"))
       .drop(r(key))
+  }
+
+  /** [[enrichStream]] reduced to ONE output row per tick: the reference
+    * row with the greatest `refTs` within the interval wins (`max_by`
+    * over a struct of the ref columns). Chained stateful operators —
+    * interval join, then an append-mode aggregation grouped on the
+    * tick's columns (including its watermarked event-time column) — so
+    * a tick's row emits only once the watermark passes its event time:
+    * latency ≥ `lateness`, the price of knowing no later in-interval
+    * ref can still arrive. State stays bounded on both operators (the
+    * join evicts by interval, the agg by watermark). Requires tick and
+    * ref column names to be disjoint apart from `key`, and tick rows
+    * to be unique (duplicate identical ticks collapse into one group).
+    */
+  def enrichStreamLatest(ticks: DataFrame, refs: DataFrame, key: String,
+      tickTs: String, refTs: String,
+      lateness: String = "10 minutes",
+      maxDelay: String = "1 hour"): DataFrame = {
+    val joined = enrichStream(ticks, refs, key, tickTs, refTs, lateness, maxDelay)
+    val tickCols = ticks.columns.toSeq
+    val refCols = refs.columns.toSeq.filterNot(_ == key)
+    joined
+      .groupBy(tickCols.map(col): _*)
+      .agg(max_by(struct(refCols.map(col): _*), col(refTs)).as("_latest"))
+      .select(tickCols.map(col) ++
+        refCols.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
   /** Streaming exact dedup (§2.9 × the dedup layer): the streaming twin

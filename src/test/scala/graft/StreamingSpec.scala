@@ -178,6 +178,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStream: in-interval refs join (with documented fan-out), no-ref ticks emit nothing, join state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val ticks = MemoryStream[(String, Timestamp, Double)]
+    val refs = MemoryStream[(String, Timestamp, Double)]
+    val enriched = Streams.enrichStream(
+      ticks.toDF().toDF("key", "ts", "value"),
+      refs.toDF().toDF("key", "rts", "rate"),
+      "key", "ts", "rts", lateness = "10 minutes", maxDelay = "1 hour")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      refs.addData(
+        ("a", t("2024-01-01 09:30:00"), 1.5), // in interval for a@10:00
+        ("a", t("2024-01-01 09:45:00"), 2.5), // also in interval -> fan-out
+        ("b", t("2024-01-01 05:00:00"), 9.9)) // 5 h before b's tick -> outside maxDelay
+      ticks.addData(
+        ("a", t("2024-01-01 10:00:00"), 100.0),
+        ("b", t("2024-01-01 10:00:00"), 200.0), // only an out-of-interval ref -> nothing
+        ("c", t("2024-01-01 10:00:00"), 300.0)) // no ref at all -> nothing
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+      // the 'a' tick emits once per in-interval ref (documented multi-match contract)
+      assert(rows.length == 2, s"expected a's two-ref fan-out only: ${rows.mkString(", ")}")
+      assert(rows.forall(r => r.getString(0) == "a" && r.getDouble(2) == 100.0))
+      assert(rows.map(_.getDouble(4)).sorted.sameElements(Array(1.5, 2.5)))
+      // interval-bounded state: the operator is the symmetric hash join...
+      val joinOp = q.lastProgress.stateOperators
+        .find(_.operatorName.contains("symmetricHashJoin"))
+      assert(joinOp.isDefined, s"expected a stream-stream join operator: ${q.lastProgress}")
+      val before = joinOp.get.numRowsTotal
+      // ...and advancing the watermark a day evicts the buffered day-1 rows
+      ticks.addData(("z", t("2024-01-02 10:00:00"), 1.0))
+      refs.addData(("z", t("2024-01-02 10:00:00"), 7.0))
+      q.processAllAvailable()
+      ticks.addData(("z", t("2024-01-02 10:00:05"), 2.0))
+      refs.addData(("z", t("2024-01-02 10:00:05"), 8.0))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators
+        .find(_.operatorName.contains("symmetricHashJoin")).get.numRowsTotal
+      assert(after < before,
+        s"join state did not shrink after the watermark passed day 1: $before -> $after")
+    } finally q.stop()
+  }
+
+  test("enrichStreamLatest: ONE row per tick carrying the newest in-interval ref, after the watermark closes the tick") {
+    implicit val sqlCtx = spark.sqlContext
+    val ticks = MemoryStream[(String, Timestamp, Double)]
+    val refs = MemoryStream[(String, Timestamp, Double)]
+    val enriched = Streams.enrichStreamLatest(
+      ticks.toDF().toDF("key", "ts", "value"),
+      refs.toDF().toDF("key", "rts", "rate"),
+      "key", "ts", "rts", lateness = "10 minutes", maxDelay = "1 hour")
+    val q = enriched.writeStream.format("memory").queryName("enrich_latest_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      refs.addData(("a", t("2024-01-01 09:30:00"), 1.5),
+        ("a", t("2024-01-01 09:45:00"), 2.5))
+      ticks.addData(("a", t("2024-01-01 10:00:00"), 100.0))
+      q.processAllAvailable()
+      // append-mode agg holds the 10:00 group until the watermark passes
+      assert(spark.table("enrich_latest_out").isEmpty,
+        "group emitted before the watermark closed it")
+      // advance both sides' watermarks past 10:00 + lateness
+      ticks.addData(("a", t("2024-01-01 11:00:00"), 1.0))
+      refs.addData(("a", t("2024-01-01 11:00:00"), 9.0))
+      q.processAllAvailable()
+      ticks.addData(("a", t("2024-01-01 12:00:00"), 1.0))
+      refs.addData(("a", t("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_latest_out").collect()
+        .filter(_.getTimestamp(1) == t("2024-01-01 10:00:00"))
+      assert(rows.length == 1,
+        s"expected one reduced row for the 10:00 tick: ${rows.mkString(", ")}")
+      val r = rows.head
+      assert(r.getString(0) == "a" && r.getDouble(2) == 100.0)
+      assert(r.getTimestamp(3) == t("2024-01-01 09:45:00")) // the LATEST in-interval ref
+      assert(r.getDouble(4) == 2.5)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]
