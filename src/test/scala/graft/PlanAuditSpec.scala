@@ -94,6 +94,60 @@ class PlanAuditSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("selective dim filter prunes fact partitions at RUNTIME (dynamic partition pruning, r3 verdict #4)") {
+    // Static pruning (test above) needs the literal in the query. At
+    // 100 TB the common shape is j4's: the partition values come from a
+    // FILTERED DIM, known only at runtime — DPP must inject a
+    // dynamicpruningexpression into the fact scan so the other
+    // partitions' files are never listed into tasks. The reference's
+    // (acao, created_at)-partitioned refined zone is the analogue.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    (1 to 3).foreach { d =>
+      graft.lake.Lake.writeRawDaily(
+        Seq((s"C$d", d.toLong)).toDF("cod", "qtde_teorica"),
+        dir, java.time.LocalDate.of(2025, 8, d))
+    }
+    val fact = spark.read.parquet(dir)
+    // the dim must be a REAL source (a LocalRelation folds the filter
+    // into its rows, leaving no selective predicate for DPP to key on),
+    // and its key must match the inferred int type of the partition col
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq((1, "keep"), (2, "drop"), (3, "drop")).toDF("dia", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim, "dia")
+      .filter(org.apache.spark.sql.functions.col("tag") === "keep")
+      .select("cod", "qtde_teorica", "dia")
+    val rows = joined.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("C1"), // only day 1 survives
+      s"wrong rows: ${rows.mkString(", ")}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan has no dynamic pruning filter:\n$plan")
+    // and the runtime scan touched exactly one partition's file
+    // (walk through AQE wrappers — collect() does not descend into them)
+    def factScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val self = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.output.exists(_.name == "cod") => Seq(f)
+        case _ => Nil
+      }
+      self ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          factScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          factScans(q.plan)
+        case other => other.children.flatMap(factScans)
+      })
+    }
+    val scans = factScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no fact file scan found:\n$plan")
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"expected 1 of 3 partition files read, got ${scans.head.metrics("numFiles").value}")
+  }
+
   test("documents scan prunes to the columns the dedup queries read") {
     val plan = Dedup.d1ExactDedup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
