@@ -114,9 +114,16 @@ object Lake {
       throw new java.io.IOException(
         s"swap: rename $path -> $old failed; table untouched, new data at $tmp")
     if (!fs.rename(tmpPath, target)) {
-      fs.rename(old, target) // roll back so readers keep the old files
+      // roll back so readers keep the old files — and if THAT rename
+      // also fails, say where the data actually is instead of claiming
+      // a restore that didn't happen
+      val restored = fs.rename(old, target)
       throw new java.io.IOException(
-        s"swap: rename $tmp -> $path failed; original restored")
+        if (restored)
+          s"swap: rename $tmp -> $path failed; original restored"
+        else
+          s"swap: rename $tmp -> $path failed AND rollback failed; " +
+            s"$path is EMPTY — original data at $old, new data at $tmp")
     }
     fs.delete(old, true)
   }
@@ -132,7 +139,18 @@ object Lake {
     * O(partition), and partition pruning keeps concurrent readers off
     * the swap. Row-level MERGE without the rewrite needs a table format
     * (Delta/Iceberg); this is the non-transactional Hive-style
-    * equivalent, same contract as every INSERT OVERWRITE.
+    * equivalent, same contract as every INSERT OVERWRITE. (Adjudicated
+    * r4: neither format's jars exist in this environment's offline
+    * cache, so MERGE is not implementable here — see PROGRESS.)
+    *
+    * Caller contract (r3 review): the INCREMENT must be key-unique —
+    * only EXISTING rows are anti-joined, so two same-key rows arriving
+    * in one increment are both kept (dedup upstream; an implicit
+    * dropDuplicates here would pick an arbitrary winner and hide the
+    * bug). SINGLE WRITER assumed: the exists/write check and the swap
+    * are not atomic against a concurrent upsert into the same path —
+    * serialize per-partition upserts (the reference's daily-job cadence
+    * does this by construction); concurrent writers need Delta/Iceberg.
     */
   def upsertByKey(spark: SparkSession, increment: DataFrame, path: String,
       key: String): Unit = {

@@ -295,21 +295,36 @@ object Streams {
     * processed all currently-available input or `timeoutMs` elapses —
     * returns false on expiry. `processAllAvailable` itself blocks
     * unboundedly (a hung/slow-trigger query never returns), so it runs
-    * on a bounded-join daemon thread; the abandoned thread parks
-    * harmlessly until the query stops.
+    * on a bounded-join daemon thread. ONE poller per query id (r3
+    * review): polling a stuck query in a loop re-joins the same parked
+    * thread instead of accumulating one blocked thread per call —
+    * sound, because processAllAvailable keeps re-checking for new input
+    * until it returns, so an in-flight poll covers everything available
+    * at any later join too.
     */
   def awaitProcessed(q: StreamingQuery, timeoutMs: Long = 60000): Boolean = {
     if (!q.isActive) return true
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val t = new Thread(() => {
-      try { q.processAllAvailable(); done.set(true) }
-      catch { case _: Throwable => () }
-    }, s"graft-awaitProcessed-${q.id}")
-    t.setDaemon(true)
-    t.start()
-    t.join(timeoutMs)
-    done.get() || !q.isActive
+    val entry = pollers.compute(q.id, (_, existing) => {
+      if (existing != null && existing._1.isAlive) existing
+      else {
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val t = new Thread(() => {
+          try { q.processAllAvailable(); done.set(true) }
+          catch { case _: Throwable => () }
+          finally { pollers.remove(q.id) }
+        }, s"graft-awaitProcessed-${q.id}")
+        t.setDaemon(true)
+        t.start()
+        (t, done)
+      }
+    })
+    entry._1.join(timeoutMs)
+    entry._2.get() || !q.isActive
   }
+
+  private val pollers = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID,
+    (Thread, java.util.concurrent.atomic.AtomicBoolean)]()
 
   /** One-line status snapshot (T4's poll body). */
   def statusOf(q: StreamingQuery): String =

@@ -170,6 +170,35 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!salted.columns.contains("__salt"))
   }
 
+  test("saltedLeft is row-identical to the plain left join (matched + null-padded rows)") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.lake.Tables.orders(spark, sf)
+    // dim covering only some keys, so unmatched big rows must null-pad
+    val c = graft.lake.Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .filter(col("o_custkey") % 3 === 0)
+    val plain = o.join(c, Seq("o_custkey"), "left")
+    val salted = graft.ops.SkewJoin.saltedLeft(o, c, "o_custkey", salts = 8)
+    assert(salted.count() == plain.count())
+    val nullsPlain = plain.filter(col("c_name").isNull).count()
+    val nullsSalted = salted.filter(col("c_name").isNull).count()
+    assert(nullsPlain > 0 && nullsSalted == nullsPlain,
+      s"null-pad mismatch: plain=$nullsPlain salted=$nullsSalted")
+    assert(!salted.columns.contains("__salt"))
+  }
+
+  test("salting tolerates unhashable (map-typed) columns in the big side (r3 review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map}
+    val big = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+      .withColumn("m", map(col("v"), col("v"))) // hash(map) throws by default
+    val small = Seq((1, "x"), (3, "y")).toDF("k", "s")
+    val inner = graft.ops.SkewJoin.saltedInner(big, small, "k", salts = 4)
+    assert(inner.count() == 2)
+    val left = graft.ops.SkewJoin.saltedLeft(big, small, "k", salts = 4)
+    assert(left.count() == 3 && left.filter(col("s").isNull).count() == 1)
+  }
+
   test("simhash/minhash signature stages are narrow (no shuffle before the band join)") {
     // one Exchange for the self-join key + one for the final sort is
     // expected; the signature computation itself must not add one.

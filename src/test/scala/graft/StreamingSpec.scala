@@ -124,6 +124,14 @@ class StreamingSpec extends AnyFunSuite {
         "awaitProcessed returned true while the batch was stuck")
       val waitedMs = (System.nanoTime() - t0) / 1e6
       assert(waitedMs >= 900, s"returned before the timeout: $waitedMs ms")
+      // r3 review: tight-loop polling must RE-JOIN the one parked
+      // poller, not accumulate a new blocked thread per call
+      (1 to 3).foreach(_ => assert(!Streams.awaitProcessed(q, timeoutMs = 200)))
+      import scala.jdk.CollectionConverters._
+      val pollerThreads = Thread.getAllStackTraces.keySet.asScala
+        .count(_.getName == s"graft-awaitProcessed-${q.id}")
+      assert(pollerThreads == 1,
+        s"expected one reused poller thread, found $pollerThreads")
     } finally { gate.countDown(); q.stop() }
   }
 
