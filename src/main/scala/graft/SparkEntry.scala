@@ -29,9 +29,6 @@ object SparkEntry {
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries
 
-  /** mm3 is deliberately absent: per-partition Scala decode kernels
-    * have no SQL mirror — the driver records its rows-only check.
-    */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++

@@ -108,8 +108,14 @@ object Multimodal {
       }
   }
 
-  /** Query form of mm3 (rows-only driver check: per-partition Scala
-    * kernels have no DuckDB mirror by design).
+  /** Query form of mm3 — oracle-checked since r4: the stub's strided
+    * 31-polynomial IS expressible in DuckDB (verdict #8 stretch). The
+    * SQL walks the same byte positions (`range(idx, len, step)`) and
+    * folds the same update, with 64-bit wraparound emulated in HUGEINT
+    * (`% 2^64`, signed-mapped at the end) because DuckDB's BIGINT
+    * arithmetic errors on overflow instead of wrapping. Byte == ord of
+    * the char at the same index holds because the corpus is ASCII
+    * (payload is UTF-8 of text; asserted in MultimodalSpec).
     */
   def mm3Query(s: SparkSession, d: String): DataFrame =
     mm3FrameSample(s, d).toDF().orderBy("media_id", "frame_idx")
@@ -120,8 +126,32 @@ object Multimodal {
     "mm3_frame_sample"  -> (mm3Query _),
   )
 
-  /** mm3 is rows-only (mapPartitions kernel, no SQL mirror). */
   def oracles: Map[String, String] = Map(
+    "mm3_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, text, len, greatest(1, len // 16) AS step
+        |  FROM m),
+        |fr AS (
+        |  SELECT media_id, text, len, step, CAST(t.i AS INTEGER) AS frame_idx
+        |  FROM f, range(4) t(i)),
+        |h AS (
+        |  SELECT media_id, frame_idx,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(frame_idx, len, step),
+        |                       p -> ord(substr(text, p + 1, 1))::HUGEINT)),
+        |      (acc, b) -> (31 * acc + b) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM fr)
+        |SELECT media_id, frame_idx,
+        |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |            THEN hu - 18446744073709551616::HUGEINT
+        |            ELSE hu END AS BIGINT) AS frame_hash
+        |FROM h
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

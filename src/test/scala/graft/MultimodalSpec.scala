@@ -34,6 +34,20 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.frame_idx, f.frame_hash)).toSet)
   }
 
+  test("mm3 oracle precondition: the corpus is ASCII (byte == char ord)") {
+    // The DuckDB oracle walks CHARACTERS (ord(substr(text, p+1, 1)))
+    // where the Scala kernel walks payload BYTES. Those coincide iff
+    // every byte is < 0x80 — i.e. one byte per char and ord == signed
+    // byte value. Pin it, so a future non-ASCII corpus fails HERE with
+    // a named cause instead of as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = graft.lake.Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii docs have multi-byte chars; mm3's SQL oracle is invalid for them")
+  }
+
   test("mm2 features are ANN-ready: 8-dim doubles in [0,1)") {
     val rows = Multimodal.mm2FeatureVectors(spark, sf).collect()
     assert(rows.forall { r =>
