@@ -123,6 +123,30 @@ object CoreQueries {
         .as("revenue"))
       .orderBy("n_name")
 
+  /** §2.4 extension: AS-OF join (brief's named custom-operator example)
+    * — click-to-view attribution on the events stream: every click
+    * joined to the user's latest view at or before it. Semantics and
+    * scale shape in [[graft.ops.AsOfJoin]]; the oracle is DuckDB's
+    * native ASOF JOIN. Views are pre-deduped to one row per (user, ts)
+    * keeping max event_id — the determinism contract for equal-ts
+    * reference rows. Timestamps leave as epoch micros (raw timestamp
+    * dtypes mismatch in the driver's compare).
+    */
+  def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_id"))
+      .select(col("user_id"), col("view_ts"), col("view_id"))
+    graft.ops.AsOfJoin.asOf(clicks, views, "user_id", "ts", "view_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        unix_micros(col("view_ts")).as("view_ts_us"), col("view_id"))
+      .orderBy("event_id")
+  }
+
   /** §2.6 windows: row_number partitioned top-N (top-3 orders per customer
     * by totalprice; orderkey tiebreak keeps it deterministic).
     */
@@ -437,6 +461,7 @@ object CoreQueries {
     "j2_semi_join"        -> (j2SemiJoin _),
     "j3_anti_join"        -> (j3AntiJoin _),
     "j4_star_join"        -> (j4StarJoin _),
+    "j5_asof_join"        -> (j5AsofJoin _),
     "w1_window_topn"      -> (w1WindowTopn _),
     "w2_running_sum"      -> (w2RunningSum _),
     "w3_lag_lead"         -> (w3LagLead _),
@@ -501,6 +526,18 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "j5_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS view_ts, CAST(max(event_id) AS BIGINT) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+        |  epoch_us(v.view_ts) AS view_ts_us, v.view_id
+        |FROM clicks c ASOF JOIN views v
+        |  ON c.user_id = v.user_id AND v.view_ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
     "w1_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+/** AS-OF join semantics (the §2.4 extension behind j5_asof_join). */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "l1"),
+    (1L, ts("2024-01-01 12:00:00"), "l2"),
+    (2L, ts("2024-01-01 09:00:00"), "l3"), // before any right row for key 2
+    (3L, ts("2024-01-01 10:00:00"), "l4")  // key with no right rows at all
+  ).toDF("k", "lts", "ltag")
+
+  private val right = Seq(
+    (1L, ts("2024-01-01 09:30:00"), 9.5),
+    (1L, ts("2024-01-01 10:00:00"), 10.0), // equal-ts tie with l1 -> inclusive
+    (1L, ts("2024-01-01 11:00:00"), 11.0),
+    (2L, ts("2024-01-01 09:30:00"), 93.0)
+  ).toDF("k", "rts", "rate")
+
+  test("each left row gets the latest right row at or before it; inner drops unmatched") {
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts")
+      .orderBy("k", "lts").collect()
+    assert(out.map(r => (r.getString(2), r.getDouble(4))).toSeq ==
+      Seq(("l1", 10.0), ("l2", 11.0))) // equal-ts matches; l3/l4 dropped
+  }
+
+  test("left variant keeps unmatched rows null-padded") {
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts", joinType = "left")
+      .orderBy("k", "lts").collect()
+    assert(out.length == left.count())
+    val unmatched = out.filter(_.isNullAt(3)).map(_.getString(2)).toSet
+    assert(unmatched == Set("l3", "l4"))
+  }
+
+  test("no join fan-out: the plan is union+window, not a range join") {
+    val df = AsOfJoin.asOf(left, right, "k", "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected a join-free plan:\n$plan")
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+  }
+
+  test("matches the naive O(LxR) encoding on real data (j5 shape)") {
+    val ev = graft.lake.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_id"))
+    val fast = AsOfJoin.asOf(clicks, views, "user_id", "ts", "view_ts")
+      .select("event_id", "view_id")
+    val naive = clicks.join(views, Seq("user_id"))
+      .filter(col("view_ts") <= col("ts"))
+      .groupBy("event_id")
+      .agg(max_by(col("view_id"), struct(col("view_ts"), col("view_id"))).as("view_id"))
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "as-of result differs from the naive reference")
+  }
+
+  test("overlapping non-key column names are rejected") {
+    val bad = right.withColumnRenamed("rts", "lts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, bad, "k", "lts", "lts")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}
