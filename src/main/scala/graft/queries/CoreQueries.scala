@@ -147,6 +147,27 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** §2.4 extension: RANGE (band) join — views within the hour before
+    * each click, counted per click. Spark would plan the raw inequality
+    * condition as a nested-loop join; [[graft.ops.RangeJoin]] keeps it
+    * an equi-join on (user, time-bucket) with an exact post-filter
+    * (plan pinned join-shape-safe in RangeJoinSpec). Inner-join shape:
+    * clicks with zero in-window views don't appear (the oracle's plain
+    * JOIN agrees).
+    */
+  def j6RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    graft.ops.RangeJoin.banded(clicks, views, "user_id", "ts", "vts",
+        beforeSec = 3600, afterSec = 0)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy("event_id")
+  }
+
   /** §2.6 windows: row_number partitioned top-N (top-3 orders per customer
     * by totalprice; orderkey tiebreak keeps it deterministic).
     */
@@ -462,6 +483,7 @@ object CoreQueries {
     "j3_anti_join"        -> (j3AntiJoin _),
     "j4_star_join"        -> (j4StarJoin _),
     "j5_asof_join"        -> (j5AsofJoin _),
+    "j6_range_join"       -> (j6RangeJoin _),
     "w1_window_topn"      -> (w1WindowTopn _),
     "w2_running_sum"      -> (w2RunningSum _),
     "w3_lag_lead"         -> (w3LagLead _),
@@ -538,6 +560,15 @@ object CoreQueries {
         |FROM clicks c ASOF JOIN views v
         |  ON c.user_id = v.user_id AND v.view_ts <= c.ts
         |ORDER BY event_id""".stripMargin,
+    "j6_range_join" ->
+      """SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_views
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts AS vts FROM events
+        |      WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.vts >= c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
     "w1_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
