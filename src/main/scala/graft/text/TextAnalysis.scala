@@ -126,6 +126,37 @@ object TextAnalysis {
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Two-pass exact heavy hitters via the Misra-Gries sketch (brief's
+    * "novel sketch" slot): tokens appearing in ≥ 1/500th of the token
+    * stream. Pass 1 reduces the stream to ≤ k=1000 candidate counters
+    * per map task ([[graft.functions.FreqSketchAggregator]] — the
+    * shuffle carries k rows per task, NOT one per distinct token, the
+    * plain groupBy's billions-of-keys trap at 100 TB); the MG bound
+    * (undercount ≤ n/(k+1) < n/500) guarantees the candidate set is a
+    * SUPERSET of the answer. Pass 2 exact-counts only candidate tokens
+    * (broadcast array_contains filter) and applies the threshold —
+    * deterministic exact output, so a plain GROUP BY ... HAVING oracle
+    * applies. Threshold in integer math both sides: ceil(n/500) =
+    * (n + 499) div 500 — a float 0.002·n could round differently
+    * across engines at an exact boundary.
+    */
+  def t8FrequentTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = toks(s, d).select(explode(col("toks")).as("token"))
+    val sketch = new graft.functions.FreqSketchAggregator(1000).toColumn
+    val cands = tok.as[String]
+      .select(sketch.name("cands"))
+      .crossJoin(tok.agg(count(lit(1)).as("n_total")))
+    tok
+      .join(broadcast(cands))
+      .filter(array_contains(col("cands"), col("token")))
+      .groupBy(col("token"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= expr("(n_total + 499) div 500"))
+      .select(col("token"), col("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -154,9 +185,18 @@ object TextAnalysis {
     "t5_lang_id"       -> (t5LangId _),
     "t6_fingerprint"   -> (t6Fingerprint _),
     "t7_regex_tokens"  -> (t7RegexTokens _),
+    "t8_frequent_tokens" -> (t8FrequentTokens _),
   )
 
   def oracles: Map[String, String] = Map(
+    "t8_frequent_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY token
+        |HAVING count(*) >= (SELECT (n + 499) // 500 FROM tot)
+        |ORDER BY cnt DESC, token""".stripMargin,
     "t1_lang_profile" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
