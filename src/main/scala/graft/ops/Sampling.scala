@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deterministic, content-keyed sampling for training-data curation.
+  *
+  * `df.sample(rate)` / TABLESAMPLE draw from a per-partition RNG: the
+  * selected set changes with partition layout, task retries, and
+  * cluster topology — a re-run of a 100 TB curation job yields a
+  * DIFFERENT corpus, which poisons ablations and cache reuse. The
+  * content-keyed coin `h32(key ++ salt) % 1e6 < rate·1e6` gives every
+  * row a stable fate: reproducible across runs, engines (md5-portable,
+  * so the DuckDB oracle can replay it), and any repartitioning; a
+  * changed `salt` draws a fresh independent sample. Evaluates inside
+  * the scan's projection — no shuffle, no state, scan-bound like every
+  * quality filter.
+  *
+  * Rates are quantized to millionths (integer threshold): a double
+  * `rate * h` comparison can disagree across engines at boundary
+  * values; `pmod(h, 1e6) < floor(rate·1e6)` cannot.
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  private def coin(key: Column, salt: String): Column =
+    pmod(Hashing.h32(concat(key.cast("string"), lit(salt))), lit(M))
+
+  /** Keep each row iff its keyed coin lands below `rate`. */
+  def deterministic(df: DataFrame, key: Column, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    df.filter(coin(key, salt) < lit((rate * M).toLong))
+  }
+
+  /** Per-stratum rates (e.g. downsample dominant languages, keep rare
+    * ones whole) — the mixture-rebalancing step of corpus curation.
+    * Strata absent from `rates` fall back to `defaultRate`. The rate
+    * lookup compiles to a when-chain (codegen'd, broadcast-free);
+    * suited to the low-cardinality strata (language, source, license)
+    * curation actually keys on.
+    */
+  def stratified(df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val thresh = rates.foldLeft(lit((defaultRate * M).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(strata === lit(stratum), lit((rate * M).toLong)).otherwise(acc)
+    }
+    df.filter(coin(key, salt) < thresh)
+  }
+}

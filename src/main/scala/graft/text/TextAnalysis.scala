@@ -157,6 +157,20 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
   }
 
+  /** Stratified deterministic sample (the corpus-rebalancing step of
+    * curation): downsample the dominant language to 25%, keep the rest
+    * at 80%. Semantics + scale shape in [[graft.ops.Sampling]] — a
+    * content-keyed coin, reproducible across runs/engines/topologies,
+    * which is exactly why it CAN be oracle-checked (a rand() sample
+    * can't).
+    */
+  def t9StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.stratified(
+        documents(s, d), col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.25), defaultRate = 0.8, salt = "s1")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -186,6 +200,7 @@ object TextAnalysis {
     "t6_fingerprint"   -> (t6Fingerprint _),
     "t7_regex_tokens"  -> (t7RegexTokens _),
     "t8_frequent_tokens" -> (t8FrequentTokens _),
+    "t9_stratified_sample" -> (t9StratifiedSample _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -197,6 +212,12 @@ object TextAnalysis {
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (n + 499) // 500 FROM tot)
         |ORDER BY cnt DESC, token""".stripMargin,
+    "t9_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8)
+        |        AS BIGINT) % 1000000
+        |      < CASE WHEN lang = 'en' THEN 250000 ELSE 800000 END
+        |ORDER BY doc_id""".stripMargin,
     "t1_lang_profile" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
