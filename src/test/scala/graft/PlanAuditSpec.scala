@@ -148,6 +148,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected 1 of 3 partition files read, got ${scans.head.metrics("numFiles").value}")
   }
 
+  test("t8's recount pass broadcasts the sketch candidates (no second full-token shuffle)") {
+    // the sketch pass reduces to <= k candidates; if the recount joined
+    // them by shuffle the sketch would have bought nothing
+    val df = graft.text.TextAnalysis.t8FrequentTokens(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"candidates not broadcast into the recount:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch aggregation not an ObjectHashAggregate:\n$plan")
+  }
+
   test("documents scan prunes to the columns the dedup queries read") {
     val plan = Dedup.d1ExactDedup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
