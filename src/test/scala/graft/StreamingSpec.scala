@@ -268,6 +268,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deterministic sampling runs unchanged on a stream (stateless curation filter)") {
+    // the content-keyed coin is a pure projection-filter, so the same
+    // Sampling.deterministic call works on a streaming frame — and
+    // selects exactly the rows its batch twin selects (same keys, same
+    // coin), which a rand()-based sample cannot promise
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val sampled = graft.ops.Sampling.deterministic(
+      ms.toDF().toDF("doc_id"),
+      org.apache.spark.sql.functions.col("doc_id"), 0.5, salt = "st")
+    val q = sampled.writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(0L to 199L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Sampling.deterministic(
+        spark.range(200).toDF("doc_id"),
+        org.apache.spark.sql.functions.col("doc_id"), 0.5, salt = "st")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"stream/batch sample mismatch: ${streamed.size} vs ${batch.size}")
+      // stateless: no state store operator in the progress at all
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]
