@@ -36,15 +36,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param joinType "inner" drops left rows with no prior right row
-    *                 (DuckDB `ASOF JOIN`); "left" keeps them null-padded
-    *                 (`ASOF LEFT JOIN`).
+  /** @param joinType  "inner" drops left rows with no matching right
+    *                   row (DuckDB `ASOF JOIN`); "left" keeps them
+    *                   null-padded (`ASOF LEFT JOIN`).
+    * @param direction  "backward" (default): latest right at or before
+    *                   the left timestamp; "forward": earliest right at
+    *                   or after it (pandas merge_asof's directions).
+    * @param tolerance  optional bound on the match distance (e.g.
+    *                   "1 hour"): a carried right row further than this
+    *                   from the left timestamp is discarded — the
+    *                   "don't enrich with a stale quote" contract.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      direction: String = "backward",
+      tolerance: Option[String] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asOf supports inner|left, got $joinType")
+    require(direction == "backward" || direction == "forward",
+      s"asOf supports backward|forward, got $direction")
     val lp = left.columns.toSeq.filterNot(_ == key)
     val rp = right.columns.toSeq.filterNot(_ == key)
     require(lp.intersect(rp).isEmpty,
@@ -60,11 +71,28 @@ object AsOfJoin {
         lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rp.map(col): _*).as("__r"): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    // backward scans time ascending (latest right ≤ ts wins); forward
+    // scans descending (earliest right ≥ ts wins). Right rows sort
+    // before left rows at an equal timestamp either way — inclusive.
+    val order =
+      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc)
+      else Seq(col("__ts").desc, col("__side").asc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withTol = tolerance match {
+      case None => identity[org.apache.spark.sql.Column] _
+      case Some(t) =>
+        val near =
+          if (direction == "backward")
+            col(s"__r.$rightTs") >= col("__ts") - expr(s"INTERVAL $t")
+          else
+            col(s"__r.$rightTs") <= col("__ts") + expr(s"INTERVAL $t")
+        (r: org.apache.spark.sql.Column) => when(near, r)
+    }
     val carried = l2.unionByName(r2)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__r", withTol(col("__r")))
     val matched =
       if (joinType == "inner") carried.filter(col("__r").isNotNull)
       else carried

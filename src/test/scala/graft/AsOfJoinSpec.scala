@@ -40,6 +40,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(unmatched == Set("l3", "l4"))
   }
 
+  test("forward direction: earliest right at or after, inclusive at equal ts") {
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts",
+      direction = "forward").orderBy("k", "lts").collect()
+    // l1@10:00 -> r@10:00 (inclusive), l2@12:00 -> none (dropped),
+    // l3@09:00 -> r@09:30, l4 -> none
+    assert(out.map(r => (r.getString(2), r.getDouble(4))).toSeq ==
+      Seq(("l1", 10.0), ("l3", 93.0)))
+  }
+
+  test("tolerance discards matches further than the bound") {
+    // l2@12:00's backward match is r@11:00 — 1 h away; a 30 min
+    // tolerance must discard it, a 2 h tolerance must keep it
+    val tight = AsOfJoin.asOf(left, right, "k", "lts", "rts",
+      tolerance = Some("30 minutes")).orderBy("k", "lts").collect()
+    assert(tight.map(r => (r.getString(2), r.getDouble(4))).toSeq ==
+      Seq(("l1", 10.0))) // l2's stale match gone
+    val loose = AsOfJoin.asOf(left, right, "k", "lts", "rts",
+      tolerance = Some("2 hours")).orderBy("k", "lts").collect()
+    assert(loose.map(r => (r.getString(2), r.getDouble(4))).toSeq ==
+      Seq(("l1", 10.0), ("l2", 11.0)))
+    // left join + tolerance: the discarded match null-pads instead
+    val padded = AsOfJoin.asOf(left, right, "k", "lts", "rts",
+      joinType = "left", tolerance = Some("30 minutes"))
+      .orderBy("k", "lts").collect()
+    assert(padded.length == 4)
+    assert(padded.filter(_.isNullAt(3)).map(_.getString(2)).toSet ==
+      Set("l2", "l3", "l4"))
+  }
+
   test("no join fan-out: the plan is union+window, not a range join") {
     val df = AsOfJoin.asOf(left, right, "k", "lts", "rts")
     val plan = df.queryExecution.executedPlan.toString
