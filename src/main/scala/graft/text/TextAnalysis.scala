@@ -144,9 +144,12 @@ object TextAnalysis {
     import s.implicits._
     val tok = toks(s, d).select(explode(col("toks")).as("token"))
     val sketch = new graft.functions.FreqSketchAggregator(1000).toColumn
+    // sketch + total in ONE typed select = one pass over the token
+    // stream (a separate count() would re-scan the whole corpus)
     val cands = tok.as[String]
-      .select(sketch.name("cands"))
-      .crossJoin(tok.agg(count(lit(1)).as("n_total")))
+      .select(sketch.name("cands"),
+        count(lit(1)).cast("long").as("n_total").as[Long])
+      .toDF("cands", "n_total")
     tok
       .join(broadcast(cands))
       .filter(array_contains(col("cands"), col("token")))
