@@ -34,29 +34,41 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects array<float|double> inputs, got " +
+        s"graft_dot expects array<float|double|tinyint> inputs, got " +
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
+
+  // array<tinyint> support serves the int8-quantized ANN path
+  // (sim/Quantization): int8×int8 products (≤ 127², summed over ≤ 2^38
+  // dims) are exactly representable as doubles, so the same sequential
+  // fold stays deterministic.
+  private def get(e: Expression, arr: String, i: String): String =
+    elemType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    def rd(e: Expression, d: ArrayData, i: Int): Double = elemType(e) match {
+      case FloatType => d.getFloat(i).toDouble
+      case ByteType => d.getByte(i).toDouble
+      case _ => d.getDouble(i)
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += rd(left, x, i) * rd(right, y, i)
       i += 1
     }
     acc
@@ -71,12 +83,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      val getX =
-        if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
-        else s"$a.getDouble($i)"
-      val getY =
-        if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
-        else s"$b.getDouble($i)"
+      val getX = get(left, a, i)
+      val getY = get(right, b, i)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
