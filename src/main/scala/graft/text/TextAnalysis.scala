@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.lake.Tables._
 import graft.functions.Hashing
@@ -174,6 +175,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Sequence packing (t10): assign each doc to a fixed token-budget
+    * context window — the batching step between curation and training.
+    * Greedy-in-order packing is inherently sequential; the scalable
+    * relational form packs PER SHARD (lang here; any bounded-size shard
+    * key works): pack_id = (tokens accumulated before this doc) div
+    * budget. One shuffle on the shard key, one in-partition running
+    * sum — same cost as any window query, no driver loop. Docs longer
+    * than the budget still get a pack (their own, plus spillover —
+    * the downstream splitter's contract, same as real pipelines).
+    * Deterministic given the (shard, doc_id) order, hence
+    * oracle-checkable.
+    */
+  def t10PackDocs(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks(s, d)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("tok_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"tok_before div ${budget}L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -204,6 +229,7 @@ object TextAnalysis {
     "t7_regex_tokens"  -> (t7RegexTokens _),
     "t8_frequent_tokens" -> (t8FrequentTokens _),
     "t9_stratified_sample" -> (t9StratifiedSample _),
+    "t10_pack_docs" -> ((s: SparkSession, d: String) => t10PackDocs(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -220,6 +246,14 @@ object TextAnalysis {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8)
         |        AS BIGINT) % 1000000
         |      < CASE WHEN lang = 'en' THEN 250000 ELSE 800000 END
+        |ORDER BY doc_id""".stripMargin,
+    "t10_pack_docs" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+        |    AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "t1_lang_profile" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -204,6 +204,25 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(df.head().getDouble(0) == (1 * 4 + -2 * 5 + 3 * -6).toDouble)
   }
 
+  test("t10 packing: hand-computed pack assignment at the budget boundary") {
+    import spark.implicits._
+    // token counts 1000,1500,600,2048,1 with budget 2048:
+    // tokens-before = 0,1000,2500,3100,5148 -> packs 0,0,1,1,2
+    val dir = java.nio.file.Files.createTempDirectory("pack").toString
+    Seq(
+      (0L, "en", ("w " * 1000).trim),
+      (1L, "en", ("w " * 1500).trim),
+      (2L, "en", ("w " * 600).trim),
+      (3L, "en", ("w " * 2048).trim),
+      (4L, "en", "w"))
+      .toDF("doc_id", "lang", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.text.TextAnalysis.t10PackDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)),
+      s"got ${out.toSeq}")
+  }
+
   test("salted join is row-identical to the plain join") {
     val o = graft.lake.Tables.orders(spark, sf)
     val c = graft.lake.Tables.customer(spark, sf)
