@@ -40,7 +40,12 @@ class FreqSketchAggregator(k: Int)
       case Some(c) => buf.updated(item, c + 1)
       case None if buf.size < k => buf.updated(item, 1L)
       case None =>
-        // full and item absent: decrement all, drop zeros (classic MG)
+        // full and item absent: decrement all, drop zeros (classic MG).
+        // O(k) when it fires — amortized fine because each firing sheds
+        // weight k+1 (total decrements across a slice of n items are
+        // ≤ n/(k+1) firings); the constant-time offset variant (global
+        // subtrahend + lazy per-entry catch-up) is the upgrade if a
+        // profiler ever shows this path hot.
         buf.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
     }
 
