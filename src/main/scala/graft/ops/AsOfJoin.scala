@@ -66,7 +66,11 @@ object AsOfJoin {
     val l2 = left.select(
       col(key) +: lit(1).as("__side") +: col(leftTs).as("__ts") +:
         lp.map(col) :+ lit(null).cast(rStruct).as("__r"): _*)
-    val r2 = right.select(
+    // a null-timestamp right row would sort to a partition edge and be
+    // carried as a spurious "nearest" match; in timestamp-comparison
+    // semantics (the naive encoding, DuckDB ASOF) null never matches —
+    // drop them, and null-ts LEFT rows get their carry erased below
+    val r2 = right.filter(col(rightTs).isNotNull).select(
       col(key) +: lit(0).as("__side") +: col(rightTs).as("__ts") +:
         lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rp.map(col): _*).as("__r"): _*)
@@ -92,6 +96,7 @@ object AsOfJoin {
     val carried = l2.unionByName(r2)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__r", when(col("__ts").isNotNull, col("__r")))
       .withColumn("__r", withTol(col("__r")))
     val matched =
       if (joinType == "inner") carried.filter(col("__r").isNotNull)

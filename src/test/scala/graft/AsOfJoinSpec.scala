@@ -94,6 +94,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       "as-of result differs from the naive reference")
   }
 
+  test("null timestamps never match (either side, either direction)") {
+    // a null-rts right row used to sort to the partition edge and be
+    // carried as a spurious nearest match; null-lts left rows picked
+    // one up under forward. Timestamp-comparison semantics: no match.
+    val nl = left.union(Seq((1L, null.asInstanceOf[java.sql.Timestamp], "lnull"))
+      .toDF("k", "lts", "ltag"))
+    val nr = right.union(Seq((1L, null.asInstanceOf[java.sql.Timestamp], 666.0))
+      .toDF("k", "rts", "rate"))
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.asOf(nl, nr, "k", "lts", "rts",
+        joinType = "left", direction = dir).collect()
+      assert(out.length == nl.count(), s"$dir lost rows")
+      // the null-ts left row is null-padded, never enriched
+      val lnull = out.filter(r => !r.isNullAt(1) == false && r.getString(2) == "lnull")
+      assert(lnull.forall(_.isNullAt(3)), s"$dir: null-lts row matched: ${lnull.mkString}")
+      // no row anywhere matched the null-rts right row
+      assert(!out.exists(r => !r.isNullAt(4) && r.getDouble(4) == 666.0),
+        s"$dir: null-rts right row leaked into a match")
+    }
+  }
+
   test("overlapping non-key column names are rejected") {
     val bad = right.withColumnRenamed("rts", "lts")
     val e = intercept[IllegalArgumentException] {
