@@ -36,8 +36,37 @@ object Pipelines {
       .orderBy("lang")
   }
 
+  /** The round-4 curation chain: quality filter → exact dedup →
+    * stratified downsample → sequence packing, ONE declarative plan.
+    * Stage order is the at-scale playbook again — the scan-bound
+    * quality filter and the keyed sample both prune before the dedup
+    * shuffle... except the sample must run AFTER dedup (sampling first
+    * could keep a duplicate whose lower-id twin was sampled out,
+    * changing which survivor dedup picks — order matters and is part
+    * of the pipeline's contract). Packing runs last over exactly the
+    * surviving docs. Every stage is deterministic, so the whole chain
+    * is oracle-checked end-to-end.
+    */
+  def pipeCuratePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = documents(s, d).filter(expr(s"$qualityBpSql >= 6500"))
+    val exact = Dedup.dropExactDuplicates(quality)
+    val sampled = graft.ops.Sampling.stratified(
+      exact, col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.5), defaultRate = 0.9, salt = "cur")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sampled
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("tok_before div 2048L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_docs_prep" -> (pipeDocsPrep _))
+    "pipe_docs_prep" -> (pipeDocsPrep _),
+    "pipe_curate_pack" -> (pipeCuratePack _))
 
   private val qualityBpDuck =
     """floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
@@ -46,6 +75,27 @@ object Pipelines {
       |     / len(string_split(text, ' '))) * 0.5) * 10000.0)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "pipe_curate_pack" -> (
+      s"""WITH qdocs AS (
+         |  SELECT * FROM documents WHERE $qualityBpDuck >= 6500
+         |), ex AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS xrn FROM qdocs
+         |), samp AS (
+         |  SELECT doc_id, lang, text FROM ex
+         |  WHERE xrn = 1
+         |    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 8)
+         |          AS BIGINT) % 1000000
+         |        < CASE WHEN lang = 'en' THEN 500000 ELSE 900000 END
+         |), tok AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+         |  FROM samp
+         |)
+         |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+         |    AS BIGINT) AS pack_id
+         |FROM tok ORDER BY doc_id""".stripMargin),
     "pipe_docs_prep" -> (
       s"""WITH qdocs AS (
          |  SELECT * FROM documents WHERE $qualityBpDuck >= 6500
