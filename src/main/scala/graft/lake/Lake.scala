@@ -28,6 +28,49 @@ object Lake {
       case None => spark.read.option("mergeSchema", "true").parquet(path)
     }
 
+  /** JSONL source — the de-facto training-data interchange format
+    * (corpora ship as one-JSON-object-per-line dumps long before they
+    * become parquet). Contract for 100 TB ingests:
+    *
+    *   - EXPLICIT schema, never inference: schema inference is a full
+    *     extra pass over the data, and a drifting field silently
+    *     retypes the column on the next drop. Fields absent from a
+    *     line read as null (drift tolerance, same as [[readRaw]]).
+    *   - PERMISSIVE + corrupt-record capture: one malformed line among
+    *     billions must neither kill the job (FAILFAST) nor vanish
+    *     (DROPMALFORMED). The raw line lands in `_corrupt_record`;
+    *     [[quarantine]] splits clean rows from rejects so the job can
+    *     load the one and audit the other — the reject-file pattern of
+    *     every production loader.
+    *
+    * The returned frame still prunes/pushes down like any file scan;
+    * JSON decode is per-line CPU, so at scale this feeds the raw→
+    * parquet conversion once rather than serving queries directly.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withReject = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withReject)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Split a [[readJsonl]] frame into (clean rows sans reject column,
+    * rejected raw lines). Spark requires caching the frame before
+    * filtering on `_corrupt_record` (the column is filled during
+    * parsing, not derivable afterwards).
+    */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    val clean = cached.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val rejects = cached.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, rejects)
+  }
+
   /** K1 (src/etl.py:191-221): date-partitioned raw write. Partition values
     * zero-padded (`mes=08`) like the reference paths (src/etl.py:203).
     * Dynamic partition overwrite makes the daily re-run idempotent without

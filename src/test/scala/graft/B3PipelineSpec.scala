@@ -90,6 +90,35 @@ class B3PipelineSpec extends AnyFunSuite {
     assert(sup.filter(col("valor_limpo").isNotNull).count() == 0)
   }
 
+  test("JSONL source: explicit schema, drift-null fields, corrupt lines quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "bonjour"}
+        |not json at all
+        |{"doc_id": "NaN-ish", "text": 42}
+        |{"doc_id": 3, "text": "hallo", "lang": "de", "extra": true}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val (clean, rejects) = Lake.quarantine(
+      Lake.readJsonl(spark, s"$dir/docs.jsonl", schema))
+    // doc 2: missing lang -> null (drift tolerance); doc 3: extra field ignored
+    assert(clean.count() == 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(clean.filter(col("lang").isNull).count() == 1)
+    // the garbage line AND the type-mismatched line land in rejects, raw
+    val bad = rejects.collect().map(_.getString(0))
+    assert(bad.length == 2, s"rejects: ${bad.mkString(" | ")}")
+    assert(bad.exists(_.contains("not json")) && bad.exists(_.contains("NaN-ish")))
+  }
+
   test("idempotent daily rewrite: dynamic partition overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("lake2").toString
     val day = B3Transform.transform(scraped, stampTimestamp = false)
