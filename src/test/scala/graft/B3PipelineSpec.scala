@@ -119,6 +119,26 @@ class B3PipelineSpec extends AnyFunSuite {
     assert(bad.exists(_.contains("not json")) && bad.exists(_.contains("NaN-ish")))
   }
 
+  test("upsertByKey: updates, inserts, preserves untouched keys; swap leaves no debris; re-run idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ups").toString + "/t"
+    // first upsert into a non-existent path just writes the increment
+    Lake.upsertByKey(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir, "k")
+    // update key 2, insert key 4, leave 1 and 3 alone
+    val inc = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    Lake.upsertByKey(spark, inc, dir, "k")
+    def state() = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // re-applying the same increment is a no-op (at-least-once upstream)
+    Lake.upsertByKey(spark, inc, dir, "k")
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // the rename-aside swap cleaned up both working directories
+    assert(!new java.io.File(dir.stripSuffix("/") + "_upserting").exists)
+    assert(!new java.io.File(dir.stripSuffix("/") + "_old").exists)
+  }
+
   test("idempotent daily rewrite: dynamic partition overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("lake2").toString
     val day = B3Transform.transform(scraped, stampTimestamp = false)
