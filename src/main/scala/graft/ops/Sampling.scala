@@ -10,12 +10,18 @@ import graft.functions.Hashing
   * selected set changes with partition layout, task retries, and
   * cluster topology — a re-run of a 100 TB curation job yields a
   * DIFFERENT corpus, which poisons ablations and cache reuse. The
-  * content-keyed coin `h32(key ++ salt) % 1e6 < rate·1e6` gives every
-  * row a stable fate: reproducible across runs, engines (md5-portable,
-  * so the DuckDB oracle can replay it), and any repartitioning; a
-  * changed `salt` draws a fresh independent sample. Evaluates inside
-  * the scan's projection — no shuffle, no state, scan-bound like every
+  * keyed coin `h32(key ++ salt) % 1e6 < rate·1e6` gives every row a
+  * stable fate: reproducible across runs, engines (md5-portable, so
+  * the DuckDB oracle can replay it), and any repartitioning; a changed
+  * `salt` draws a fresh independent sample. Evaluates inside the
+  * scan's projection — no shuffle, no state, scan-bound like every
   * quality filter.
+  *
+  * Choose the key for the stability you need: a stable id (t9's
+  * doc_id) is reproducible within one corpus snapshot; key on a
+  * content hash (`md5(text)`) instead and the selection also survives
+  * re-ingestion that reassigns ids. Rows with a NULL key are dropped
+  * (null hash → null comparison), identically in both engines.
   *
   * Rates are quantized to millionths (integer threshold): a double
   * `rate * h` comparison can disagree across engines at boundary

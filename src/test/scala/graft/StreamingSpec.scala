@@ -265,6 +265,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getString(0) == "a" && r.getDouble(2) == 100.0)
       assert(r.getTimestamp(3) == t("2024-01-01 09:45:00")) // the LATEST in-interval ref
       assert(r.getDouble(4) == 2.5)
+      // the chained-stateful shape: interval join + append-mode agg,
+      // BOTH watermark-bounded state operators present
+      val ops = q.lastProgress.stateOperators.map(_.operatorName)
+      assert(ops.exists(_.contains("symmetricHashJoin")) &&
+        ops.exists(_.contains("stateStoreSave")), // the streaming agg's operator
+        s"expected join + aggregation state operators, got ${ops.mkString(", ")}")
     } finally q.stop()
   }
 
