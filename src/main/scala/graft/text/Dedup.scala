@@ -246,10 +246,14 @@ object Dedup {
   }
 
   /** Corpus API: drop near-duplicates — for every verified pair the
-    * higher doc_id is removed (transitively: any doc that is the
-    * "b" of some pair goes, the canonical lowest survivor of each
-    * dup-cluster stays). Anti-join against the bucketed pair set; no
-    * all-pairs work anywhere.
+    * higher doc_id is removed. ONE PASS, but the survivor set is
+    * pair-local, not cluster-global: a doc survives iff it is never the
+    * larger end of any pair, so a component like {1,2,3} with edges
+    * (1,3),(2,3) keeps BOTH 1 and 2 (2's only edge has it on the small
+    * side). That is the standard cheap approximation; when one survivor
+    * per transitive dup-cluster is required, use
+    * [[dropNearDuplicatesTransitive]]. Anti-join against the bucketed
+    * pair set; no all-pairs work anywhere.
     */
   def dropNearDuplicates(docs: DataFrame, minJaccard: Double = 0.8,
       materialize: DataFrame => DataFrame = _.localCheckpoint(),
@@ -259,11 +263,131 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over an undirected pair set, by alternating
+    * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): the shuffle-round-bounded algorithm the
+    * pairwise [[dropNearDuplicates]] shortcut is NOT. Takes the first
+    * two columns of `pairs` as edge endpoints; returns
+    * (doc_id, component) for every node that appears in a pair, where
+    * `component` is the smallest id reachable from it.
+    *
+    * Each round is two DataFrame steps over the edge set, each one hash
+    * shuffle on the node key (a partition-wide window `min` — no
+    * orderBy, so no sort) plus a `distinct` that keeps the edge
+    * multiset from re-expanding:
+    *   - large-star: every node points its LARGER neighbors at its
+    *     minimum neighborhood label m = min(u ∪ N(u));
+    *   - small-star: every node and its smaller neighbors contract onto
+    *     m = min of the smaller neighborhood.
+    * The paper proves the alternation converges to star graphs (every
+    * node directly attached to its component minimum) in O(log² n)
+    * rounds — in practice a handful, since near-dup components are
+    * small dense cliques; each LSH clique collapses in one round. At
+    * 100 TB the edge set (|pairs| ≪ |corpus|) is the only thing ever
+    * shuffled — the corpus itself is touched once, afterward, by the
+    * caller's anti-join.
+    *
+    * `materialize` truncates lineage once per round (iterative plans
+    * otherwise grow without bound); pass `_.checkpoint()` for runs that
+    * must survive executor loss, as with [[nearDupPairs]].
+    */
+  def connectedComponents(pairs: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      maxRounds: Int = 50): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    // canonical directed form: (u, v) with u > v, no self-loops
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = sym(e).withColumn("m", least(col("u"), min("v").over(w)))
+      canon(m.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = sym(e).filter(col("v") < col("u"))
+        .withColumn("m", min("v").over(w))
+      canon(m.select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    // edge-set checksum: order-insensitive, internal-only (never output,
+    // so the Spark-private hash is fine here). bit_xor, not sum — a sum
+    // of 64-bit hashes overflows under ANSI mode.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = materialize(canon(
+      pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))))
+    var sum0 = checksum(edges)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "not a near-dup-shaped graph; raise maxRounds explicitly")
+      edges = materialize(smallStar(largeStar(edges)))
+      val sum1 = checksum(edges)
+      converged = sum1 == sum0
+      sum0 = sum1
+    }
+    // at the fixpoint every edge is (member, component-min); the centers
+    // themselves map to their own id
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Corpus API: near-dup removal with exactly ONE survivor (the global
+    * minimum doc_id) per transitive dup-cluster — verified pairs →
+    * [[connectedComponents]] → anti-join every non-minimum member out.
+    * Same bucketed candidate pipeline as [[dropNearDuplicates]]; the
+    * extra cost is the component iteration over the (tiny) pair set.
+    */
+  def dropNearDuplicatesTransitive(docs: DataFrame, minJaccard: Double = 0.8,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame = {
+    val comps = connectedComponents(
+      nearDupPairs(docs, minJaccard, materialize, fam), materialize)
+    val losers = comps.filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Transitive dup-clusters of the LSH candidate graph: every doc in a
+    * candidate pair labeled with its component's minimum doc_id. The
+    * oracle recomputes the same closure as a recursive CTE — feasible
+    * there because |pairs| is tiny; the Spark side never materializes
+    * reachability, only the star contraction.
+    */
+  def d5Components(s: SparkSession, d: String): DataFrame =
+    connectedComponents(candidatePairsFor(documents(s, d)))
+      .orderBy("doc_id")
+
+  /** Transitive near-dup removal end-to-end: the surviving corpus after
+    * [[dropNearDuplicatesTransitive]] at Jaccard ≥ 0.8 — one survivor
+    * per cluster, hash-checked against the recursive-closure oracle.
+    */
+  def d6TransitiveDedup(s: SparkSession, d: String): DataFrame =
+    dropNearDuplicatesTransitive(documents(s, d), 0.8)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d1_exact_dedup"   -> (d1ExactDedup _),
-    "d2_minhash_lsh"   -> (d2MinhashLsh _),
-    "d3_simhash"       -> (d3Simhash _),
-    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d1_exact_dedup"      -> (d1ExactDedup _),
+    "d2_minhash_lsh"      -> (d2MinhashLsh _),
+    "d3_simhash"          -> (d3Simhash _),
+    "d4_ngram_jaccard"    -> (d4NgramJaccard _),
+    "d5_components"       -> (d5Components _),
+    "d6_transitive_dedup" -> (d6TransitiveDedup _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -307,6 +431,22 @@ object Dedup {
 
   private val candidateDuck = "WITH " + candidateCtes("documents")
 
+  /** Recursive min-reachable-label closure over an undirected pair CTE
+    * named `pairs(doc_a, doc_b)` → `comp(id, component)`. Spliced after
+    * [[candidateCtes]] under a WITH RECURSIVE header.
+    */
+  private def closureCtes(src: String) =
+    s"""und AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM $src
+      |  UNION SELECT doc_b, doc_a FROM $src
+      |), reach(id, r) AS (
+      |  SELECT a, a FROM und
+      |  UNION
+      |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+      |), comp AS (
+      |  SELECT id, min(r) AS component FROM reach GROUP BY id
+      |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
@@ -346,5 +486,22 @@ object Dedup {
         |  FROM pairs JOIN sh sa ON doc_a = sa.doc_id
         |             JOIN sh sb ON doc_b = sb.doc_id)
         |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
+    "d5_components" ->
+      ("WITH RECURSIVE " + candidateCtes("documents") + ", " +
+        closureCtes("pairs") + """
+        |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
+    "d6_transitive_dedup" ->
+      ("WITH RECURSIVE " + candidateCtes("documents") + """, vp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jac
+        |    FROM pairs JOIN sh sa ON doc_a = sa.doc_id
+        |               JOIN sh sb ON doc_b = sb.doc_id)
+        |  WHERE jac >= 0.8
+        |), """.stripMargin + closureCtes("vp") + """
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY d.doc_id""".stripMargin),
   )
 }

@@ -40,6 +40,64 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches a plain-Scala union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { trial =>
+      val edges = Seq.fill(30 + rnd.nextInt(40))(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find, smaller root wins => root == component min
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents collapses a 20-node path (multi-round convergence)") {
+    import spark.implicits._
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(path.toDF("a", "b")).collect()
+    assert(got.length == 20 && got.forall(_.getLong(1) == 0L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path.toDF("a", "b"), maxRounds = 0).collect()
+    }
+  }
+
+  test("transitive near-dedup keeps exactly one survivor per dup-component") {
+    // the pair-local shortcut can keep several docs of one component
+    // (scaladoc example: edges (1,3),(2,3) keep both 1 and 2); the
+    // transitive form must keep exactly the component minimum.
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val comps = Dedup.connectedComponents(Dedup.nearDupPairs(docs, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val survivors = Dedup.dropNearDuplicatesTransitive(docs, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byComp = comps.groupBy(_._2)
+    byComp.foreach { case (c, members) =>
+      val kept = members.map(_._1).filter(survivors)
+      assert(kept.toSeq == Seq(c),
+        s"component $c kept ${kept.mkString(",")} — want exactly the minimum")
+    }
+    // docs in no pair are untouched
+    val inPairs = comps.map(_._1).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((all -- inPairs).forall(survivors))
+    // and the transitive form is at least as aggressive as the shortcut
+    assert(survivors.size <= Dedup.dropNearDuplicates(docs, 0.8).count())
+  }
+
   test("s1 brute-force baseline returns a full top-5 per query vector") {
     val rows = Similarity.s1CosineTopk(spark, sf).collect()
     val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
