@@ -219,6 +219,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms (t11): the classic per-document keyword extractor.
+    * Term frequency from one explode + (doc_id, term) aggregate; document
+    * frequency from a second aggregate over the SAME tf relation (each
+    * (doc, term) pair already distinct — no second corpus scan); corpus
+    * size joined in as a broadcast single-row frame (t8's pattern — no
+    * driver-side collect). Top-3 terms per doc via a row_number window
+    * on (score desc, term asc).
+    *
+    * The score is linear-idf `tf · N / df`, not log-idf: per term, N/df
+    * is a monotone transform of log(N/df), and — the reason it is chosen
+    * here — it stays inside correctly-rounded IEEE multiply/divide, so
+    * Spark and DuckDB produce bit-identical doubles and identical ranks.
+    * `Math.log` carries no such cross-engine guarantee. Production runs
+    * that need comparable-across-terms log damping can post-map the
+    * score; the selected terms are what the operator is for.
+    *
+    * Scale shape: explode is scan-bound; tf aggregate shuffles on
+    * (doc_id, term) with map-side partials; df aggregate reuses tf
+    * (vocabulary-sized, shuffled on term — NOT broadcast: a 100 TB
+    * corpus's vocabulary doesn't fit an executor); the final window
+    * shuffles on doc_id. No step is ever all-pairs or driver-bound.
+    */
+  def t11TfidfTop(s: SparkSession, d: String): DataFrame = {
+    val tf = toks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .join(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_profile"  -> (t1LangProfile _),
     "t2_token_stats"   -> (t2TokenStats _),
@@ -230,9 +272,29 @@ object TextAnalysis {
     "t8_frequent_tokens" -> (t8FrequentTokens _),
     "t9_stratified_sample" -> (t9StratifiedSample _),
     "t10_pack_docs" -> ((s: SparkSession, d: String) => t10PackDocs(s, d)),
+    "t11_tfidf_top" -> (t11TfidfTop _),
   )
 
   def oracles: Map[String, String] = Map(
+    "t11_tfidf_top" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df DESC,
+        |               tf.term) AS rn
+        |  FROM tf JOIN df USING (term))
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "t8_frequent_tokens" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -148,6 +148,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected 1 of 3 partition files read, got ${scans.head.metrics("numFiles").value}")
   }
 
+  test("runtime bloom filter reduces the fact side before a shuffle join (row-level runtime pruning)") {
+    // DPP (test above) prunes whole PARTITIONS a filtered dim rules out.
+    // When the fact is not partitioned by the join key, the same idea
+    // works at ROW level: Spark builds a bloom filter over the filtered
+    // dim's keys and injects a might_contain predicate into the fact
+    // scan stage, so non-matching rows die before the shuffle instead of
+    // after it — at 100 TB that is the difference between shuffling the
+    // full fact and shuffling the selectivity fraction. The size gates
+    // that make the rule fire only where it pays (application side above
+    // 10 GB, creation side below 10 MB) are exactly why it won't trigger
+    // on test-sized data unaided — lower the application-side gate here,
+    // leave every other default alone.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = graft.lake.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val dim = graft.lake.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom-filter runtime predicate injected into the fact side:\n$plan")
+      // semantics unchanged: the filter is a pure pre-shuffle reduction
+      val expected = fact.join(dim.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("t8's recount pass broadcasts the sketch candidates (no second full-token shuffle)") {
     // the sketch pass reduces to <= k candidates; if the recount joined
     // them by shuffle the sketch would have bought nothing
