@@ -335,6 +335,32 @@ object CoreQueries {
       .select("event_id", "user_id", "event_type")
       .limit(100)
 
+  /** §2.7 extension (o7): latest-state compaction — the "current row per
+    * key" read every CDC/upsert log needs (the reference's coalesce-
+    * update K6 is the 2-version special case of it). Deliberately the
+    * AGGREGATE form, `max_by(payload, (ts, event_id))`, not the
+    * row_number-window form: max_by is partial-aggregable, so each map
+    * task reduces to one candidate row per key BEFORE the shuffle and
+    * the exchange carries ≤ |keys| rows per task — the window form
+    * shuffles and sorts the entire log first. At a 100 TB event log with
+    * a bounded key space that is the whole game. The (ts, event_id)
+    * struct gives a total order (event_id unique), so the winner is
+    * deterministic and the oracle's row_number form agrees.
+    */
+  def o7LatestPerKey(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.value").as("value"))
+      .orderBy("user_id")
+
   /** A2 (src/etl.py:145): COUNT — single-row table cardinality. */
   def a2Count(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(count(lit(1)).as("n_rows"))
@@ -492,6 +518,7 @@ object CoreQueries {
     "w6_range_rolling"    -> (w6RangeRolling _),
     "o6_except"           -> (o6Except _),
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
+    "o7_latest_per_key"   -> (o7LatestPerKey _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
@@ -591,6 +618,12 @@ object CoreQueries {
     "o2_sort_desc_limit" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "o7_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS last_ts_us, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "a2_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
     "a3_multi_agg" ->

@@ -381,6 +381,62 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** Span-level boilerplate removal (the line/paragraph dedup step of
+    * C4/CCNet-style curation, applied WITHIN documents): segment each
+    * doc into non-overlapping `span`-token chunks, count each chunk's
+    * corpus-wide occurrences, drop every chunk seen more than `maxFreq`
+    * times, and reassemble the survivors in order. Doc-level dedup
+    * (d1–d6) removes whole near-copies; this removes the repeated
+    * header/footer/disclaimer SPANS that survive inside otherwise-unique
+    * docs. Real corpora segment on newlines/sentences; the synthetic
+    * corpus has neither, so the segmenter here is fixed-width — the
+    * relational shape is identical.
+    *
+    * Scale shape: chunks are counted by md5(chunk) so the frequency
+    * shuffle carries 16-byte keys, not raw spans; the boilerplate set
+    * (freq > maxFreq) is TINY by construction — Zipf's tail ends and
+    * only true boilerplate repeats — so the removal join is a
+    * broadcast-able anti join against it, and reassembly is one
+    * hash-aggregate per doc (array_sort on (position, chunk) structs —
+    * collect_list order is nondeterministic, the sort is what makes the
+    * rebuilt text reproducible). No step touches raw n² anything.
+    */
+  def dropBoilerplateSpans(docs: DataFrame, span: Int = 10,
+      maxFreq: Long = 2): DataFrame = {
+    val chunks = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks)+${span - 1}) div $span - 1)"))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"array_join(slice(toks, i*$span+1, $span), ' ')").as("chunk"))
+    val bad = chunks.groupBy(md5(col("chunk")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxFreq)
+      .select("h")
+    val kept = chunks.join(broadcast(bad),
+      md5(col("chunk")) === col("h"), "left_anti")
+    val stats = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        expr("transform(array_sort(collect_list(struct(i, chunk))), x -> x.chunk)"),
+        " ").as("text_clean"))
+    stats.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Span dedup over the corpus at the probed boilerplate threshold
+    * (chunks seen ≥ 3 times corpus-wide are dropped; ≤ 2 is the
+    * doc-level near-dup signal d2–d6 already handle).
+    */
+  def d7SpanDedup(s: SparkSession, d: String): DataFrame =
+    dropBoilerplateSpans(documents(s, d), span = 10, maxFreq = 2)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"      -> (d1ExactDedup _),
     "d2_minhash_lsh"      -> (d2MinhashLsh _),
@@ -388,6 +444,7 @@ object Dedup {
     "d4_ngram_jaccard"    -> (d4NgramJaccard _),
     "d5_components"       -> (d5Components _),
     "d6_transitive_dedup" -> (d6TransitiveDedup _),
+    "d7_span_dedup"       -> (d7SpanDedup _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -503,5 +560,24 @@ object Dedup {
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         |ORDER BY d.doc_id""".stripMargin),
+    "d7_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range((len(t)+9)//10)) r(i)
+        |),
+        |bad AS (SELECT md5(chunk) AS h FROM chunks
+        |        GROUP BY md5(chunk) HAVING count(*) > 2),
+        |kept AS (SELECT doc_id, i, chunk FROM chunks
+        |         WHERE md5(chunk) NOT IN (SELECT h FROM bad)),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |          FROM chunks GROUP BY doc_id),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         array_to_string(list(chunk ORDER BY i), ' ') AS text_clean
+        |       FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_spans, s.n_spans - COALESCE(ka.n_kept, 0) AS n_dropped,
+        |  COALESCE(ka.text_clean, '') AS text_clean
+        |FROM stats s LEFT JOIN ka USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }

@@ -46,6 +46,23 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(totals.sameElements(totals.sortBy(-_)))
   }
 
+  test("o7 latest-per-key is the aggregate shape: no Window, no per-row sort") {
+    val df = CoreQueries.o7LatestPerKey(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"o7 planned as a window (full shuffle+sort of the log):\n$plan")
+    assert(plan.contains("Aggregate"),
+      s"o7 is not an aggregate:\n$plan")
+    // and the winner per key really is the (ts, event_id)-max row
+    val events = graft.lake.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val want = events.groupBy(_._1).view
+      .mapValues(_.maxBy(e => (e._3, e._2))._2).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val keys = CoreQueries.queries.keySet
     assert(CoreQueries.oracles.keySet.subsetOf(keys))

@@ -98,6 +98,33 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(survivors.size <= Dedup.dropNearDuplicates(docs, 0.8).count())
   }
 
+  test("span dedup drops exactly the over-frequent chunks and preserves clean docs verbatim") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val out = Dedup.dropBoilerplateSpans(docs, span = 10, maxFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference computation in plain Scala
+    def chunksOf(t: String) = t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val freq = texts.values.toSeq.flatMap(chunksOf)
+      .groupBy(identity).view.mapValues(_.size)
+    texts.foreach { case (id, t) =>
+      val cs = chunksOf(t)
+      val keep = cs.filter(freq(_) <= 2)
+      val (nSpans, nDropped, clean) = out(id)
+      assert(nSpans == cs.length && nDropped == cs.length - keep.length,
+        s"doc $id span counts")
+      assert(clean == keep.mkString(" "), s"doc $id rebuilt text")
+      if (nDropped == 0) assert(clean == t, s"clean doc $id must pass through verbatim")
+    }
+    assert(out.values.exists(_._2 > 0), "testdata contains no boilerplate — test is vacuous")
+    // removal join must broadcast the (tiny) boilerplate set, not shuffle the corpus against it
+    val plan = Dedup.d7SpanDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"boilerplate removal is not a broadcast anti join:\n$plan")
+  }
+
   test("s1 brute-force baseline returns a full top-5 per query vector") {
     val rows = Similarity.s1CosineTopk(spark, sf).collect()
     val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
