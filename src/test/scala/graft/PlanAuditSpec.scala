@@ -187,6 +187,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-code-change leg of skew handling)") {
+    // ops/SkewJoin is the explicit salting path; AQE's skew-join split
+    // is the runtime path that needs no query change — a straggler
+    // partition is split into chunks, the matching side duplicated. At
+    // 100 TB one hot key otherwise pins a single task with the whole
+    // partition. The byte thresholds that gate the rule are sized for
+    // production (256 MB); lower them so the planted skew qualifies
+    // here, leave the rule's own logic alone.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.shuffle.partitions", "4")
+      // one hot key carrying ~100x the payload of the others
+      val big = (1 to 60000).map(i => (if (i % 100 == 0) (i % 7).toLong else 1L,
+        s"payload_$i")).toDF("k", "p")
+      val dim = (0L to 7L).map(k => (k, s"dim_$k")).toDF("k", "d")
+      val j = big.join(dim, "k")
+      assert(j.collect().length == 60000) // materialize THIS plan's final AQE state
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skew-split join in the final AQE plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("t8's recount pass broadcasts the sketch candidates (no second full-token shuffle)") {
     // the sketch pass reduces to <= k candidates; if the recount joined
     // them by shuffle the sketch would have bought nothing
