@@ -195,6 +195,60 @@ object Lake {
     * serialize per-partition upserts (the reference's daily-job cadence
     * does this by construction); concurrent writers need Delta/Iceberg.
     */
+  /** Incremental aggregation zone (K-layer extension): persist per-day
+    * PARTIAL aggregates — (group, sum, count) — and answer period
+    * queries by merging partials, never by re-scanning raw history.
+    * This is the storage-level form of the map-side combine Spark
+    * already does in memory: sum-of-sums and sum-of-counts are the
+    * merge, avg is derived at read. At 100 TB the difference is a
+    * rollup query that reads |days|·|groups| partial rows instead of
+    * the raw fact table, and a daily append that scans ONE day.
+    *
+    * Only algebraic aggregates decompose this way (sum/count/min/max
+    * and anything derived from them, like avg; a6's HLL sketches also
+    * merge — exact distinct counts do NOT). The day partition reuses
+    * [[writeRawDaily]]'s dynamic overwrite, so re-running a day
+    * replaces exactly that day's partials: the append is idempotent.
+    */
+  def appendDailyPartials(df: DataFrame, path: String, date: LocalDate,
+      groupCols: Seq[String], valueCol: String): Unit =
+    writeRawDaily(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sum(col(valueCol)).as("p_sum"),
+          count(col(valueCol)).as("p_cnt")),
+      path, date)
+
+  /** Merge the partial-aggregate zone back to (group, sum, cnt, avg) —
+    * the read half of [[appendDailyPartials]]. Partition pruning on
+    * (ano, mes, dia) applies before the merge, so "last 7 days" reads
+    * 7 partitions of partials.
+    */
+  def readMergedAggregate(spark: SparkSession, path: String,
+      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("p_sum").as("total"), sum("p_cnt").as("cnt"))
+      .withColumn("avg", col("total") / col("cnt"))
+
+  /** Clustered write: range-partition on `sortCols` and sort within
+    * each output file, so parquet row-group min/max statistics become
+    * SELECTIVE — a point/range filter on the sort prefix then decodes
+    * only the row groups whose stat range matches, instead of every
+    * row group (stats on randomly-ordered data span the whole domain
+    * and skip nothing). This is the poor-man's z-order: the 100 TB
+    * scan-cost lever for predicates on columns the partition layout
+    * does NOT cover. `rowGroupBytes` is deliberately small in tests to
+    * force many row groups; production leaves the 128 MB default.
+    */
+  def writeClustered(df: DataFrame, path: String, sortCols: Seq[String],
+      rowGroupBytes: Long = 128L << 20): Unit =
+    df.repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .option("compression", "snappy")
+      .parquet(path)
+
   def upsertByKey(spark: SparkSession, increment: DataFrame, path: String,
       key: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)

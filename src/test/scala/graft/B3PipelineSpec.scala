@@ -139,6 +139,70 @@ class B3PipelineSpec extends AnyFunSuite {
     assert(!new java.io.File(dir.stripSuffix("/") + "_old").exists)
   }
 
+  test("incremental partial aggregates: merged read == full recompute; day re-run idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("partials").toString
+    def day(d: Int, rows: Seq[(String, Double)]) = {
+      Lake.appendDailyPartials(rows.toDF("grp", "v"), dir,
+        LocalDate.of(2025, 8, d), Seq("grp"), "v")
+      rows
+    }
+    val all = day(1, Seq(("a", 1.0), ("a", 2.0), ("b", 5.0))) ++
+      day(2, Seq(("a", 3.0), ("c", 7.0))) ++
+      day(3, Seq(("b", 4.0), ("c", 1.0), ("c", 2.0)))
+    def merged() = Lake.readMergedAggregate(spark, dir, Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val want = all.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(_._2).sum
+      (s, vs.size.toLong, s / vs.size)
+    }.toMap
+    assert(merged() == want, "merged partials != full recompute")
+    // re-running a day must REPLACE its partials, not double-count them
+    day(2, Seq(("a", 3.0), ("c", 7.0)))
+    assert(merged() == want, "day re-run double-counted")
+    // a corrected re-run changes only that day's contribution
+    Lake.appendDailyPartials(Seq(("a", 100.0)).toDF("grp", "v"), dir,
+      LocalDate.of(2025, 8, 2), Seq("grp"), "v")
+    val after = merged()
+    assert(after("a") == (103.0, 3L, 103.0 / 3) && after("c") == (3.0, 2L, 1.5))
+    // and a single-day read prunes to one partition's files
+    val oneDay = spark.read.parquet(dir).filter(col("dia") === "03")
+    assert(oneDay.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(dia"))
+  }
+
+  test("clustered write: row-group stats skip non-matching groups on the sort key") {
+    import spark.implicits._
+    val n = 400000
+    val rows = (1 to n).map(i => ((i.toLong * 7919L) % 1000L, s"payload_$i")).toDF("k", "p")
+    val base = java.nio.file.Files.createTempDirectory("cluster").toString
+    // identical data, tiny row groups; one layout sorted by k, one not
+    rows.write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(s"$base/shuffled")
+    Lake.writeClustered(rows, s"$base/clustered", Seq("k"),
+      rowGroupBytes = 64 * 1024)
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("k") === 42L)
+      assert(df.collect().length == n / 1000) // same answer both layouts
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = (p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f.metrics("numOutputRows").value)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      })
+      scans(df.queryExecution.executedPlan).sum
+    }
+    val (shuffled, clustered) = (scanRows(s"$base/shuffled"), scanRows(s"$base/clustered"))
+    // random layout: every row group's [min,max] spans the key domain, so
+    // stats skip nothing; clustered layout decodes only matching groups
+    assert(clustered < shuffled / 10,
+      s"row-group skipping ineffective: clustered scan=$clustered vs shuffled=$shuffled")
+  }
+
   test("idempotent daily rewrite: dynamic partition overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("lake2").toString
     val day = B3Transform.transform(scraped, stampTimestamp = false)
