@@ -230,6 +230,32 @@ object Lake {
       .agg(sum("p_sum").as("total"), sum("p_cnt").as("cnt"))
       .withColumn("avg", col("total") / col("cnt"))
 
+  /** Sketch partials: the [[appendDailyPartials]] pattern for the
+    * aggregate that does NOT decompose into sums — distinct counts.
+    * Exact per-day distinct counts cannot be merged across days (the
+    * same key may appear on many days), but HLL sketches CAN: store one
+    * DataSketches HLL binary per (group, day), union them at read.
+    * Error stays the sketch's (~2% at default lgK=12) regardless of how
+    * many days merge; a 365-day distinct-users query reads 365 sketch
+    * rows per group. Same idempotent day-overwrite layout as the sum
+    * partials.
+    */
+  def appendDailySketch(df: DataFrame, path: String, date: LocalDate,
+      groupCols: Seq[String], valueCol: String): Unit =
+    writeRawDaily(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(hll_sketch_agg(col(valueCol)).as("p_hll")),
+      path, date)
+
+  /** Merge the sketch zone to (group, approx_distinct) — the read half
+    * of [[appendDailySketch]]. */
+  def readMergedDistinct(spark: SparkSession, path: String,
+      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("p_hll")))
+        .as("approx_distinct"))
+
   /** Clustered write: range-partition on `sortCols` and sort within
     * each output file, so parquet row-group min/max statistics become
     * SELECTIVE — a point/range filter on the sort prefix then decodes

@@ -41,6 +41,30 @@ object Sampling {
     df.filter(coin(key, salt) < lit((rate * M).toLong))
   }
 
+  /** Sample DOWN TO a size budget (tokens, bytes, rows — any additive
+    * weight): the curation ask is usually "give me ~50 B tokens of
+    * this", not "give me 3% of it". Exact greedy cut-off (take docs in
+    * some order until the budget fills) is a global running sum —
+    * inherently sequential, a one-task bottleneck at 100 TB. The
+    * scalable form converts the budget to a RATE: total = Σ weight (one
+    * partial-agg pass), keep rows whose coin lands below
+    * `budget·1e6 div total` — all integer arithmetic, so the threshold
+    * is engine-exact and the expected kept weight is the budget. The
+    * kept weight concentrates hard around it: independent coins give
+    * relative deviation O(1/√n_docs) (<1% beyond ~10k docs). Same
+    * deterministic-coin contract as [[deterministic]]; the total joins
+    * in as a broadcast single-row frame, never a collect.
+    */
+  def toWeightBudget(df: DataFrame, key: Column, weight: Column,
+      budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val tot = df.agg(sum(weight.cast("long")).as("__total"))
+    df.join(broadcast(tot))
+      .filter(coin(key, salt) <
+        expr(s"(${budget}L * $M) div __total"))
+      .drop("__total")
+  }
+
   /** Per-stratum rates (e.g. downsample dominant languages, keep rare
     * ones whole) — the mixture-rebalancing step of corpus curation.
     * Strata absent from `rates` fall back to `defaultRate`. The rate

@@ -219,6 +219,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-budget sample (t12): "give me ~20k tokens of this corpus" —
+    * the budget→rate conversion in [[graft.ops.Sampling.toWeightBudget]]
+    * (one partial-agg total + a deterministic integer-threshold coin;
+    * the exact greedy cut-off would be a one-task global running sum).
+    * The same budget self-adapts across scale factors: at sf0.01 it
+    * keeps ~3/4 of the corpus, at sf0.1 ~7%.
+    */
+  def t12TokenBudgetSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.toWeightBudget(
+        toks(s, d).select(col("doc_id"), size(col("toks")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), budget = 20000L, salt = "tb")
+      .orderBy("doc_id")
+
   /** TF-IDF top terms (t11): the classic per-document keyword extractor.
     * Term frequency from one explode + (doc_id, term) aggregate; document
     * frequency from a second aggregate over the SAME tf relation (each
@@ -273,9 +286,19 @@ object TextAnalysis {
     "t9_stratified_sample" -> (t9StratifiedSample _),
     "t10_pack_docs" -> ((s: SparkSession, d: String) => t10PackDocs(s, d)),
     "t11_tfidf_top" -> (t11TfidfTop _),
+    "t12_token_budget_sample" -> (t12TokenBudgetSample _),
   )
 
   def oracles: Map[String, String] = Map(
+    "t12_token_budget_sample" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |tot AS (SELECT sum(n_tokens) AS total FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens FROM t
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 8)
+        |        AS BIGINT) % 1000000
+        |      < (20000::BIGINT * 1000000) // (SELECT total FROM tot)
+        |ORDER BY doc_id""".stripMargin,
     "t11_tfidf_top" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS term, count(*) AS tf FROM (

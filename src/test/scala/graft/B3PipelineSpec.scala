@@ -172,6 +172,28 @@ class B3PipelineSpec extends AnyFunSuite {
       .contains("PartitionFilters: [isnotnull(dia"))
   }
 
+  test("sketch partials: unioned HLL tracks exact distinct across days within bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString
+    // users overlap across days — per-day exact counts would NOT merge
+    val days = Seq(
+      1 -> (1 to 600),
+      2 -> (301 to 900),
+      3 -> (601 to 1500))
+    days.foreach { case (d, users) =>
+      Lake.appendDailySketch(
+        users.map(u => ("site", u.toLong)).toDF("grp", "user"),
+        dir, LocalDate.of(2025, 8, d), Seq("grp"), "user")
+    }
+    val est = Lake.readMergedDistinct(spark, dir, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = days.flatMap(_._2).distinct.size // 1500, not 600+600+900
+    assert(math.abs(est("site") - exact).toDouble / exact < 0.05,
+      s"HLL merge estimate ${est("site")} vs exact $exact")
+    // one row per (group, day) is all that persists
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("clustered write: row-group stats skip non-matching groups on the sort key") {
     import spark.implicits._
     val n = 400000

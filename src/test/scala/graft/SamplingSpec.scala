@@ -52,6 +52,22 @@ class SamplingSpec extends AnyFunSuite {
       s"non-en realized ${restKept / restTotal}, wanted ~0.8")
   }
 
+  test("weight-budget sample: kept weight tracks the budget; over-budget keeps all; deterministic") {
+    val weighted = docs.withColumn("w", size(split(col("text"), " ")))
+    val total = weighted.agg(sum("w")).head().getLong(0)
+    val budget = total / 2
+    def run() = Sampling.toWeightBudget(weighted, col("doc_id"), col("w"), budget)
+    val kept = run().agg(sum("w")).head().getLong(0)
+    // ~50 docs at sf0.001 → coin deviation O(1/sqrt(50)); generous band
+    assert(math.abs(kept - budget).toDouble / budget < 0.4,
+      s"kept weight $kept vs budget $budget over total $total")
+    assert(ids(run()) == ids(run()), "re-run drew a different sample")
+    // budget >= total keeps the whole corpus; 0 keeps nothing
+    assert(Sampling.toWeightBudget(weighted, col("doc_id"), col("w"), total * 2)
+      .count() == docs.count())
+    assert(Sampling.toWeightBudget(weighted, col("doc_id"), col("w"), 0L).count() == 0)
+  }
+
   test("rate 0 keeps nothing, rate 1 keeps everything") {
     assert(Sampling.deterministic(docs, col("doc_id"), 0.0).isEmpty)
     assert(Sampling.deterministic(docs, col("doc_id"), 1.0).count() == docs.count())
