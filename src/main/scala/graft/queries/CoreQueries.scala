@@ -335,6 +335,28 @@ object CoreQueries {
       .select("event_id", "user_id", "event_type")
       .limit(100)
 
+  /** §2.6 extension (w8): forward fill / LOCF — carry the last observed
+    * measurement forward per key, the gap-filling read of every sparse
+    * time series (sensor readings, price marks; here: `value` is only
+    * meaningful on purchase events and rides along to the rest).
+    * `last(col, ignoreNulls).over(rows unbounded-preceding)` — LOCF is
+    * inherently ordered, so the cost floor is one key shuffle + one
+    * in-partition sort; what keeps it 100 TB-safe is that BOTH are
+    * bounded per key (no global sort), and the frame is running (Spark
+    * evaluates it in one forward pass, not per-row re-scan).
+    */
+  def w8ForwardFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("v_obs",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("v_obs"),
+        last("v_obs", ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** §2.7 extension (o7): latest-state compaction — the "current row per
     * key" read every CDC/upsert log needs (the reference's coalesce-
     * update K6 is the 2-version special case of it). Deliberately the
@@ -519,6 +541,7 @@ object CoreQueries {
     "o6_except"           -> (o6Except _),
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "o7_latest_per_key"   -> (o7LatestPerKey _),
+    "w8_forward_fill"     -> (w8ForwardFill _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
@@ -618,6 +641,13 @@ object CoreQueries {
     "o2_sort_desc_limit" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "w8_forward_fill" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS v_obs,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "o7_latest_per_key" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS last_ts_us, value
         |FROM events

@@ -238,6 +238,37 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the batch latest-per-key compaction
+    * ([[graft.queries.CoreQueries.o7LatestPerKey]]): maintain the
+    * CURRENT row per key as the stream flows — the continuously-
+    * materialized CDC view. State is one (ts, seq, value) per key —
+    * O(distinct keys), independent of stream length — and an arriving
+    * row replaces it only if strictly later by the (ts, seq) total
+    * order, so late/out-of-order events can never regress the view
+    * (same determinism contract as o7's (ts, event_id) struct; `seq`
+    * disambiguates equal timestamps). Output mode: Update — each
+    * micro-batch re-emits the current row for every touched key.
+    */
+  def latestPerKeyStream(
+      rows: org.apache.spark.sql.Dataset[(String, Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .mapGroupsWithState(
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Double)]) =>
+          var best = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0))
+          it.foreach { r =>
+            if (r._2 > best._1 || (r._2 == best._1 && r._3 > best._2))
+              best = (r._2, r._3, r._4)
+          }
+          state.update(best)
+          (key, best._1, best._2, best._3)
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState — the brief's
     * named API for custom state, where the built-in session_window can't
     * express the output contract (emit ONE closed-session row per

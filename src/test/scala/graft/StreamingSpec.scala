@@ -323,6 +323,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestPerKeyStream: late rows never regress the materialized current-row view") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val out = Streams.latestPerKeyStream(ms.toDS())
+    val q = out.toDF("k", "ts", "seq", "v")
+      .writeStream.format("memory").queryName("latest_view")
+      .outputMode("update").start()
+    try {
+      // out-of-order WITHIN a batch: ts 20 then ts 10 — 20 must win
+      ms.addData(("a", 20L, 1L, 2.0), ("a", 10L, 2L, 1.0), ("b", 5L, 3L, 9.9))
+      q.processAllAvailable()
+      // a LATE arrival (ts 15 < 20) must not regress a; equal-ts higher
+      // seq must advance b
+      ms.addData(("a", 15L, 4L, 7.0), ("b", 5L, 7L, 4.4))
+      q.processAllAvailable()
+      val view = spark.table("latest_view").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) =>
+          k -> vs.map(_._2).maxBy(v => (v._1, v._2)) }
+      assert(view("a") == ((20L, 1L, 2.0)), "late row regressed the view")
+      assert(view("b") == ((5L, 7L, 4.4)), "equal-ts higher-seq row did not advance")
+      // the per-batch emission also never regressed: every update row for
+      // a key is >= the previous one in (ts, seq) order
+      val perKey = spark.table("latest_view").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1)
+      perKey.values.foreach { vs =>
+        vs.map(_._2).sliding(2).foreach {
+          case Array(p, n) => assert(Ordering[(Long, Long)].lteq(p, n))
+          case _ => ()
+        }
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: session emits only when the watermark closes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
