@@ -429,6 +429,51 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Benchmark decontamination: flag training docs sharing any token
+    * n-gram with an evaluation corpus — the train/test-overlap check
+    * every serious LLM data pipeline runs before training. Returns
+    * (doc_id, n_shared) where n_shared counts the DISTINCT eval n-grams
+    * the doc contains (contamination degree; callers anti-join or
+    * threshold on it).
+    *
+    * Scale shape: the asymmetry is the design — eval benchmarks are
+    * thousands of docs against a 100 TB train corpus, so the eval gram
+    * set (distinct, md5-hashed to 16 bytes) BROADCASTS, and train-side
+    * grams stream out of the scan through explode → broadcast-hash
+    * semi-match → one (doc_id) aggregate. The train corpus is never
+    * shuffled by gram and never globally distinct-ed; countDistinct
+    * dedups per doc inside the aggregate. Real pipelines use 8–13-gram
+    * windows; the default 5 suits the short synthetic docs.
+    */
+  def crossContamination(train: DataFrame, eval: DataFrame,
+      n: Int = 5): DataFrame = {
+    def grams(docs: DataFrame): DataFrame = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        col("toks"), explode(expr(s"sequence(0, size(toks)-$n)")).as("i"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice(toks, i+1, $n), ' ')")).as("gh"))
+    val evalGrams = grams(eval).select("gh").distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared"))
+  }
+
+  /** Decontamination query: even-id docs as the "training" corpus,
+    * odd-id docs as the "benchmark" — the planted near-dup pairs that
+    * straddle the parity split are exactly the contamination it must
+    * find (plus the true-positive tail of a tiny vocabulary).
+    */
+  def d8Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    crossContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), n = 5)
+      .orderBy("doc_id")
+  }
+
   /** Span dedup over the corpus at the probed boilerplate threshold
     * (chunks seen ≥ 3 times corpus-wide are dropped; ≤ 2 is the
     * doc-level near-dup signal d2–d6 already handle).
@@ -445,6 +490,7 @@ object Dedup {
     "d5_components"       -> (d5Components _),
     "d6_transitive_dedup" -> (d6TransitiveDedup _),
     "d7_span_dedup"       -> (d7SpanDedup _),
+    "d8_contamination"    -> (d8Contamination _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -560,6 +606,15 @@ object Dedup {
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         |ORDER BY d.doc_id""".stripMargin),
+    "d8_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t)-4),
+        |        i -> array_to_string(t[(i+1):(i+5)], ' '))) AS gram
+        |      FROM toks WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1)
+        |SELECT g.doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+        |FROM g JOIN ev USING (gram) WHERE g.doc_id % 2 = 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "d7_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |chunks AS (

@@ -232,6 +232,26 @@ object TextAnalysis {
         col("doc_id"), col("n_tokens"), budget = 20000L, salt = "tb")
       .orderBy("doc_id")
 
+  /** Repetition score (t13): fraction of duplicate 3-grams within each
+    * doc — the "repetitious text" quality signal (looping generations,
+    * keyword stuffing, boilerplate-heavy pages score high). Pure narrow
+    * projection like t2/t4; reported in floor'd basis points (round()
+    * half-ties differ across engines, floor of an identical double
+    * never does).
+    */
+  def t13Repetition(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("n_grams", (size(col("toks")) - 2))
+      .withColumn("n_distinct", size(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> concat_ws(' ', element_at(toks, i+1),
+          |    element_at(toks, i+2), element_at(toks, i+3))))""".stripMargin)))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        floor((col("n_grams") - col("n_distinct")).cast("double") * 10000.0 /
+          col("n_grams")).cast("long").as("rep_bp"))
+      .orderBy("doc_id")
+
   /** TF-IDF top terms (t11): the classic per-document keyword extractor.
     * Term frequency from one explode + (doc_id, term) aggregate; document
     * frequency from a second aggregate over the SAME tf relation (each
@@ -287,9 +307,20 @@ object TextAnalysis {
     "t10_pack_docs" -> ((s: SparkSession, d: String) => t10PackDocs(s, d)),
     "t11_tfidf_top" -> (t11TfidfTop _),
     "t12_token_budget_sample" -> (t12TokenBudgetSample _),
+    "t13_repetition" -> (t13Repetition _),
   )
 
   def oracles: Map[String, String] = Map(
+    "t13_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(t)-2 AS INTEGER) AS n_grams,
+        |  CAST(len(list_distinct(list_transform(range(len(t)-2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS INTEGER) AS n_distinct,
+        |  CAST(floor(CAST((len(t)-2) - len(list_distinct(list_transform(range(len(t)-2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS DOUBLE) * 10000.0
+        |    / (len(t)-2)) AS BIGINT) AS rep_bp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |WHERE len(t) >= 3 ORDER BY doc_id""".stripMargin,
     "t12_token_budget_sample" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),

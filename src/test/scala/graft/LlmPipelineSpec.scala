@@ -125,6 +125,28 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"boilerplate removal is not a broadcast anti join:\n$plan")
   }
 
+  test("crossContamination counts exactly the distinct shared n-grams (plain-Scala reference)") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val evalGrams = texts.collect { case (id, t) if id % 2 == 1 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val want = texts.collect {
+      case (id, t) if id % 2 == 0 && (grams(t) & evalGrams).nonEmpty =>
+        id -> (grams(t) & evalGrams).size.toLong
+    }.toMap
+    val got = Dedup.d8Contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "no cross-parity contamination planted — test is vacuous")
+    // the eval gram set must broadcast; the train side must never shuffle by gram
+    val plan = Dedup.d8Contamination(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams not broadcast:\n$plan")
+  }
+
   test("s1 brute-force baseline returns a full top-5 per query vector") {
     val rows = Similarity.s1CosineTopk(spark, sf).collect()
     val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
