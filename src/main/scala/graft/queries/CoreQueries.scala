@@ -402,6 +402,42 @@ object CoreQueries {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** §2.5 extension: MULTIPLE distinct aggregates in one statement —
+    * Spark plans this as one Expand (row replicated per distinct set)
+    * feeding a single aggregate, not N separate scans. At 100 TB the
+    * Expand multiplies shuffle rows by the number of distinct columns —
+    * worth knowing, still beats re-reading the fact table per metric.
+    */
+  def a10MultiDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_custs"),
+        countDistinct("o_orderpriority").as("n_prios"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** §2.3/§2.4 extension: correlated scalar subquery — "each customer's
+    * largest order(s)", written as SQL with the subquery left FOR
+    * CATALYST TO DECORRELATE (it rewrites into an aggregate + join;
+    * per-row re-execution would be O(n²) and is what naive engines do).
+    * The oracle hands DuckDB the same correlated form — both engines'
+    * decorrelated plans must agree. `max` deliberately, not `avg`: max
+    * of doubles is exact and order-independent, where an engine-ordered
+    * float sum can differ by ulps and flip boundary rows between
+    * engines.
+    */
+  def a11CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders_cs o
+        |WHERE o_totalprice = (SELECT max(o_totalprice)
+        |                      FROM orders_cs i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** §2.5 extension: ROLLUP — subtotal hierarchy (status, priority) →
     * (status) → grand total in one pass. Null grouping markers are
     * coalesced to 'ALL' so cross-engine NULL ordering (Spark NULLS
@@ -542,6 +578,8 @@ object CoreQueries {
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "o7_latest_per_key"   -> (o7LatestPerKey _),
     "w8_forward_fill"     -> (w8ForwardFill _),
+    "a10_multi_distinct"  -> (a10MultiDistinct _),
+    "a11_correlated"      -> (a11CorrelatedSubquery _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
@@ -641,6 +679,19 @@ object CoreQueries {
     "o2_sort_desc_limit" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "a10_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "a11_correlated" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o_totalprice)
+        |                      FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "w8_forward_fill" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CASE WHEN event_type = 'purchase' THEN value END AS v_obs,
