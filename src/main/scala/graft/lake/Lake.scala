@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.time.LocalDate
@@ -212,20 +212,48 @@ object Lake {
     */
   def appendDailyPartials(df: DataFrame, path: String, date: LocalDate,
       groupCols: Seq[String], valueCol: String): Unit =
-    writeRawDaily(
+    writeDayPartition(
       df.groupBy(groupCols.map(col): _*)
         .agg(sum(col(valueCol)).as("p_sum"),
           count(col(valueCol)).as("p_cnt")),
       path, date)
 
+  /** Write one day's partials, honoring the idempotent-replacement
+    * contract even when the re-run aggregates to ZERO rows: dynamic
+    * overwrite only replaces partitions present in the output, so an
+    * empty corrected re-run would silently leave the retracted day's
+    * stale partials counting — delete the day's partition explicitly in
+    * that case. The emptiness probe runs on the aggregated (tiny)
+    * frame, not the input.
+    */
+  private def writeDayPartition(partials: DataFrame, path: String,
+      date: LocalDate): Unit = {
+    val cached = partials.cache()
+    try {
+      if (cached.isEmpty) {
+        val dayDir = new org.apache.hadoop.fs.Path(
+          f"${path.stripSuffix("/")}/ano=${date.getYear}%04d/" +
+            f"mes=${date.getMonthValue}%02d/dia=${date.getDayOfMonth}%02d")
+        val fs = dayDir.getFileSystem(
+          partials.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(dayDir, true)
+        ()
+      } else writeRawDaily(cached, path, date)
+    } finally { cached.unpersist(); () }
+  }
+
   /** Merge the partial-aggregate zone back to (group, sum, cnt, avg) —
-    * the read half of [[appendDailyPartials]]. Partition pruning on
-    * (ano, mes, dia) applies before the merge, so "last 7 days" reads
-    * 7 partitions of partials.
+    * the read half of [[appendDailyPartials]]. `period` filters on the
+    * partition columns BEFORE the merge (it must be a parameter: after
+    * the groupBy the day columns are consumed, so a filter on the
+    * result could never prune) — partition pruning then makes "last 7
+    * days" read 7 partitions of partials.
     */
   def readMergedAggregate(spark: SparkSession, path: String,
-      groupCols: Seq[String]): DataFrame =
+      groupCols: Seq[String],
+      period: Column = lit(true)): DataFrame =
     spark.read.parquet(path)
+      .filter(period)
       .groupBy(groupCols.map(col): _*)
       .agg(sum("p_sum").as("total"), sum("p_cnt").as("cnt"))
       .withColumn("avg", col("total") / col("cnt"))
@@ -242,16 +270,19 @@ object Lake {
     */
   def appendDailySketch(df: DataFrame, path: String, date: LocalDate,
       groupCols: Seq[String], valueCol: String): Unit =
-    writeRawDaily(
+    writeDayPartition(
       df.groupBy(groupCols.map(col): _*)
         .agg(hll_sketch_agg(col(valueCol)).as("p_hll")),
       path, date)
 
   /** Merge the sketch zone to (group, approx_distinct) — the read half
-    * of [[appendDailySketch]]. */
+    * of [[appendDailySketch]]; `period` prunes day partitions before
+    * the union, as in [[readMergedAggregate]]. */
   def readMergedDistinct(spark: SparkSession, path: String,
-      groupCols: Seq[String]): DataFrame =
+      groupCols: Seq[String],
+      period: Column = lit(true)): DataFrame =
     spark.read.parquet(path)
+      .filter(period)
       .groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("p_hll")))
         .as("approx_distinct"))

@@ -59,9 +59,15 @@ object Sampling {
       budget: Long, salt: String = ""): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val tot = df.agg(sum(weight.cast("long")).as("__total"))
+    // budget·1e6 in DECIMAL: a byte-scale budget (≥ ~9.2e12) overflows
+    // the Long multiply — ANSI mode aborts, non-ANSI wraps negative and
+    // silently keeps nothing. An empty/zero-weight corpus divides by
+    // zero under ANSI; there is nothing to keep, so the threshold is 0.
+    val threshold = when(coalesce(col("__total"), lit(0L)) === 0L, lit(0L))
+      .otherwise(expr(
+        s"cast((cast($budget as decimal(38,0)) * $M) div __total as bigint)"))
     df.join(broadcast(tot))
-      .filter(coin(key, salt) <
-        expr(s"(${budget}L * $M) div __total"))
+      .filter(coin(key, salt) < threshold)
       .drop("__total")
   }
 

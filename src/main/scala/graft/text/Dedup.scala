@@ -402,7 +402,7 @@ object Dedup {
     * rebuilt text reproducible). No step touches raw n² anything.
     */
   def dropBoilerplateSpans(docs: DataFrame, span: Int = 10,
-      maxFreq: Long = 2): DataFrame = {
+      maxFreq: Long = 2, broadcastBoilerplate: Boolean = true): DataFrame = {
     val chunks = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 1)
@@ -411,22 +411,35 @@ object Dedup {
           .as("i"))
       .select(col("doc_id"), col("i"),
         expr(s"array_join(slice(toks, i*$span+1, $span), ' ')").as("chunk"))
-    val bad = chunks.groupBy(md5(col("chunk")).as("h"))
+    val badRaw = chunks.groupBy(md5(col("chunk")).as("h"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") > maxFreq)
-      .select("h")
-    val kept = chunks.join(broadcast(bad),
-      md5(col("chunk")) === col("h"), "left_anti")
-    val stats = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val keptAgg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(
-        expr("transform(array_sort(collect_list(struct(i, chunk))), x -> x.chunk)"),
-        " ").as("text_clean"))
-    stats.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .select(col("h"), lit(true).as("__bad"))
+    // `broadcastBoilerplate` gates the hint: on curated corpora the
+    // over-frequent set is small and the broadcast skips a corpus
+    // shuffle, but its size is DATA-dependent (a raw web crawl repeats
+    // common phrases millions of times) — pass false there and the
+    // left join degrades to a scale-safe shuffle join instead of
+    // aborting at the broadcast limit.
+    val bad = if (broadcastBoilerplate) broadcast(badRaw) else badRaw
+    // one flagging join + ONE per-doc aggregate (count, drop-count, and
+    // the ordered rebuild from the same rows) — the chunk explode runs
+    // for the frequency pass and the flagging pass, not a third time
+    // for a separate stats subtree
+    chunks
+      .join(bad, md5(col("chunk")) === col("h"), "left")
+      .select(col("doc_id"), col("i"), col("chunk"),
+        coalesce(col("__bad"), lit(false)).as("bad"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(expr(
+          """transform(
+            |  filter(array_sort(collect_list(struct(i,
+            |           IF(bad, CAST(NULL AS STRING), chunk) AS ck))),
+            |         x -> x.ck IS NOT NULL),
+            |  x -> x.ck)""".stripMargin), " ").as("text_clean"))
   }
 
   /** Benchmark decontamination: flag training docs sharing any token

@@ -170,6 +170,26 @@ class B3PipelineSpec extends AnyFunSuite {
     val oneDay = spark.read.parquet(dir).filter(col("dia") === "03")
     assert(oneDay.queryExecution.executedPlan.toString
       .contains("PartitionFilters: [isnotnull(dia"))
+    // the period parameter restricts the merge BEFORE grouping (a
+    // post-hoc filter could not — the day columns are consumed)
+    val d3only = Lake.readMergedAggregate(spark, dir, Seq("grp"),
+        period = col("dia") === "03")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d3only == Map("b" -> 4.0, "c" -> 3.0))
+    // a re-run that aggregates to ZERO rows must retract the day's
+    // stale partials, not leave them counting (dynamic overwrite alone
+    // writes no partition for an empty frame)
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("grp", StringType), StructField("v", DoubleType))))
+    Lake.appendDailyPartials(empty, dir, LocalDate.of(2025, 8, 3), Seq("grp"), "v")
+    // day 3 held b:4.0 and all of c (day 2's correction had removed c);
+    // retracting it leaves only day-1 b and the corrected day-2 a
+    val retracted = merged()
+    assert(retracted == Map(
+      "a" -> ((103.0, 3L, 103.0 / 3)), "b" -> ((5.0, 1L, 5.0))),
+      s"day-3 retraction left stale partials: $retracted")
   }
 
   test("sketch partials: unioned HLL tracks exact distinct across days within bound") {

@@ -119,10 +119,17 @@ class LlmPipelineSpec extends AnyFunSuite {
       if (nDropped == 0) assert(clean == t, s"clean doc $id must pass through verbatim")
     }
     assert(out.values.exists(_._2 > 0), "testdata contains no boilerplate — test is vacuous")
-    // removal join must broadcast the (tiny) boilerplate set, not shuffle the corpus against it
+    // the flagging join must broadcast the (tiny) boilerplate set, not
+    // shuffle the corpus against it — and the scale escape hatch
+    // (broadcastBoilerplate = false) must agree row-for-row
     val plan = Dedup.d7SpanDedup(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"boilerplate removal is not a broadcast anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate flagging is not a broadcast join:\n$plan")
+    val shuffled = Dedup.dropBoilerplateSpans(docs, span = 10, maxFreq = 2,
+        broadcastBoilerplate = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(shuffled == out, "shuffle-join form disagrees with broadcast form")
   }
 
   test("crossContamination counts exactly the distinct shared n-grams (plain-Scala reference)") {
