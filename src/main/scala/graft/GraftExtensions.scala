@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, TextSignatures}
 
 /** Session-extension injector — the supported way to ship the engine's
   * native expressions and optimizer rules to every session of a
@@ -32,6 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimHashSig].getName, "graft_simhash"),
+      TextSignatures.makeSimhash))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      TextSignatures.makeMinhash))
     ext.injectOptimizerRule(_ => graft.plans.NullFilterToAntiJoin)
   }
 }

@@ -51,10 +51,17 @@ object Hashing {
   /** A pluggable hash family for the dedup/LSH candidate cores.
     * [[md5Family]] (default) is the cross-engine-portable form the
     * DuckDB oracle gate requires; [[xxFamily]] is the production swap.
+    *
+    * `kernelXx` marks whether [[TextKernels]] has a per-row native
+    * kernel computing this family (false = md5, true = xxhash64): when
+    * set, the signature stages run as one narrow projection instead of
+    * explode + hash-aggregate. A caller-supplied custom family leaves
+    * it None and takes the SQL-fragment aggregate path.
     */
-  final case class HashFamily(h32: String => String, h60: String => String)
+  final case class HashFamily(h32: String => String, h60: String => String,
+      kernelXx: Option[Boolean] = None)
 
-  val md5Family: HashFamily = HashFamily(h32Sql, h60Sql)
+  val md5Family: HashFamily = HashFamily(h32Sql, h60Sql, Some(false))
 
   /** Production family: xxhash64 masked to the same non-negative
     * 32-/60-bit ranges as the md5 forms (so the minhash universal-hash
@@ -68,7 +75,8 @@ object Hashing {
     */
   val xxFamily: HashFamily = HashFamily(
     s => s"(xxhash64($s) & 4294967295)",
-    s => s"(xxhash64($s) & 1152921504606846975)")
+    s => s"(xxhash64($s) & 1152921504606846975)",
+    Some(true))
 
   /** Driver-side evaluation of h32 — bit-identical to the SQL forms.
     * Used to precompute row-independent constants (e.g. LSH hyperplane

@@ -47,18 +47,43 @@ object Dedup {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingledDf(documents(s, d))
 
-  /** 16 minhash signatures over the shingle set, computed the
-    * codegen-friendly way: explode shingles to rows, md5 each shingle
-    * ONCE, then one hash-aggregate with 16 `min()` expressions — the 16
-    * per-seed hashes derive from the one md5 via a universal-hash
-    * family `h_k(x) = ((2k+1)·h + 7919k) mod p` (p prime > 2^32;
-    * (2k+1)·h < 2^38, no overflow). Array higher-order functions are
-    * CodegenFallback (interpreted) in Spark — at sf0.1 the fold form
-    * cost 15 s, this whole-stage-codegen'd explode+agg form ~2 s, and
-    * the gap widens with scale. Identical arithmetic on the DuckDB
-    * side.
+  /** 16 minhash signatures per doc, (doc_id, m0..m15).
+    *
+    * Default path: the per-row native kernel
+    * ([[graft.functions.TextKernels.minhash16]]) — the signature stage
+    * is ONE narrow whole-stage-codegen'd projection, no explode rows,
+    * no aggregate. A custom [[Hashing.HashFamily]] without a kernel
+    * falls back to [[minhashSigsAgg]]; the two forms produce EQUAL
+    * signatures (asserted per doc in TextSignatureSpec).
     */
   private def minhashSigs(docs: DataFrame,
+      fam: Hashing.HashFamily): DataFrame = fam.kernelXx match {
+    case Some(xx) =>
+      graft.functions.TextSignatures.ensureRegistered(docs.sparkSession)
+      docs
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), expr(s"graft_minhash(text, $xx)").as("mh"))
+        .select(col("doc_id") +:
+          (0 until 16).map(k => element_at(col("mh"), k + 1).as(s"m$k")): _*)
+    case None => minhashSigsAgg(docs, fam)
+  }
+
+  /** The explode + hash-aggregate form of [[minhashSigs]]: md5 each
+    * shingle ONCE per exploded row, then one hash-aggregate with 16
+    * `min()` expressions — the 16 per-seed hashes derive from the one
+    * digest via a universal-hash family
+    * `h_k(x) = ((2k+1)·h + 7919k) mod p` (p prime > 2^32;
+    * (2k+1)·h < 2^38, no overflow). Array higher-order functions are
+    * CodegenFallback (interpreted) in Spark — at sf0.1 the fold form
+    * cost 15 s, this whole-stage-codegen'd explode+agg form ~2 s. Kept
+    * as the path for caller-supplied hash families the native kernel
+    * doesn't know, and as the independent implementation the kernel's
+    * equivalence test checks against; its map-side partial `min()`s
+    * keep the exchange at one row per doc per task, but it still pays
+    * one exploded row + one hash-aggregate probe per shingle that the
+    * kernel does not.
+    */
+  private[graft] def minhashSigsAgg(docs: DataFrame,
       fam: Hashing.HashFamily): DataFrame = {
     // Explode a cheap index sequence and build+hash each shingle ONCE
     // per exploded row. Exploding the shingle ARRAY instead makes
@@ -150,27 +175,16 @@ object Dedup {
     * planted near-dups cleanly.)
     */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
-    // Codegen-friendly simhash: explode tokens → count per distinct
-    // token (md5 each DISTINCT token once) → one hash-aggregate with 60
-    // conditional sums. Per bit b the TF-weighted sign sum
-    // Σ cnt·(2·bit_b(h)−1) equals 2·S_b − C with S_b = Σ cnt[bit set],
-    // C = Σ cnt — so 60 SUM(IF(bit,cnt,0)) columns + one total replace
-    // the interpreted nested fold (72 s → ~2 s at sf0.1).
-    val tokCounts = documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), expr(Hashing.h60Sql("tok")).as("h"), col("cnt"))
-    val bitSums = (0 until 60).map { b =>
-      sum(expr(s"IF(((h >> $b) & 1) = 1, cnt, 0L)")).as(s"s$b")
-    } :+ sum(col("cnt")).as("c")
-    val simhashExpr = (0 until 60)
-      .map(b => s"shiftleft(cast(IF(2*s$b - c > 0, 1, 0) as bigint), $b)")
-      .mkString(" + ")
-    val sh = tokCounts
-      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+    // Signature stage: the native per-row kernel — one narrow
+    // projection, zero exchanges before the band join. The aggregate
+    // form it replaced ([[simhashSigsAgg]], kept for the equivalence
+    // test) shuffles the per-doc DISTINCT-TOKEN stream on
+    // (doc_id, tok); per-row computation deletes that exchange, which
+    // at 100 TB is the pipeline's largest (≈ the tokenized corpus).
+    graft.functions.TextSignatures.ensureRegistered(s)
+    val sh = documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0,3), b -> shiftright(simhash, b*15) & 32767)"))
@@ -185,6 +199,34 @@ object Dedup {
       .filter(col("hamming") <= 6)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The explode + two-hash-aggregate form of the d3 signature stage
+    * (doc_id, simhash): count per distinct token (md5 each DISTINCT
+    * token once), then 60 conditional sums. Per bit b the TF-weighted
+    * sign sum Σ cnt·(2·bit_b(h)−1) equals 2·S_b − C with
+    * S_b = Σ cnt[bit set], C = Σ cnt — so 60 SUM(IF(bit,cnt,0)) columns
+    * + one total replace the interpreted nested fold (72 s → ~2 s at
+    * sf0.1; the native kernel then removes this form's (doc_id, tok)
+    * exchange too). Kept as the independent implementation the kernel's
+    * equivalence test checks against.
+    */
+  private[graft] def simhashSigsAgg(docs: DataFrame): DataFrame = {
+    val tokCounts = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), expr(Hashing.h60Sql("tok")).as("h"), col("cnt"))
+    val bitSums = (0 until 60).map { b =>
+      sum(expr(s"IF(((h >> $b) & 1) = 1, cnt, 0L)")).as(s"s$b")
+    } :+ sum(col("cnt")).as("c")
+    val simhashExpr = (0 until 60)
+      .map(b => s"shiftleft(cast(IF(2*s$b - c > 0, 1, 0) as bigint), $b)")
+      .mkString(" + ")
+    tokCounts
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
   }
 
   /** n-gram Jaccard verify stage: exact 3-gram-set Jaccard for the

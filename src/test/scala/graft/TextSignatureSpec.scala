@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextSignatures}
+import graft.lake.Tables
+import graft.text.Dedup
+
+/** The native per-row signature kernels (graft_simhash / graft_minhash)
+  * must produce EXACTLY the signatures of the explode+aggregate forms
+  * they replaced — same bits, not merely same recall — and must delete
+  * the signature-stage exchange that motivated them.
+  */
+class TextSignatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("native simhash equals the aggregate form bit-for-bit on every doc") {
+    TextSignatures.ensureRegistered(spark)
+    val native = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("graft_simhash(text)").as("sig"))
+    val agg = Dedup.simhashSigsAgg(docs)
+      .withColumnRenamed("simhash", "sig2")
+    val joined = native.join(agg, "doc_id")
+    assert(joined.count() == native.count(), "doc sets differ")
+    val diff = joined.filter(col("sig") =!= col("sig2")).count()
+    assert(diff == 0, s"$diff docs with differing simhash")
+  }
+
+  test("native minhash equals the aggregate form for both hash families") {
+    TextSignatures.ensureRegistered(spark)
+    Seq(Hashing.md5Family -> false, Hashing.xxFamily -> true)
+      .foreach { case (fam, xx) =>
+        // the xx leg also pins the kernel's xx64 == Spark's xxhash64
+        // built-in (seed 42 over UTF-8 bytes) — the agg form calls the
+        // SQL function, the kernel calls XXH64 directly
+        val native = docs
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), expr(s"graft_minhash(text, $xx)").as("mh"))
+        val agg = Dedup.minhashSigsAgg(docs, fam)
+        val aggArr = agg.select(col("doc_id"),
+          array((0 until 16).map(k => col(s"m$k")): _*).as("mh2"))
+        val joined = native.join(aggArr, "doc_id")
+        assert(joined.count() == native.count(), s"doc sets differ (xx=$xx)")
+        val diff = joined.filter(col("mh") =!= col("mh2")).count()
+        assert(diff == 0, s"$diff docs with differing minhash (xx=$xx)")
+      }
+  }
+
+  test("signature stages are narrow: zero exchanges before the band join") {
+    TextSignatures.ensureRegistered(spark)
+    val sig = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"),
+        expr("graft_minhash(text, false)").as("mh"))
+    val exchanges = sig.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"signature projection should be narrow:\n${sig.queryExecution.executedPlan}")
+    // and it must run inside whole-stage codegen, not a fallback project
+    val codegenSpans = sig.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty,
+      s"no codegen span:\n${sig.queryExecution.executedPlan}")
+  }
+
+  test("two signature calls in one projection codegen cleanly (freshName)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    val s = Literal.create("a b c d", org.apache.spark.sql.types.StringType)
+    val proj = GenerateMutableProjection.generate(Seq(
+      graft.functions.SimHashSig(s, xx = false),
+      graft.functions.SimHashSig(s, xx = true),
+      graft.functions.MinHashSig(s, xx = false)))
+    val row = proj(InternalRow.empty)
+    // values must agree with direct kernel evaluation
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString("a b c d")
+    assert(row.getLong(0) == graft.functions.TextKernels.simhash60(u, false))
+    assert(row.getLong(1) == graft.functions.TextKernels.simhash60(u, true))
+    assert(row.getArray(2).toLongArray.sameElements(
+      graft.functions.TextKernels.minhash16(u, false).toLongArray()))
+  }
+
+  test("d2/d3 candidate pairs are unchanged by the native signature path") {
+    // the full queries run through minhashSigs/graft_simhash now; the
+    // oracle gate checks them at sf0.01, this pins sf0.001 locally
+    // against the agg-form reimplementation of d2's band pipeline
+    val nativePairs = Dedup.d2MinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aggSigs = Dedup.minhashSigsAgg(docs, Hashing.md5Family)
+    val bandCols = (0 until 4).map { b =>
+      md5(concat_ws(",",
+        (0 until 4).map(i => col(s"m${4 * b + i}").cast("string")): _*))
+    }
+    val bt = aggSigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+    val aggPairs = bt.as("a")
+      .join(bt.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nativePairs == aggPairs)
+  }
+}
