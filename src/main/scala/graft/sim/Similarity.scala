@@ -38,14 +38,14 @@ object Similarity {
     * overflows janino's method limit at 8×64 terms; a higher-order
     * `aggregate` is interpreted).
     */
-  private def dotSql(a: String, b: String): String =
+  private[sim] def dotSql(a: String, b: String): String =
     s"graft_dot($a, $b)"
 
   private def normSql(a: String): String =
     s"sqrt(${dotSql(a, a)})"
 
   /** Exact cosine between two embedding columns. */
-  private def cosSql(a: String, b: String): String =
+  private[sim] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
   /** s1: brute-force exact top-5 cosine neighbors for a bounded query
@@ -133,7 +133,7 @@ object Similarity {
     * of twice per scored pair (same double as the per-pair form: same
     * input, same fold).
     */
-  private def normedEmbeddings(s: SparkSession, d: String): DataFrame =
+  private[sim] def normedEmbeddings(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
@@ -279,12 +279,12 @@ object Similarity {
   // list_reduce is DuckDB's sequential fold; prepending Spark's 0.0 seed
   // is exact (0.0 + x == x), so both folds produce identical doubles.
 
-  private def dotDuck(a: String, b: String): String =
+  private[sim] def dotDuck(a: String, b: String): String =
     s"""list_reduce(list_transform(range(len($a)),
        |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
 
-  private def cosDuck(a: String, b: String): String =
+  private[sim] def cosDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
 
   /** Per-table bucket, mirroring [[bucketsSql]]: hyperplane index
