@@ -142,13 +142,14 @@ object Similarity {
     * the shape that survives 100× scale-up (bucket equi-join; exact
     * cosine only within buckets).
     */
-  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+  /** (q_id, n_id, cos_exact) — every deduped LSH candidate pair,
+    * scored. Shared by the two s2 ranking forms below.
+    */
+  private[graft] def s2Scored(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     val bt = bucketTable(s, d)
     val a = bt.as("a")
     val c = bt.as("c").hint("shuffle_hash")
-    val w = Window.partitionBy("q_id")
-      .orderBy(desc("cos_exact"), asc("n_id"))
     // shuffle_hash on both sides -> identical exchanges -> ReuseExchange
     // computes the bucket projection once (broadcast is impossible at
     // corpus scale anyway); dropDuplicates collapses multi-table
@@ -165,11 +166,42 @@ object Similarity {
       .withColumn("cos_exact",
         expr(dotSql("eq.embedding", "en.embedding")) /
           (col("eq.nrm") * col("en.nrm")))
+  }
+
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    s2Scored(s, d)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"),
         round(col("cos_exact"), 4).as("cos"),
         col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The partial-aggregable ranking form of [[s2AnnLsh]]: the typed
+    * top-k aggregator collapses each map task's candidates to ≤ 3 per
+    * query BEFORE the shuffle, where the window form shuffles the whole
+    * scored candidate stream to sort it. Same output, same tie-break
+    * (cos desc, n_id asc). See AnnCompare for the measured trade —
+    * the typed path leaves whole-stage codegen (encoder per row), so
+    * which form wins depends on candidate volume per task.
+    */
+  private[graft] def s2AnnLshAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = new graft.functions.TopKAggregator(3).toColumn
+    s2Scored(s, d)
+      .select(col("q_id"), col("cos_exact"), col("n_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, cos, n) => (cos, n) }
+      .agg(topk.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("q_id"), col("item._2").as("n_id"),
+        round(col("item._1"), 4).as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("q_id", "rank")
   }
 
