@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, TextSignatures}
+import graft.functions.{DotProduct, NormalizeExpression, TextSignatures}
 
 /** Session-extension injector — the supported way to ship the engine's
   * native expressions and optimizer rules to every session of a
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
       TextSignatures.makeMinhash))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      NormalizeExpression.make))
     ext.injectOptimizerRule(_ => graft.plans.NullFilterToAntiJoin)
   }
 }
