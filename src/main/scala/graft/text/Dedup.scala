@@ -237,6 +237,67 @@ object Dedup {
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
     nearDupPairs(documents(s, d), 0.8).orderBy("doc_a", "doc_b")
 
+  /** The corpus's LSH band index (doc_id, band, bk) — the thing a
+    * production pipeline computes ONCE per corpus, persists, and reuses
+    * for every arriving increment (see [[admitIncrement]]).
+    */
+  def bandIndex(docs: DataFrame,
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame =
+    bandTable(docs, fam)
+
+  /** Incremental admission — the daily-crawl workflow: keep only the
+    * increment docs that are near-duplicates of neither the EXISTING
+    * corpus nor a lower-id doc in the same increment. The corpus is
+    * immutable (it is already curated; nothing is ever dropped from
+    * it), so unlike a full [[dropNearDuplicates]] over corpus ∪
+    * increment, the corpus NEVER self-joins and never re-shuffles:
+    * candidates come from broadcasting the increment's (small) band
+    * table against the corpus band index, which the caller can persist
+    * once via [[bandIndex]] and reuse across increments. Per-increment
+    * cost is O(|increment| + collided buckets) — independent of corpus
+    * size except for the one index probe.
+    *
+    * Contracts: doc_ids must be disjoint across the two frames, and
+    * docs of < 3 tokens have no shingles, hence never match (same as
+    * every minhash path here).
+    */
+  def admitIncrement(corpus: DataFrame, increment: DataFrame,
+      minJaccard: Double = 0.8,
+      corpusBands: Option[DataFrame] = None,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame = {
+    val cb = corpusBands.getOrElse(bandIndex(corpus, fam))
+    val ib = bandIndex(increment, fam)
+    val crossCand = materialize(
+      broadcast(ib.as("i")).join(cb.as("c"),
+          col("i.band") === col("c.band") && col("i.bk") === col("c.bk"))
+        .select(col("i.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+        .distinct())
+    // exact-Jaccard verify, shingling ONLY pair-involved docs per side
+    val setsI = shingledDf(increment.join(
+        crossCand.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("sh"))
+    val setsC = shingledDf(corpus.join(
+        crossCand.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("sh"))
+    val dupOfCorpus = crossCand
+      .join(setsI.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(setsC.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a").as("doc_id")).distinct()
+    // intra-increment dups resolve exactly like dropNearDuplicates
+    val dupInIncrement = nearDupPairs(increment, minJaccard, materialize, fam)
+      .select(col("doc_b").as("doc_id")).distinct()
+    increment.join(dupOfCorpus.union(dupInIncrement).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Corpus API: LSH candidates verified by exact 3-gram Jaccard ≥
     * `minJaccard` → (doc_a, doc_b, jac).
     *

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lake.Tables
+import graft.text.Dedup
+
+/** admitIncrement: the daily-increment admission workflow — dups of the
+  * corpus rejected, intra-increment dups resolved to one survivor,
+  * fresh docs admitted; equivalent to the full-recompute answer on a
+  * curated corpus; and the corpus is probed via a broadcast of the
+  * increment, never self-joined.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // a curated (near-deduped) corpus, as the contract assumes
+  private lazy val corpus =
+    Dedup.dropNearDuplicates(Tables.documents(spark, sf)).cache()
+
+  // increment: two exact copies of corpus docs (near-dup of corpus),
+  // two fresh docs, and an intra-increment duplicated pair
+  private lazy val increment = {
+    val base = 1000000L
+    val copies = corpus.orderBy("doc_id").limit(2)
+      .select((col("doc_id") + base).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    import spark.implicits._
+    val fresh = Seq(
+      (base + 501, "completely novel payload alpha beta gamma delta epsilon zeta"),
+      (base + 502, "another unseen document with its own distinct run of tokens here"),
+      (base + 503, "twin content twin content twin content twin content twin content"),
+      (base + 504, "twin content twin content twin content twin content twin content"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("inc"))
+      .withColumn("n_chars", length(col("text")))
+    copies.unionByName(fresh)
+  }
+
+  test("corpus dups rejected, intra-increment dups collapse, fresh admitted") {
+    val admitted = Dedup.admitIncrement(corpus, increment)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1000501L, 1000502L, 1000503L))
+  }
+
+  test("matches the full-recompute answer on a curated corpus") {
+    val full = Dedup.dropNearDuplicates(corpus.unionByName(increment))
+      .filter(col("doc_id") >= 1000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inc = Dedup.admitIncrement(corpus, increment)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc == full)
+  }
+
+  test("a persisted band index gives the same admissions") {
+    val idx = Dedup.bandIndex(corpus).cache()
+    try {
+      val a = Dedup.admitIncrement(corpus, increment)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Dedup.admitIncrement(corpus, increment, corpusBands = Some(idx))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b)
+    } finally { idx.unpersist(); () }
+  }
+
+  test("the corpus index is probed via broadcast, not self-joined") {
+    val cand = org.apache.spark.sql.functions.broadcast(
+      Dedup.bandIndex(increment).as("i"))
+      .join(Dedup.bandIndex(corpus).as("c"),
+        col("i.band") === col("c.band") && col("i.bk") === col("c.bk"))
+    cand.write.format("noop").mode("overwrite").save()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other.children.flatMap(walk)
+      }
+      p +: kids
+    }
+    val nodes = walk(cand.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"increment bands should broadcast:\n${cand.queryExecution.executedPlan}")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+  }
+}
