@@ -78,6 +78,50 @@ object Sampling {
     * suited to the low-cardinality strata (language, source, license)
     * curation actually keys on.
     */
+  /** Temperature-rebalanced mixture sampling — [[stratified]] with the
+    * per-group rates COMPUTED from the corpus's own distribution
+    * instead of hand-picked: group g is kept at a rate that reshapes
+    * group masses n_g toward n_g^τ (τ < 1 flattens the mixture — the
+    * standard recipe for keeping head languages/sources from drowning
+    * the tail; τ=1 is proportional, τ=0 uniform), scaled to an expected
+    * `targetRows` total and capped at 1 (this operator never
+    * upsamples).
+    *
+    * Scale shape: one partial-agg pass for the k group counts, the
+    * k-row threshold table broadcast back — the corpus is read twice
+    * but never shuffled.
+    *
+    * Determinism: thresholds are µ-unit integers; weights go through
+    * fixed-point (floor(√n·10⁶)) and the group-weight SUM is integer —
+    * order-independent. τ = 0.5 (the default, and the common choice)
+    * computes via `sqrt`, which IEEE requires correctly rounded —
+    * bit-identical in every engine; other τ use `power`, which is NOT
+    * so guaranteed and may flip a floor at a ulp boundary cross-engine
+    * (fine within one engine — Spark's Math.pow is deterministic).
+    */
+  def temperatureMix(df: DataFrame, group: Column, key: Column,
+      targetRows: Long, tau: Double = 0.5, salt: String = ""): DataFrame = {
+    require(tau >= 0 && tau <= 1, s"tau must be in [0,1]: $tau")
+    require(targetRows >= 0, s"targetRows must be non-negative: $targetRows")
+    val wExpr =
+      if (tau == 0.5) "SQRT(CAST(__n AS DOUBLE))"
+      else s"POWER(CAST(__n AS DOUBLE), CAST($tau AS DOUBLE))"
+    val stats = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__wfx",
+        expr(s"CAST(FLOOR($wExpr * CAST($M AS DOUBLE)) AS BIGINT)"))
+    val tot = stats.agg(sum("__wfx").as("__W"))
+    val thresh = stats.join(broadcast(tot))
+      .withColumn("__thr", least(lit(M), expr(
+        s"""CAST(FLOOR(CAST(__wfx AS DOUBLE) * CAST($targetRows AS DOUBLE)
+           | * CAST($M AS DOUBLE)
+           | / (CAST(__W AS DOUBLE) * CAST(__n AS DOUBLE))) AS BIGINT)"""
+          .stripMargin.replace("\n", " "))))
+      .select(col("__g"), col("__thr"))
+    df.join(broadcast(thresh), group === col("__g"))
+      .filter(coin(key, salt) < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   def stratified(df: DataFrame, strata: Column, key: Column,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = ""): DataFrame = {

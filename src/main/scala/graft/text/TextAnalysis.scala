@@ -168,6 +168,17 @@ object TextAnalysis {
     * which is exactly why it CAN be oracle-checked (a rand() sample
     * can't).
     */
+  /** t16: temperature mixture rebalancing (τ=0.5) over the skewed
+    * language distribution — rates computed from the corpus itself, see
+    * [[graft.ops.Sampling.temperatureMix]].
+    */
+  def t16TemperatureMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+        documents(s, d), col("lang"), col("doc_id"),
+        targetRows = 250, salt = "mix")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   def t9StratifiedSample(s: SparkSession, d: String): DataFrame =
     graft.ops.Sampling.stratified(
         documents(s, d), col("lang"), col("doc_id"),
@@ -304,6 +315,7 @@ object TextAnalysis {
     "t7_regex_tokens"  -> (t7RegexTokens _),
     "t8_frequent_tokens" -> (t8FrequentTokens _),
     "t9_stratified_sample" -> (t9StratifiedSample _),
+    "t16_temperature_mix" -> (t16TemperatureMix _),
     "t10_pack_docs" -> ((s: SparkSession, d: String) => t10PackDocs(s, d)),
     "t11_tfidf_top" -> (t11TfidfTop _),
     "t12_token_budget_sample" -> (t12TokenBudgetSample _),
@@ -362,6 +374,23 @@ object TextAnalysis {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8)
         |        AS BIGINT) % 1000000
         |      < CASE WHEN lang = 'en' THEN 250000 ELSE 800000 END
+        |ORDER BY doc_id""".stripMargin,
+    "t16_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT lang AS g, COUNT(*) AS n,
+        |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wfx
+        |  FROM documents GROUP BY lang
+        |), w AS (SELECT CAST(SUM(wfx) AS BIGINT) AS tw FROM s),
+        |t AS (
+        |  SELECT g, LEAST(1000000,
+        |    CAST(FLOOR(CAST(wfx AS DOUBLE) * CAST(250 AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)
+        |      / (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)) AS thr
+        |  FROM s, w)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.g
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8)
+        |        AS BIGINT) % 1000000 < t.thr
         |ORDER BY doc_id""".stripMargin,
     "t10_pack_docs" ->
       """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,

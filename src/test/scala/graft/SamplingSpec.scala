@@ -72,4 +72,47 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.deterministic(docs, col("doc_id"), 0.0).isEmpty)
     assert(Sampling.deterministic(docs, col("doc_id"), 1.0).count() == docs.count())
   }
+
+  test("temperature mix flattens the head/tail ratio toward sqrt") {
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val head = total.maxBy(_._2)._1
+    val tail = total.minBy(_._2)._1
+    val kept = Sampling.temperatureMix(docs, col("lang"), col("doc_id"),
+        targetRows = total.values.sum / 2, salt = "tm")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // τ=0.5: expected kept ratio head/tail = sqrt(n_head/n_tail) — i.e.
+    // the tail's KEEP RATE exceeds the head's
+    val headRate = kept(head).toDouble / total(head)
+    val tailRate = kept.getOrElse(tail, 0L).toDouble / total(tail)
+    assert(tailRate > headRate,
+      s"tail $tail rate $tailRate should beat head $head rate $headRate")
+    // expected total ~ targetRows (coin concentration; generous band
+    // for the ~50-docs-per-group corpus)
+    val target = total.values.sum / 2
+    assert(math.abs(kept.values.sum.toDouble - target) / target < 0.5)
+  }
+
+  test("temperature mix: tau=1 is proportional; huge target caps at keep-all") {
+    // τ=1 ⇒ every group's threshold is the same flat rate
+    val t1 = Sampling.temperatureMix(docs, col("lang"), col("doc_id"),
+      targetRows = docs.count() / 2, tau = 1.0, salt = "tm")
+    val flat = Sampling.deterministic(docs, col("doc_id"), 0.5, salt = "tm")
+    // both are the same coin with (up to floor quantization) the same
+    // threshold, so the selections coincide almost exactly
+    val d = t1.select("doc_id").exceptAll(flat.select("doc_id")).count() +
+      flat.select("doc_id").exceptAll(t1.select("doc_id")).count()
+    assert(d <= docs.count() / 20, s"tau=1 diverged from flat rate by $d docs")
+    // target beyond the corpus: every threshold caps at 1 ⇒ keep all
+    assert(Sampling.temperatureMix(docs, col("lang"), col("doc_id"),
+      targetRows = docs.count() * 10).count() == docs.count())
+  }
+
+  test("temperature mix is stable under repartitioning") {
+    def run(parts: Int) = ids(Sampling.temperatureMix(
+      docs.repartition(parts), col("lang"), col("doc_id"),
+      targetRows = 30, salt = "tm"))
+    assert(run(2) == run(13))
+  }
 }
