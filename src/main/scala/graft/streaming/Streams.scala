@@ -137,6 +137,69 @@ object Streams {
         graft.ingest.Jdbc.append(batch, url, table)
       }
 
+  /** Streaming corpus admission — [[graft.text.Dedup.admitIncrement]]
+    * as a continuously-running gate: each micro-batch of candidate docs
+    * is near-dedup-checked against the static curated corpus AND
+    * everything admitted in earlier batches, then appended to the
+    * admitted store. The batch-side dedup logic is reused verbatim
+    * (foreachBatch), so streaming and nightly-batch admission cannot
+    * drift.
+    *
+    * Scale/robustness contracts:
+    *   - The static corpus's band index is computed ONCE here and
+    *     reused every batch (pass a persisted [[graft.text.Dedup.bandIndex]]
+    *     via `corpusBands` to skip even that); only the (small)
+    *     admitted-so-far store re-indexes per batch.
+    *   - Batch writes are IDEMPOTENT: each batch lands in its own
+    *     `batch_id=` partition via dynamic partition overwrite, so a
+    *     replayed micro-batch (failure between write and commit)
+    *     overwrites itself instead of duplicating — exactly-once
+    *     downstream despite foreachBatch's at-least-once contract.
+    *   - Cross-batch duplicates are rejected because the admitted
+    *     store is probed alongside the corpus.
+    */
+  def admitStream(docs: DataFrame, corpus: DataFrame, admittedPath: String,
+      checkpoint: String, minJaccard: Double = 0.8,
+      corpusBands: Option[DataFrame] = None): DataStreamWriter[Row] = {
+    import graft.text.Dedup
+    val spark = corpus.sparkSession
+    val corpusCols = corpus.columns.map(col).toIndexedSeq
+    val staticBands = corpusBands.getOrElse(Dedup.bandIndex(corpus))
+      .localCheckpoint()
+    // EXCLUDES the replaying batch's own partition (a replayed batch
+    // must not reject its docs as dups of its previous attempt), and
+    // materializes via localCheckpoint so the subsequent dynamic
+    // overwrite of the same root is not also a read of it.
+    def admittedSoFar(bid: Long): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(admittedPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Some(spark.read.parquet(admittedPath)
+          .filter(col("batch_id") =!= bid)
+          .drop("batch_id").localCheckpoint())
+      else None
+    }
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val inc = batch.select(corpusCols: _*)
+        val (against, bands) = admittedSoFar(bid) match {
+          case Some(adm) =>
+            (corpus.unionByName(adm),
+              staticBands.unionByName(Dedup.bandIndex(adm)))
+          case None => (corpus, staticBands)
+        }
+        Dedup.admitIncrement(against, inc, minJaccard,
+            corpusBands = Some(bands))
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(admittedPath)
+      }
+  }
+
   /** Stream-stream enrichment join (§2.9 extension): ticks joined to a
     * second stream of reference updates (the streaming twin of j1's
     * dim join — e.g. enriching a Firehose tick stream with a

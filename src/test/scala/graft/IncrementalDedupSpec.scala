@@ -63,6 +63,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("admitStream: per-batch admission with cross-batch self-dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("admit").toString
+    val corpusDoc = corpus.orderBy("doc_id").limit(1)
+      .select("text").head().getString(0)
+    val ms = MemoryStream[(Long, String)]
+    val docsStream = ms.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("stream"))
+      .withColumn("n_chars", length(col("text")))
+    val q = graft.streaming.Streams.admitStream(
+      docsStream, corpus, s"$base/admitted", s"$base/ckpt").start()
+    try {
+      val freshA = "entirely new streaming document payload one two three four five"
+      // batch 1: a corpus dup (reject) + a fresh doc (admit)
+      ms.addData((2000001L, corpusDoc), (2000002L, freshA))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1's admitted doc (reject) + fresh (admit)
+      ms.addData((2000003L, freshA),
+        (2000004L, "a second novel stream document six seven eight nine ten"))
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$base/admitted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(2000002L, 2000004L))
+    } finally q.stop()
+  }
+
   test("the corpus index is probed via broadcast, not self-joined") {
     val cand = org.apache.spark.sql.functions.broadcast(
       Dedup.bandIndex(increment).as("i"))
