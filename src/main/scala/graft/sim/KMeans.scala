@@ -167,9 +167,47 @@ object KMeans {
     embeddings(s, d).join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** s7: label-outlier mining ("is this example mislabeled?") — the
+    * label-noise-detection stage of supervised-data curation. Each
+    * label's centroid comes from the same deterministic fixed-point
+    * mean as the Lloyd update; every member scores its cosine to its
+    * OWN label's centroid, and the 3 least-central members per label
+    * surface for review. Same scale shape as assignment: one k-row
+    * broadcast, one explode→agg for centroids, and the per-label
+    * bottom-3 collapses map-side via the argmin pattern generalized to
+    * a window over ≤3-per-task survivors — here plain row_number, since
+    * the per-label member stream arrives already collapsed to one row
+    * per vector.
+    */
+  def s7LabelOutliers(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    labelOutliers(embeddings(s, d), k = 3)
+      .select(col("label"), col("vec_id"),
+        round(col("cos_c"), 4).as("cos"), col("rank"))
+      .orderBy("label", "rank")
+  }
+
+  /** The k least-central members of each label
+    * ((label, vec_id, cos_c, rank); see [[s7LabelOutliers]]).
+    * Expects (vec_id, embedding, label).
+    */
+  def labelOutliers(e: DataFrame, k: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(e.sparkSession)
+    val cents = updateCentroids(
+      e.select(col("label").as("cluster"), col("embedding")))
+      .select(col("cluster").as("label"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(asc("cos_c"), asc("vec_id"))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("cos_c", expr(Similarity.cosSql("embedding", "cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_kmeans_assign" -> (s5KmeansAssign _),
     "s6_semdedup"      -> (s6Semdedup _),
+    "s7_label_outliers" -> (s7LabelOutliers _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -214,6 +252,28 @@ object KMeans {
       s"""WITH $assignChain
          |SELECT vec_id, cluster, round(cos_c, 4) AS cos
          |FROM a1 ORDER BY vec_id""".stripMargin,
+    "s7_label_outliers" -> {
+      val cosE = Similarity.cosDuck("e.embedding", "c.cv")
+      s"""WITH ex AS (
+         |  SELECT label, i AS dim,
+         |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE)
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS fx
+         |  FROM embeddings, range(64) t(i)
+         |), m AS (
+         |  SELECT label, dim,
+         |    CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS cval
+         |  FROM ex GROUP BY label, dim
+         |), c AS (
+         |  SELECT label, list(cval ORDER BY dim) AS cv FROM m GROUP BY label
+         |), scored AS (
+         |  SELECT e.label, e.vec_id, $cosE AS cos_c,
+         |    CAST(row_number() OVER (PARTITION BY e.label
+         |      ORDER BY $cosE ASC, e.vec_id) AS INTEGER) AS rank
+         |  FROM embeddings e JOIN c ON e.label = c.label)
+         |SELECT label, vec_id, round(cos_c, 4) AS cos, rank
+         |FROM scored WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+    },
     "s6_semdedup" ->
       s"""WITH $assignChain, scored AS (
          |  SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -65,6 +65,23 @@ class KMeansSpec extends AnyFunSuite {
     assert(kept == corpus.count() - losers)
   }
 
+  test("label outliers: a planted cross-labeled vector surfaces at rank 1") {
+    import spark.implicits._
+    // two tight orthogonal clusters; vec 99 carries cluster-B geometry
+    // under label 0 — the classic mislabeled example
+    def vec(axis: Int, wiggle: Float) =
+      Array.tabulate(4)(i => if (i == axis) 1f else if (i == 3) wiggle else 0f)
+    val rows = Seq(
+      (1L, vec(0, 0.01f), 0), (2L, vec(0, 0.02f), 0), (3L, vec(0, 0.03f), 0),
+      (11L, vec(1, 0.01f), 1), (12L, vec(1, 0.02f), 1), (13L, vec(1, 0.03f), 1),
+      (99L, vec(1, 0.00f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = KMeans.labelOutliers(rows, k = 1)
+      .select("label", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(out(0) == 99L, s"planted mislabel should be label 0's outlier: $out")
+  }
+
   test("assignment: broadcast join, argmax collapses before the one exchange") {
     val cents = corpus.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
