@@ -38,7 +38,7 @@ object Dedup {
     * Takes any frame with (doc_id, text) — the corpus-level API below
     * and the testdata queries share this core.
     */
-  private def shingledDf(docs: DataFrame): DataFrame =
+  private[graft] def shingledDf(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -616,7 +616,7 @@ object Dedup {
   /** Oracle CTE chain from any source relation (the composed pipeline
     * oracle reuses it on a filtered corpus).
     */
-  private[text] def shingledDuckFrom(src: String) =
+  private[graft] def shingledDuckFrom(src: String) =
     s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
       |), sh AS (
