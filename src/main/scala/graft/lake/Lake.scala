@@ -306,6 +306,33 @@ object Lake {
       .option("compression", "snappy")
       .parquet(path)
 
+  /** Snapshot diff — the audit step between two corpus versions (what
+    * did last night's curation run add, drop, rewrite?): returns
+    * (key, status) with status ∈ added | removed | changed, where
+    * `changed` compares an md5 over `compareCols` (order as given).
+    * One full-outer join on the key of two (key, fingerprint)
+    * projections — each side is reduced to two columns before the
+    * shuffle, so the diff moves fingerprints, never payloads. Unchanged
+    * rows are not emitted (at 100 TB the diff is small; the identity
+    * set is the frame you already have).
+    */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // to_json keeps field boundaries and null-vs-empty distinct, which
+    // a separator-free concat would conflate ("ab"+"" vs "a"+"b")
+    def fp(df: DataFrame, side: String) = df.select(
+      col(key),
+      md5(to_json(struct(compareCols.map(col): _*))).as(s"__fp_$side"))
+    fp(oldSnap, "old").join(fp(newSnap, "new"), Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+  }
+
   def upsertByKey(spark: SparkSession, increment: DataFrame, path: String,
       key: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)

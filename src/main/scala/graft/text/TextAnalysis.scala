@@ -210,6 +210,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t17: materialized pack payloads — the step after [[t10PackDocs]]'
+    * assignment: each (shard, pack) concatenates its member docs (in
+    * doc_id order, `<eos>`-separated) into the actual training-context
+    * payload, with doc/token accounting. One shuffle on the shard key
+    * serves both the running-sum window and the pack aggregation
+    * (same-key clustering); `collect_list` is per-pack bounded — a pack
+    * holds ≈ budget tokens by construction, so the agg buffer is
+    * context-window-sized, never corpus-sized. Rebuild order is forced
+    * by array_sort on (doc_id, text) structs (collect_list itself is
+    * unordered).
+    */
+  def t17PackPayloads(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks(s, d)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("tok_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_before div ${budget}L"))
+      .groupBy("lang", "pack_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        expr("""array_join(transform(
+            array_sort(collect_list(struct(doc_id, text))), x -> x.text),
+            ' <eos> ')""").as("payload"))
+      .orderBy("lang", "pack_id")
+  }
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -316,6 +345,7 @@ object TextAnalysis {
     "t8_frequent_tokens" -> (t8FrequentTokens _),
     "t9_stratified_sample" -> (t9StratifiedSample _),
     "t16_temperature_mix" -> (t16TemperatureMix _),
+    "t17_pack_payloads" -> ((s, d) => t17PackPayloads(s, d)),
     "t10_pack_docs" -> ((s: SparkSession, d: String) => t10PackDocs(s, d)),
     "t11_tfidf_top" -> (t11TfidfTop _),
     "t12_token_budget_sample" -> (t12TokenBudgetSample _),
@@ -375,6 +405,22 @@ object TextAnalysis {
         |        AS BIGINT) % 1000000
         |      < CASE WHEN lang = 'en' THEN 250000 ELSE 800000 END
         |ORDER BY doc_id""".stripMargin,
+    "t17_pack_payloads" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    COALESCE(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_before
+        |  FROM documents)
+        |SELECT lang, pack_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS payload
+        |FROM (SELECT doc_id, lang, text, n_tokens,
+        |        CAST(tok_before // 2048 AS BIGINT) AS pack_id FROM t)
+        |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "t16_temperature_mix" ->
       """WITH s AS (
         |  SELECT lang AS g, COUNT(*) AS n,

@@ -139,6 +139,20 @@ class B3PipelineSpec extends AnyFunSuite {
     assert(!new java.io.File(dir.stripSuffix("/") + "_old").exists)
   }
 
+  test("diffSnapshots classifies added/removed/changed and skips identical rows") {
+    import spark.implicits._
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (5L, "ab", "")).toDF("k", "v", "w")
+    val neu = Seq((1L, "a", "x"), (2L, "B", "y"), (4L, "d", "q"),
+      (5L, "a", "b")).toDF("k", "v", "w")
+    val diff = Lake.diffSnapshots(old, neu, "k", Seq("v", "w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1 identical -> absent; 5 would collide under naive concat
+    // ("ab"+"" vs "a"+"b") but must be CHANGED
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed"))
+  }
+
   test("incremental partial aggregates: merged read == full recompute; day re-run idempotent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("partials").toString
