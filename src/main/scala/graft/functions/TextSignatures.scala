@@ -46,10 +46,19 @@ object TextKernels {
   private def tokens(text: UTF8String): Array[String] =
     text.toString.split(" ", -1)
 
+  // MessageDigest instances are stateful: one per TASK THREAD (not per
+  // call — getInstance is a JCA provider lookup + allocation, and the
+  // kernel hashes every shingle/token) keeps the kernel thread-safe
+  // under codegen'd multi-threaded execution at zero per-hash cost.
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private def md5(s: String): Array[Byte] = {
-    // MessageDigest instances are stateful; one per call keeps the
-    // kernel thread-safe under codegen'd multi-threaded task execution.
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Digest.get()
+    md.reset()
     md.digest(s.getBytes("UTF-8"))
   }
 

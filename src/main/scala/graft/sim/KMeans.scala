@@ -63,7 +63,8 @@ object KMeans {
     * o7 pattern), so the exchange carries n rows — a window form would
     * shuffle the whole n·k scored stream first. Negation is exact in
     * IEEE doubles, so min_by picks exactly row_number's
-    * (cos DESC, cluster ASC) winner.
+    * (cos DESC, cluster ASC) winner — for finite cosines; NaN
+    * placement differs (see the [[kMeans]] nonzero-norm precondition).
     */
   private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents))
@@ -98,14 +99,27 @@ object KMeans {
     * (vec_id, cluster, cos_c) of the final assignment. Empty clusters
     * simply disappear (both engines agree). The oracle-checked query
     * form pins iters = 1.
+    *
+    * `materialize` truncates lineage once per iteration on the (tiny)
+    * centroid frame — without it each round nests the full previous
+    * plan and every action recomputes all rounds (the
+    * [[graft.text.Dedup.connectedComponents]] contract; pass
+    * `_.checkpoint()` for executor-loss durability on long runs).
+    *
+    * Precondition: embeddings (and the means they induce) must have
+    * nonzero norm — a zero-norm side makes the cosine NaN, and NaN
+    * placement differs between this argmin and a SQL
+    * `ORDER BY cos DESC` (NaN sorts greatest in both engines, so DESC
+    * ranks it first where min_by ranks it last).
     */
-  def kMeans(s: SparkSession, d: String, iters: Int = 1): DataFrame = {
+  def kMeans(s: SparkSession, d: String, iters: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     val e = embeddings(s, d)
     var cents = centroids0(s, d)
     var assigned = assign(e, cents)
     (0 until iters).foreach { _ =>
-      cents = updateCentroids(assigned)
+      cents = materialize(updateCentroids(assigned))
       assigned = assign(e, cents)
     }
     assigned
@@ -132,7 +146,14 @@ object KMeans {
     * synthetic corpus (near-orthogonal; max pair cos ≈ 0.5); real
     * embedding spaces run ~0.95+ on the SAME plan.
     */
-  def s6Semdedup(s: SparkSession, d: String): DataFrame = {
+  def s6Semdedup(s: SparkSession, d: String): DataFrame =
+    semdedupPairs(s, d, minCosine = 0.30)
+
+  /** The s6 pair pipeline at a caller-chosen threshold (the threshold
+    * reaches the pair FILTER itself — see [[dropSemanticDuplicates]]).
+    */
+  def semdedupPairs(s: SparkSession, d: String,
+      minCosine: Double): DataFrame = {
     val a = kMeans(s, d, iters = 1)
       .select(col("vec_id"), col("cluster"))
     // id-only pairs meet in the cluster equi-join; embeddings join back
@@ -150,7 +171,7 @@ object KMeans {
       .withColumn("cos", round(
         expr(Similarity.dotSql("ea.embedding", "eb.embedding")) /
           (col("ea.nrm") * col("eb.nrm")), 4))
-      .filter(col("cos") >= 0.30)
+      .filter(col("cos") >= minCosine)
       .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
@@ -161,8 +182,7 @@ object KMeans {
     */
   def dropSemanticDuplicates(s: SparkSession, d: String,
       minCosine: Double = 0.30): DataFrame = {
-    val losers = s6Semdedup(s, d)
-      .filter(col("cos") >= minCosine)
+    val losers = semdedupPairs(s, d, minCosine)
       .select(col("vec_b").as("vec_id")).distinct()
     embeddings(s, d).join(losers, Seq("vec_id"), "left_anti")
   }

@@ -169,12 +169,18 @@ object Streams {
     // EXCLUDES the replaying batch's own partition (a replayed batch
     // must not reject its docs as dups of its previous attempt), and
     // materializes via localCheckpoint so the subsequent dynamic
-    // overwrite of the same root is not also a read of it.
+    // overwrite of the same root is not also a read of it. The read is
+    // SCHEMA-PINNED: a batch that admits nothing still creates the
+    // directory (with no parquet footers), and an inferring read of it
+    // would throw 'Unable to infer schema' on every later batch — with
+    // the schema supplied it is just an empty frame.
+    val admittedSchema = corpus.schema
+      .add("batch_id", org.apache.spark.sql.types.LongType)
     def admittedSoFar(bid: Long): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(admittedPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p))
-        Some(spark.read.parquet(admittedPath)
+        Some(spark.read.schema(admittedSchema).parquet(admittedPath)
           .filter(col("batch_id") =!= bid)
           .drop("batch_id").localCheckpoint())
       else None

@@ -282,13 +282,17 @@ object Dedup {
         crossCand.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("sh"))
+    // rounded to 4 decimals BEFORE the threshold, exactly like
+    // nearDupPairs — a boundary pair must classify identically on the
+    // cross-corpus and intra-increment legs (and in the full-recompute
+    // equivalence this API documents)
     val dupOfCorpus = crossCand
       .join(setsI.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(setsC.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
-      .withColumn("jac",
+      .withColumn("jac", round(
         col("inter").cast("double") /
-          (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")))
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")), 4))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a").as("doc_id")).distinct()
     // intra-increment dups resolve exactly like dropNearDuplicates

@@ -34,6 +34,13 @@ object Redaction {
   /** Adds `redacted` plus n_emails/n_phones/n_ips audit counts for
     * `textCol`. Email runs before IP so a domain's dots are already
     * collapsed when the IP pattern scans.
+    *
+    * Counting contract: counts are matches in the INPUT text, counted
+    * independently per pattern — overlapping hits (an IP-shaped local
+    * part inside an email, e.g. `1.2.3.4@mail.com`) count under every
+    * pattern that matches but are redacted once, by the first pass
+    * that consumes them; counts are an audit of what was SEEN, not a
+    * census of placeholders in `redacted`.
     */
   def piiScrub(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

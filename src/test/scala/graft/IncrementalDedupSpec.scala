@@ -91,6 +91,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admitStream survives an all-rejected first batch (schema-pinned read)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("admit0").toString
+    val corpusDoc = corpus.orderBy("doc_id").limit(1)
+      .select("text").head().getString(0)
+    val ms = MemoryStream[(Long, String)]
+    val docsStream = ms.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("stream"))
+      .withColumn("n_chars", length(col("text")))
+    val q = graft.streaming.Streams.admitStream(
+      docsStream, corpus, s"$base/admitted", s"$base/ckpt").start()
+    try {
+      // batch 1: ONLY a corpus dup -> nothing admitted, store dir
+      // created with no parquet footers
+      ms.addData((3000001L, corpusDoc))
+      q.processAllAvailable()
+      // batch 2 must still run (an inferring read of the empty store
+      // throws and would crash-loop the stream)
+      ms.addData((3000002L, "post empty batch this novel doc must be admitted fine"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val admitted = spark.read.parquet(s"$base/admitted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(3000002L))
+    } finally q.stop()
+  }
+
   test("the corpus index is probed via broadcast, not self-joined") {
     val cand = org.apache.spark.sql.functions.broadcast(
       Dedup.bandIndex(increment).as("i"))
