@@ -87,6 +87,45 @@ class TextSignatureSpec extends AnyFunSuite {
       graft.functions.TextKernels.minhash16(u, false).toLongArray()))
   }
 
+  test("kernels equal the aggregate forms on adversarial generated text") {
+    // beyond the well-behaved corpus: unicode tokens, repeated tokens,
+    // empty tokens from double/leading/trailing spaces (split keeps
+    // them, exactly like the SQL split the agg forms use)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val tok = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaLowerChar),
+      Gen.oneOf("é", "漢字", "a b".trim, "x", "", "ﬁ", "ß"),
+      Gen.stringOfN(2, Gen.oneOf('a', ' ', 'z')))
+    val doc = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, tok))
+      .map(_.mkString(" "))
+    val docs = (0 until 400).iterator
+      .flatMap(i => doc.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(100).toSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .filter(size(split(col("text"), " ")) >= 3)
+    TextSignatures.ensureRegistered(spark)
+    // simhash
+    val sNative = docs.select(col("doc_id"), expr("graft_simhash(text)").as("a"))
+    val sAgg = Dedup.simhashSigsAgg(docs).withColumnRenamed("simhash", "b")
+    val sj = sNative.join(sAgg, "doc_id")
+    assert(sj.count() == sNative.count())
+    assert(sj.filter(col("a") =!= col("b")).count() == 0)
+    // minhash, both families
+    Seq(false, true).foreach { xx =>
+      val fam = if (xx) Hashing.xxFamily else Hashing.md5Family
+      val mNative = docs.select(col("doc_id"),
+        expr(s"graft_minhash(text, $xx)").as("a"))
+      val mAgg = Dedup.minhashSigsAgg(docs, fam).select(col("doc_id"),
+        array((0 until 16).map(k => col(s"m$k")): _*).as("b"))
+      val mj = mNative.join(mAgg, "doc_id")
+      assert(mj.count() == mNative.count(), s"xx=$xx")
+      assert(mj.filter(col("a") =!= col("b")).count() == 0, s"xx=$xx")
+    }
+  }
+
   test("d2/d3 candidate pairs are unchanged by the native signature path") {
     // the full queries run through minhashSigs/graft_simhash now; the
     // oracle gate checks them at sf0.01, this pins sf0.001 locally
