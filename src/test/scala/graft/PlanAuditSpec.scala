@@ -240,4 +240,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"d1 reads more than (doc_id, text):\n$plan")
   }
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other.children.map(walk).sum
+      }
+      self + kids + p.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("cleaning stages are scan-bound: t14/t15 shuffle only for the output sort") {
+    // PII redaction and NFC canonicalization claim 'pure narrow
+    // projection' — the only exchange allowed is the deterministic
+    // output ORDER BY's range partitioning
+    Seq(
+      "t14" -> graft.text.Redaction.t14PiiRedact(spark, sf),
+      "t15" -> graft.text.Normalize.t15Normalize(spark, sf)
+    ).foreach { case (name, df) =>
+      val n = countShuffles(df)
+      assert(n == 1, s"$name should shuffle once (output sort), got $n:\n" +
+        df.queryExecution.executedPlan)
+    }
+  }
+
+  test("t16's per-group thresholds broadcast back; the corpus never hash-shuffles") {
+    // the k-row threshold table joins back via broadcast; exchanges are
+    // the tiny group-stats aggs + the output sort — none of them
+    // repartition the corpus by a key
+    val df = graft.text.TextAnalysis.t16TemperatureMix(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"threshold table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus was shuffled for the threshold join:\n$plan")
+  }
+
+  test("t17 packing: ONE shard hash exchange serves both window and pack agg") {
+    // window on (lang) and groupBy(lang, pack_id): the window's hash
+    // exchange on lang satisfies the agg's clustering (subset key), so
+    // the plan is hash(lang) + the output sort — 2 exchanges, plus a
+    // possible AQE artifact but never a second hash on the agg keys
+    val df = graft.text.TextAnalysis.t17PackPayloads(spark, sf)
+    val n = countShuffles(df)
+    assert(n == 2, s"expected lang hash + output sort, got $n:\n" +
+      df.queryExecution.executedPlan)
+  }
 }
