@@ -479,6 +479,41 @@ object Dedup {
     connectedComponents(candidatePairsFor(documents(s, d)))
       .orderBy("doc_id")
 
+  /** Leakage-safe dataset split: train/val/test assigned BY NEAR-DUP
+    * COMPONENT, never by doc — the content-keyed coin flips on the
+    * component's minimum id, so a near-duplicate of a validation doc
+    * can never land in train (the classic eval-leakage bug that
+    * per-doc splitting bakes in). Docs in no candidate pair are their
+    * own singleton component. Rates are millionth-quantized like all
+    * [[graft.ops.Sampling]] coins; the component join adds one
+    * |pairs|-sized shuffle on top of the coin's narrow projection.
+    */
+  def splitByComponent(docs: DataFrame, pairs: DataFrame,
+      valPm: Long = 100000, testPm: Long = 100000, salt: String = "split",
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(valPm >= 0 && testPm >= 0 && valPm + testPm <= 1000000,
+      "val/test rates are millionths and must sum to <= 1e6")
+    val comp = connectedComponents(pairs, materialize)
+    val coin = pmod(
+      Hashing.h32(concat(col("component").cast("string"), lit(salt))),
+      lit(1000000L))
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(coin < valPm, lit("val"))
+          .when(coin < valPm + testPm, lit("test"))
+          .otherwise(lit("train")))
+  }
+
+  /** Split query over the LSH candidate graph (the same pair set d5
+    * clusters): any plausibly-near-dup pair shares a split.
+    */
+  def t18LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    splitByComponent(documents(s, d),
+        candidatePairsFor(documents(s, d)))
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy("doc_id")
+
   /** Transitive near-dup removal end-to-end: the surviving corpus after
     * [[dropNearDuplicatesTransitive]] at Jaccard ≥ 0.8 — one survivor
     * per cluster, hash-checked against the recursive-closure oracle.
@@ -608,6 +643,7 @@ object Dedup {
     "d3_simhash"          -> (d3Simhash _),
     "d4_ngram_jaccard"    -> (d4NgramJaccard _),
     "d5_components"       -> (d5Components _),
+    "t18_leakage_split"   -> (t18LeakageSafeSplit _),
     "d6_transitive_dedup" -> (d6TransitiveDedup _),
     "d7_span_dedup"       -> (d7SpanDedup _),
     "d8_contamination"    -> (d8Contamination _),
@@ -713,6 +749,20 @@ object Dedup {
       ("WITH RECURSIVE " + candidateCtes("documents") + ", " +
         closureCtes("pairs") + """
         |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
+    "t18_leakage_split" ->
+      ("WITH RECURSIVE " + candidateCtes("documents") + ", " +
+        closureCtes("pairs") + """
+        |SELECT doc_id, component,
+        |  CASE WHEN coin < 100000 THEN 'val'
+        |       WHEN coin < 200000 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+        |    CAST('0x' || substr(md5(
+        |      CAST(COALESCE(c.component, d.doc_id) AS VARCHAR) || 'split'),
+        |      1, 8) AS BIGINT) % 1000000 AS coin
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |ORDER BY doc_id""".stripMargin),
     "d6_transitive_dedup" ->
       ("WITH RECURSIVE " + candidateCtes("documents") + """, vp AS (
         |  SELECT doc_a, doc_b FROM (

@@ -120,6 +120,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("leakage-safe split: near-dup pairs NEVER straddle splits; per-doc splitting does") {
+    val docs = Tables.documents(spark, sf)
+    val split = Dedup.t18LeakageSafeSplit(spark, sf)
+      .select("doc_id", "split")
+    // every candidate pair (superset of the verified near-dups) must
+    // land in one split
+    val pairs = Dedup.candidatePairsFor(docs)
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle splits")
+    // the contrast: the SAME coin keyed per-doc DOES leak on this corpus
+    val perDoc = graft.ops.Sampling.deterministic(
+      docs, col("doc_id"), 0.8, salt = "split")
+    val leaky = pairs
+      .join(perDoc.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(docs.select(col("doc_id").as("doc_b"))
+        .exceptAll(perDoc.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_semi").count()
+    assert(leaky > 0, "corpus has no straddling pairs under per-doc split; contrast test vacuous")
+    // all three splits exist and cover the corpus exactly once
+    assert(split.count() == docs.count())
+    assert(split.select("split").distinct().count() == 3)
+  }
+
   test("the corpus index is probed via broadcast, not self-joined") {
     val cand = org.apache.spark.sql.functions.broadcast(
       Dedup.bandIndex(increment).as("i"))
