@@ -22,11 +22,22 @@ object AnnCompare {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     val win = graft.sim.Similarity.s2AnnLsh(spark, d)
     val agg = graft.sim.Similarity.s2AnnLshAgg(spark, d)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_exact"), asc("n_id"))
+    val dual = graft.sim.Similarity.s2ScoredDual(spark, d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos_exact"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
     val nw = win.collect().toSeq
     val na = agg.collect().toSeq
+    val nd = dual.collect().toSeq
     require(nw == na, s"forms disagree: window ${nw.length} rows, agg ${na.length}")
+    require(nw == nd, s"forms disagree: sym ${nw.length} rows, dual ${nd.length}")
     println(s"outputs identical (${nw.length} rows)")
 
     def time(label: String, mk: () => DataFrame): Unit = {
@@ -37,7 +48,7 @@ object AnnCompare {
       }
       println(f"$label: times=${times.map(t => f"$t%.2f").mkString(",")} min=${times.min}%.2f s")
     }
-    time("window", () => graft.sim.Similarity.s2AnnLsh(spark, d))
+    time("shipped (sym+window)", () => graft.sim.Similarity.s2AnnLsh(spark, d))
     time("topk-agg", () => graft.sim.Similarity.s2AnnLshAgg(spark, d))
     spark.stop()
   }
