@@ -239,6 +239,70 @@ object TextAnalysis {
       .orderBy("lang", "pack_id")
   }
 
+  /** t19: overlapping token-window chunking (size 40, stride 30) — the
+    * doc→chunk explode that precedes embedding/RAG indexing. Pure
+    * narrow explode: chunk count is integer ceil-division
+    * (1 + ⌈(n−size)/stride⌉, engine-exact), chunk text a clamped
+    * slice+join. At 100 TB this is scan-bound fan-out; the downstream
+    * embedder sees (doc_id, chunk_id) keys that sort back
+    * deterministically.
+    */
+  def t19ChunkDocs(s: SparkSession, d: String,
+      size: Int = 40, stride: Int = 30): DataFrame =
+    toks(s, d)
+      .withColumn("n", size_(col("toks")))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, CASE WHEN n > $size THEN (n - $size + ${stride - 1}) div $stride ELSE 0 END)")))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        least(lit(size), col("n") - col("chunk_id") * stride)
+          .cast("int").as("n_chunk_tokens"),
+        expr(s"array_join(slice(toks, CAST(chunk_id * $stride + 1 AS INT), $size), ' ')")
+          .as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+
+  // `size` is shadowed by t19's parameter; keep the function handle
+  private def size_(c: org.apache.spark.sql.Column) = size(c)
+
+  /** Per-doc quality in basis points — t4's formula as a reusable
+    * column over a `toks`-bearing frame.
+    */
+  private val qualityBp =
+    floor(
+      (least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - expr(
+          "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("double") / size(col("toks"))) * 0.5)
+        * 10000.0).cast("long")
+
+  /** t20: domain-level filtering — the per-SOURCE quality scorecard
+    * (the UT1-blocklist/domain-filter analogue: a source whose MEAN
+    * quality is poor gets dropped wholesale, docs unseen). Mean is
+    * integer-division of int64 sums — order-independent, engine-exact.
+    * One partial-agg shuffle on the low-cardinality source key; the
+    * doc-level filter is then a broadcast semi-join
+    * ([[filterSources]]).
+    */
+  def t20SourceFilter(s: SparkSession, d: String,
+      minMeanBp: Long = 7450): DataFrame =
+    toks(s, d)
+      .withColumn("q_bp", qualityBp)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        expr("CAST(sum(q_bp) div count(1) AS BIGINT)").as("mean_q_bp"))
+      .withColumn("kept", col("mean_q_bp") >= minMeanBp)
+      .orderBy("source")
+
+  /** Docs surviving the domain filter: semi-join against the kept
+    * sources (broadcast — the source list is tiny).
+    */
+  def filterSources(s: SparkSession, d: String,
+      minMeanBp: Long = 7450): DataFrame = {
+    val kept = t20SourceFilter(s, d, minMeanBp)
+      .filter(col("kept")).select("source")
+    documents(s, d).join(broadcast(kept), Seq("source"), "left_semi")
+  }
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -350,6 +414,8 @@ object TextAnalysis {
     "t11_tfidf_top" -> (t11TfidfTop _),
     "t12_token_budget_sample" -> (t12TokenBudgetSample _),
     "t13_repetition" -> (t13Repetition _),
+    "t19_chunk_docs" -> ((s: SparkSession, d: String) => t19ChunkDocs(s, d)),
+    "t20_source_filter" -> ((s: SparkSession, d: String) => t20SourceFilter(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -465,6 +531,66 @@ object TextAnalysis {
         |    i -> t[i+1] || ' ' || t[i+2])) AS ngram
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+    "t19_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, 2 + CASE WHEN n > 40
+        |      THEN (n - 40 + 29) // 30 ELSE 0 END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(LEAST(40, n - chunk_id * 30) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+        |    AS chunk
+        |FROM c WHERE chunk_id <= CASE WHEN n > 40
+        |  THEN (n - 40 + 29) // 30 ELSE 0 END
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t20_source_filter" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    CAST(floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
+        |      (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+        |        / len(string_split(text, ' '))) * 0.5) * 10000.0)
+        |      AS BIGINT) AS q_bp
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(q_bp) // COUNT(*) AS BIGINT) AS mean_q_bp,
+        |  SUM(q_bp) // COUNT(*) >= 7450 AS kept
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "t19_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, 2 + CASE WHEN n > 40
+        |      THEN (n - 40 + 29) // 30 ELSE 0 END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(LEAST(40, n - chunk_id * 30) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+        |    AS chunk
+        |FROM c WHERE chunk_id <= CASE WHEN n > 40
+        |  THEN (n - 40 + 29) // 30 ELSE 0 END
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t20_source_filter" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    CAST(floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
+        |      (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+        |        / len(string_split(text, ' '))) * 0.5) * 10000.0)
+        |      AS BIGINT) AS q_bp
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(q_bp) // COUNT(*) AS BIGINT) AS mean_q_bp,
+        |  SUM(q_bp) // COUNT(*) >= 7450 AS kept
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "t4_quality_score" ->
       """SELECT doc_id, CAST(stop_hits AS INTEGER) AS stop_hits,
         |  CAST(floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
