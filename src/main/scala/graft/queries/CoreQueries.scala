@@ -357,6 +357,47 @@ object CoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.6 extension (w9): ordered-funnel analysis — which users
+    * progressed view → click → purchase IN ORDER (a click only counts
+    * after a view, a purchase only after such a click). The classic
+    * product-analytics query, in its one-shuffle form: three stacked
+    * running-max windows over the SAME (user, ts) ordering — each
+    * stage flag feeds the next, Spark chains them over one exchange +
+    * one in-partition sort (no self-joins, no per-step passes over the
+    * log; the naive form joins the events table once per funnel step).
+    * Only 0/1 stage flags aggregate out — timestamps never reach the
+    * output, so the ns-vs-µs encoding difference can't bite the hash.
+    */
+  def w9Funnel(s: SparkSession, d: String): DataFrame =
+    // one-day analysis window: over the full month every user converts
+    // (degenerate); day one gives the real funnel shape
+    // (78 / 37 / 16 / 3 at sf0.01). The filter pushes into the scan.
+    funnelStages(events(s, d)
+      .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")))
+      .orderBy("user_id")
+
+  /** The funnel core over any (user_id, ts, event_id, event_type)
+    * frame — separated so the order-sensitivity contract is testable
+    * on synthetic sequences.
+    */
+  private[graft] def funnelStages(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e
+      .withColumn("s_view",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      .withColumn("s_click",
+        max(when(col("event_type") === "click" && col("s_view") === 1, 1)
+          .otherwise(0)).over(w))
+      .withColumn("s_purch",
+        max(when(col("event_type") === "purchase" && col("s_click") === 1, 1)
+          .otherwise(0)).over(w))
+      .groupBy("user_id")
+      .agg(max("s_view").cast("int").as("reached_view"),
+        max("s_click").cast("int").as("reached_click"),
+        max("s_purch").cast("int").as("reached_purchase"))
+  }
+
   /** §2.7 extension (o7): latest-state compaction — the "current row per
     * key" read every CDC/upsert log needs (the reference's coalesce-
     * update K6 is the 2-version special case of it). Deliberately the
@@ -578,6 +619,7 @@ object CoreQueries {
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "o7_latest_per_key"   -> (o7LatestPerKey _),
     "w8_forward_fill"     -> (w8ForwardFill _),
+    "w9_funnel"           -> (w9Funnel _),
     "a10_multi_distinct"  -> (a10MultiDistinct _),
     "a11_correlated"      -> (a11CorrelatedSubquery _),
     "a2_count"            -> (a2Count _),
@@ -692,6 +734,34 @@ object CoreQueries {
         |                      FROM orders i
         |                      WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "w9_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS s_view
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), b AS (
+        |  SELECT user_id, ts, event_id, event_type, s_view,
+        |    max(CASE WHEN event_type = 'click' AND s_view = 1
+        |      THEN 1 ELSE 0 END) OVER w AS s_click
+        |  FROM a
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), c AS (
+        |  SELECT user_id, event_type, s_view, s_click,
+        |    max(CASE WHEN event_type = 'purchase' AND s_click = 1
+        |      THEN 1 ELSE 0 END) OVER w AS s_purch
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id,
+        |  CAST(max(s_view) AS INTEGER) AS reached_view,
+        |  CAST(max(s_click) AS INTEGER) AS reached_click,
+        |  CAST(max(s_purch) AS INTEGER) AS reached_purchase
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w8_forward_fill" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CASE WHEN event_type = 'purchase' THEN value END AS v_obs,

@@ -189,4 +189,23 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type)"),
       s"expected pushed filters:\n$plan")
   }
+
+  test("w9 funnel is ORDER-sensitive: steps out of sequence do not count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val e = Seq(
+      // user 1: click BEFORE the view -> click must not count
+      (1L, t(1), 10L, "click"), (1L, t(2), 11L, "view"), (1L, t(3), 12L, "purchase"),
+      // user 2: in order -> full conversion
+      (2L, t(1), 20L, "view"), (2L, t(2), 21L, "click"), (2L, t(3), 22L, "purchase"),
+      // user 3: purchase before the click -> purchase must not count
+      (3L, t(1), 30L, "view"), (3L, t(2), 31L, "purchase"), (3L, t(3), 32L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = CoreQueries.funnelStages(e).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ((1, 0, 0)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((1, 1, 1)))
+    assert(got(3L) == ((1, 1, 0)), s"user 3: ${got(3L)}")
+  }
 }
