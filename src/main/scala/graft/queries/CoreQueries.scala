@@ -398,6 +398,37 @@ object CoreQueries {
         max("s_purch").cast("int").as("reached_purchase"))
   }
 
+
+  /** §2.5/2.7 extension (o8): winsorization — per-group p05/p95
+    * clipping of a numeric column, the standard outlier treatment
+    * before aggregation or model training. Two passes: the per-group
+    * quantile table (k rows) computed once and BROADCAST back; the
+    * clip is then a narrow projection. Bounds are floored to integer
+    * CENTS before clipping and the clipped sum accumulates as int64 —
+    * order-independent and engine-exact, where a raw double sum of
+    * clipped values would hash-drift with partitioning. Output is the
+    * per-group audit (bounds, clip counts, clipped sum) — compact at
+    * any scale.
+    */
+  def o8Winsorize(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)")
+    val q = orders(s, d).groupBy("o_orderstatus")
+      .agg(
+        expr("CAST(FLOOR(percentile(o_totalprice, 0.05) * CAST(100 AS DOUBLE)) AS BIGINT)")
+          .as("lo_c"),
+        expr("CAST(FLOOR(percentile(o_totalprice, 0.95) * CAST(100 AS DOUBLE)) AS BIGINT)")
+          .as("hi_c"))
+    orders(s, d).join(broadcast(q), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(
+        max("lo_c").as("p05_c"),
+        max("hi_c").as("p95_c"),
+        sum(when(cents < col("lo_c"), 1).otherwise(0)).cast("int").as("n_lo"),
+        sum(when(cents > col("hi_c"), 1).otherwise(0)).cast("int").as("n_hi"),
+        sum(least(greatest(cents, col("lo_c")), col("hi_c"))).as("sum_clipped_c"))
+      .orderBy("o_orderstatus")
+  }
+
   /** §2.7 extension (o7): latest-state compaction — the "current row per
     * key" read every CDC/upsert log needs (the reference's coalesce-
     * update K6 is the 2-version special case of it). Deliberately the
@@ -620,6 +651,7 @@ object CoreQueries {
     "o7_latest_per_key"   -> (o7LatestPerKey _),
     "w8_forward_fill"     -> (w8ForwardFill _),
     "w9_funnel"           -> (w9Funnel _),
+    "o8_winsorize"        -> (o8Winsorize _),
     "a10_multi_distinct"  -> (a10MultiDistinct _),
     "a11_correlated"      -> (a11CorrelatedSubquery _),
     "a2_count"            -> (a2Count _),
@@ -834,6 +866,26 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "o8_winsorize" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus,
+        |    CAST(FLOOR(quantile_cont(o_totalprice, 0.05)
+        |      * CAST(100 AS DOUBLE)) AS BIGINT) AS lo_c,
+        |    CAST(FLOOR(quantile_cont(o_totalprice, 0.95)
+        |      * CAST(100 AS DOUBLE)) AS BIGINT) AS hi_c
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderstatus,
+        |  CAST(max(q.lo_c) AS BIGINT) AS p05_c,
+        |  CAST(max(q.hi_c) AS BIGINT) AS p95_c,
+        |  CAST(SUM(CASE WHEN CAST(FLOOR(o.o_totalprice * CAST(100 AS DOUBLE))
+        |    AS BIGINT) < q.lo_c THEN 1 ELSE 0 END) AS INTEGER) AS n_lo,
+        |  CAST(SUM(CASE WHEN CAST(FLOOR(o.o_totalprice * CAST(100 AS DOUBLE))
+        |    AS BIGINT) > q.hi_c THEN 1 ELSE 0 END) AS INTEGER) AS n_hi,
+        |  CAST(SUM(LEAST(GREATEST(CAST(FLOOR(o.o_totalprice
+        |    * CAST(100 AS DOUBLE)) AS BIGINT), q.lo_c), q.hi_c)) AS BIGINT)
+        |    AS sum_clipped_c
+        |FROM orders o JOIN q USING (o_orderstatus)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a5_percentile" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS q25,
