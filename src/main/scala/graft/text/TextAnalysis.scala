@@ -303,6 +303,37 @@ object TextAnalysis {
     documents(s, d).join(broadcast(kept), Seq("source"), "left_semi")
   }
 
+
+  /** t21: token-rarity scoring — the mean corpus frequency (ppm) of a
+    * doc's tokens, plus its rarest token's frequency: a low mean marks
+    * rare/OOD/gibberish-leaning text, the cheap LM-free perplexity
+    * proxy quality pipelines use before any model-based filter.
+    * Shape: one explode+agg builds the (token, freq_ppm) vocabulary;
+    * the token stream then joins it back on token — a SHUFFLE
+    * equi-join, deliberately: the vocabulary grows with the corpus, so
+    * no broadcast (contrast t8, which broadcasts a k-bounded sketch).
+    * The corpus total rides in as a broadcast single-row frame; all
+    * arithmetic is integer ppm, order-independent.
+    */
+  def t21TokenRarity(s: SparkSession, d: String): DataFrame = {
+    val tokStream = toks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val total = tokStream.agg(count(lit(1)).as("n_total"))
+    val vocab = tokStream.groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .select(col("tok"),
+        expr("cnt * 1000000 div n_total").as("freq_ppm"))
+    tokStream.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        expr("CAST(sum(freq_ppm) div count(1) AS BIGINT)")
+          .as("mean_freq_ppm"),
+        min("freq_ppm").as("rarest_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: a sequential polynomial rolling hash over
     * token hashes (order-sensitive) and a canonical bag-of-words md5
     * (order-insensitive). Both pure projections; either can drive an
@@ -416,6 +447,7 @@ object TextAnalysis {
     "t13_repetition" -> (t13Repetition _),
     "t19_chunk_docs" -> ((s: SparkSession, d: String) => t19ChunkDocs(s, d)),
     "t20_source_filter" -> ((s: SparkSession, d: String) => t20SourceFilter(s, d)),
+    "t21_token_rarity" -> (t21TokenRarity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -531,6 +563,20 @@ object TextAnalysis {
         |    i -> t[i+1] || ' ' || t[i+2])) AS ngram
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+    "t21_token_rarity" ->
+      """WITH ts AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tot AS (SELECT COUNT(*) AS n_total FROM ts),
+        |v AS (
+        |  SELECT tok,
+        |    COUNT(*) * 1000000 // (SELECT n_total FROM tot) AS freq_ppm
+        |  FROM ts GROUP BY tok)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+        |  CAST(SUM(freq_ppm) // COUNT(*) AS BIGINT) AS mean_freq_ppm,
+        |  CAST(MIN(freq_ppm) AS BIGINT) AS rarest_ppm
+        |FROM ts JOIN v USING (tok) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t19_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
