@@ -31,7 +31,7 @@ object Sampling {
 
   private val M = 1000000L
 
-  private def coin(key: Column, salt: String): Column =
+  private[graft] def coin(key: Column, salt: String): Column =
     pmod(Hashing.h32(concat(key.cast("string"), lit(salt))), lit(M))
 
   /** Keep each row iff its keyed coin lands below `rate`. */

@@ -371,7 +371,9 @@ object CoreQueries {
   def w9Funnel(s: SparkSession, d: String): DataFrame =
     // one-day analysis window: over the full month every user converts
     // (degenerate); day one gives the real funnel shape
-    // (78 / 37 / 16 / 3 at sf0.01). The filter pushes into the scan.
+    // (78 / 37 / 16 / 3 at sf0.01). NOTE: on this nanos-long events
+    // path ts is a derived column, so the filter evaluates post-scan
+    // (no parquet pushdown) — at scale, filter the raw long first.
     funnelStages(events(s, d)
       .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")))
       .orderBy("user_id")
@@ -412,12 +414,19 @@ object CoreQueries {
     */
   def o8Winsorize(s: SparkSession, d: String): DataFrame = {
     val cents = expr("CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)")
-    val q = orders(s, d).groupBy("o_orderstatus")
+    // quantiles are taken over the ALREADY-floored integer cents, not
+    // floored after interpolating raw doubles: interpolating between
+    // cent-valued prices can land within 1 ulp of an exact cent, where
+    // the engines' (1−f)·a+f·b vs a+f·(b−a) forms may floor apart —
+    // interpolating between int cents with a binary-inexact f never
+    // lands on an integer unless the neighbors are equal (exact).
+    val q = orders(s, d)
+      .select(col("o_orderstatus"), expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)").as("c"))
+      .groupBy("o_orderstatus")
       .agg(
-        expr("CAST(FLOOR(percentile(o_totalprice, 0.05) * CAST(100 AS DOUBLE)) AS BIGINT)")
-          .as("lo_c"),
-        expr("CAST(FLOOR(percentile(o_totalprice, 0.95) * CAST(100 AS DOUBLE)) AS BIGINT)")
-          .as("hi_c"))
+        expr("CAST(FLOOR(percentile(c, 0.05)) AS BIGINT)").as("lo_c"),
+        expr("CAST(FLOOR(percentile(c, 0.95)) AS BIGINT)").as("hi_c"))
     orders(s, d).join(broadcast(q), Seq("o_orderstatus"))
       .groupBy("o_orderstatus")
       .agg(
@@ -869,10 +878,10 @@ object CoreQueries {
     "o8_winsorize" ->
       """WITH q AS (
         |  SELECT o_orderstatus,
-        |    CAST(FLOOR(quantile_cont(o_totalprice, 0.05)
-        |      * CAST(100 AS DOUBLE)) AS BIGINT) AS lo_c,
-        |    CAST(FLOOR(quantile_cont(o_totalprice, 0.95)
-        |      * CAST(100 AS DOUBLE)) AS BIGINT) AS hi_c
+        |    CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice
+        |      * CAST(100 AS DOUBLE)) AS BIGINT), 0.05)) AS BIGINT) AS lo_c,
+        |    CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice
+        |      * CAST(100 AS DOUBLE)) AS BIGINT), 0.95)) AS BIGINT) AS hi_c
         |  FROM orders GROUP BY 1)
         |SELECT o.o_orderstatus,
         |  CAST(max(q.lo_c) AS BIGINT) AS p05_c,

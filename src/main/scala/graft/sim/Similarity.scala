@@ -170,10 +170,17 @@ object Similarity {
     * the shape that survives 100× scale-up (bucket equi-join; exact
     * cosine only within buckets, each pair scored once).
     */
-  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame =
+    rankTop3(s2Scored(s, d))
+
+  /** s2's ranking contract — ONE place (AnnCompare ranks the dual
+    * scored form through the same code, so a tie-break/rounding change
+    * can't silently diverge the regression comparison).
+    */
+  private[graft] def rankTop3(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(desc("cos_exact"), asc("n_id"))
-    s2Scored(s, d)
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"),

@@ -494,9 +494,10 @@ object Dedup {
     require(valPm >= 0 && testPm >= 0 && valPm + testPm <= 1000000,
       "val/test rates are millionths and must sum to <= 1e6")
     val comp = connectedComponents(pairs, materialize)
-    val coin = pmod(
-      Hashing.h32(concat(col("component").cast("string"), lit(salt))),
-      lit(1000000L))
+    // THE Sampling coin, keyed on the component — shared, not
+    // re-implemented, so the split can never drift from the sampling
+    // convention
+    val coin = graft.ops.Sampling.coin(col("component"), salt)
     docs.join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("split",

@@ -248,21 +248,18 @@ object TextAnalysis {
     * deterministically.
     */
   def t19ChunkDocs(s: SparkSession, d: String,
-      size: Int = 40, stride: Int = 30): DataFrame =
+      chunkSize: Int = 40, stride: Int = 30): DataFrame =
     toks(s, d)
-      .withColumn("n", size_(col("toks")))
+      .withColumn("n", size(col("toks")))
       .withColumn("chunk_id", explode(expr(
-        s"sequence(0, CASE WHEN n > $size THEN (n - $size + ${stride - 1}) div $stride ELSE 0 END)")))
+        s"sequence(0, CASE WHEN n > $chunkSize THEN (n - $chunkSize + ${stride - 1}) div $stride ELSE 0 END)")))
       .select(
         col("doc_id"), col("chunk_id"),
-        least(lit(size), col("n") - col("chunk_id") * stride)
+        least(lit(chunkSize), col("n") - col("chunk_id") * stride)
           .cast("int").as("n_chunk_tokens"),
-        expr(s"array_join(slice(toks, CAST(chunk_id * $stride + 1 AS INT), $size), ' ')")
+        expr(s"array_join(slice(toks, CAST(chunk_id * $stride + 1 AS INT), $chunkSize), ' ')")
           .as("chunk"))
       .orderBy("doc_id", "chunk_id")
-
-  // `size` is shadowed by t19's parameter; keep the function handle
-  private def size_(c: org.apache.spark.sql.Column) = size(c)
 
   /** Per-doc quality in basis points — t4's formula as a reusable
     * column over a `toks`-bearing frame.
@@ -318,12 +315,17 @@ object TextAnalysis {
   def t21TokenRarity(s: SparkSession, d: String): DataFrame = {
     val tokStream = toks(s, d)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val total = tokStream.agg(count(lit(1)).as("n_total"))
-    val vocab = tokStream.groupBy("tok")
-      .agg(count(lit(1)).as("cnt"))
+    val counts = tokStream.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // the total is Σcnt over the TINY grouped relation — no third
+    // corpus scan (the t11 trick); identical `counts` subtrees dedup
+    // via ReuseExchange. DECIMAL(38,0) for the ppm scale-up: cnt·10⁶
+    // overflows int64 at ~10¹³ corpus tokens (the toWeightBudget fix).
+    val total = counts.agg(sum("cnt").as("n_total"))
+    val vocab = counts
       .join(broadcast(total))
       .select(col("tok"),
-        expr("cnt * 1000000 div n_total").as("freq_ppm"))
+        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) div n_total AS BIGINT)")
+          .as("freq_ppm"))
     tokStream.join(vocab, "tok")
       .groupBy("doc_id")
       .agg(
@@ -584,46 +586,14 @@ object TextAnalysis {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, toks, n,
-        |    unnest(range(0, 2 + CASE WHEN n > 40
+        |    unnest(range(0, 1 + CASE WHEN n > 40
         |      THEN (n - 40 + 29) // 30 ELSE 0 END)) AS chunk_id
         |  FROM t)
         |SELECT doc_id, chunk_id,
         |  CAST(LEAST(40, n - chunk_id * 30) AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
         |    AS chunk
-        |FROM c WHERE chunk_id <= CASE WHEN n > 40
-        |  THEN (n - 40 + 29) // 30 ELSE 0 END
-        |ORDER BY doc_id, chunk_id""".stripMargin,
-    "t20_source_filter" ->
-      """WITH q AS (
-        |  SELECT source,
-        |    CAST(floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
-        |      (1.0 - CAST(len(list_filter(string_split(text, ' '),
-        |        x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
-        |        / len(string_split(text, ' '))) * 0.5) * 10000.0)
-        |      AS BIGINT) AS q_bp
-        |  FROM documents)
-        |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
-        |  CAST(SUM(q_bp) // COUNT(*) AS BIGINT) AS mean_q_bp,
-        |  SUM(q_bp) // COUNT(*) >= 7450 AS kept
-        |FROM q GROUP BY source ORDER BY source""".stripMargin,
-    "t19_chunk_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, toks, n,
-        |    unnest(range(0, 2 + CASE WHEN n > 40
-        |      THEN (n - 40 + 29) // 30 ELSE 0 END)) AS chunk_id
-        |  FROM t)
-        |SELECT doc_id, chunk_id,
-        |  CAST(LEAST(40, n - chunk_id * 30) AS INTEGER) AS n_chunk_tokens,
-        |  array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
-        |    AS chunk
-        |FROM c WHERE chunk_id <= CASE WHEN n > 40
-        |  THEN (n - 40 + 29) // 30 ELSE 0 END
-        |ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t20_source_filter" ->
       """WITH q AS (
         |  SELECT source,

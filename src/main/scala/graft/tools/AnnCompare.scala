@@ -22,17 +22,10 @@ object AnnCompare {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val win = graft.sim.Similarity.s2AnnLsh(spark, d)
     val agg = graft.sim.Similarity.s2AnnLshAgg(spark, d)
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_exact"), asc("n_id"))
-    val dual = graft.sim.Similarity.s2ScoredDual(spark, d)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("n_id"),
-        round(col("cos_exact"), 4).as("cos"), col("rank"))
-      .orderBy("q_id", "rank")
+    val dual = graft.sim.Similarity.rankTop3(
+      graft.sim.Similarity.s2ScoredDual(spark, d))
     val nw = win.collect().toSeq
     val na = agg.collect().toSeq
     val nd = dual.collect().toSeq

@@ -26,6 +26,29 @@ object TestSpark {
       .getOrCreate()
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Count ShuffleExchanges in a FINAL AQE plan (descends into
+    * AdaptiveSparkPlanExec/QueryStageExec, which plain collect does
+    * not). Materialize with a noop write first.
+    */
+  def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other.children.map(walk).sum
+      }
+      self + kids + p.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
 
 class CoreQueriesSpec extends AnyFunSuite {

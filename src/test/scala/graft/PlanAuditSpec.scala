@@ -73,22 +73,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // orderBy's range exchange. W6Compare measured 1.30 s vs 1.73 s at
     // sf0.1 for this shape (PROGRESS r4).
     val df = graft.queries.CoreQueries.w6RangeRolling(spark, sf)
-    df.write.format("noop").mode("overwrite").save() // final AQE plan
-    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = p match {
-        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
-        case _ => 0
-      }
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          shuffles(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          shuffles(q.plan)
-        case other => other.children.map(shuffles).sum
-      }
-      self + kids + p.subqueries.map(shuffles).sum
-    }
-    val n = shuffles(df.queryExecution.executedPlan)
+    val n = TestSpark.countShuffles(df) // final AQE plan via noop write
     assert(n == 2,
       s"expected 2 exchanges (supplier hash + output sort), got $n:\n" +
         df.queryExecution.executedPlan.toString)
@@ -241,24 +226,6 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d1 reads more than (doc_id, text):\n$plan")
   }
 
-  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.write.format("noop").mode("overwrite").save()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = p match {
-        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
-        case _ => 0
-      }
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case other => other.children.map(walk).sum
-      }
-      self + kids + p.subqueries.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
-  }
 
   test("cleaning stages are scan-bound: t14/t15 shuffle only for the output sort") {
     // PII redaction and NFC canonicalization claim 'pure narrow
@@ -268,7 +235,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "t14" -> graft.text.Redaction.t14PiiRedact(spark, sf),
       "t15" -> graft.text.Normalize.t15Normalize(spark, sf)
     ).foreach { case (name, df) =>
-      val n = countShuffles(df)
+      val n = TestSpark.countShuffles(df)
       assert(n == 1, s"$name should shuffle once (output sort), got $n:\n" +
         df.queryExecution.executedPlan)
     }
@@ -293,7 +260,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the plan is hash(lang) + the output sort — 2 exchanges, plus a
     // possible AQE artifact but never a second hash on the agg keys
     val df = graft.text.TextAnalysis.t17PackPayloads(spark, sf)
-    val n = countShuffles(df)
+    val n = TestSpark.countShuffles(df)
     assert(n == 2, s"expected lang hash + output sort, got $n:\n" +
       df.queryExecution.executedPlan)
   }
