@@ -265,10 +265,25 @@ object CoreQueries {
     * Decimal-cast sums: a range frame's CONTENT is deterministic but
     * engines accumulate its rows in different orders.
     */
-  def w6RangeRolling(s: SparkSession, d: String): DataFrame = {
-    val daily = lineitem(s, d)
+  def w6RangeRolling(s: SparkSession, d: String): DataFrame =
+    w6RangeRolling(s, d, mapSideCombine = false)
+
+  /** The form choice, exposed (r5 verdict #8): `mapSideCombine = false`
+    * (what ships — W6Compare measured 1.30 vs 1.73 s at sf0.1) plans the
+    * one-exchange repartition form; `true` plans the plain groupBy —
+    * two exchanges, but the first carries combiner-reduced (supp, day)
+    * partials. Pick by expected rows per (supplier, day): below ~4 the
+    * partial agg removes too little to pay for the second shuffle (sf0.1
+    * density is ~1.5); above it, map-side combine shrinks the shuffle
+    * by that factor and wins — flip to `true` on dense 100 TB layouts.
+    * Both forms are row-identical (pinned in CoreQueriesSpec).
+    */
+  def w6RangeRolling(s: SparkSession, d: String,
+      mapSideCombine: Boolean): DataFrame = {
+    val src = lineitem(s, d)
       .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
-      .repartition(col("l_suppkey"))
+    val pre = if (mapSideCombine) src else src.repartition(col("l_suppkey"))
+    val daily = pre
       .groupBy(col("l_suppkey"),
         datediff(col("l_shipdate"), lit("1970-01-01")).as("day"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("day_qty"))
@@ -371,11 +386,13 @@ object CoreQueries {
   def w9Funnel(s: SparkSession, d: String): DataFrame =
     // one-day analysis window: over the full month every user converts
     // (degenerate); day one gives the real funnel shape
-    // (78 / 37 / 16 / 3 at sf0.01). NOTE: on this nanos-long events
-    // path ts is a derived column, so the filter evaluates post-scan
-    // (no parquet pushdown) — at scale, filter the raw long first.
-    funnelStages(events(s, d)
-      .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")))
+    // (78 / 37 / 16 / 3 at sf0.01). The window goes through
+    // Tables.eventsBetween so the bounds hit the RAW nanos-long ts and
+    // reach the parquet scan (PushedFilters + row-group pruning) instead
+    // of evaluating post-conversion (r5 verdict #2); the testdata starts
+    // 2024-01-01, so [01-01, 01-02) selects exactly the old `< 01-02` set.
+    funnelStages(graft.lake.Tables.eventsBetween(s, d,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00"))
       .orderBy("user_id")
 
   /** The funnel core over any (user_id, ts, event_id, event_type)
@@ -602,17 +619,44 @@ object CoreQueries {
 
   /** §2.5 extension: approx_count_distinct (HLL++ sketch) — the
     * partial-aggregable cardinality sketch a 100 TB pipeline uses
-    * instead of exact COUNT DISTINCT. The sketch result depends on
-    * merge order, so there is no cross-engine oracle — the spec bounds
-    * its error against the exact count instead; the driver records a
-    * rows-only check.
+    * instead of exact COUNT DISTINCT. The raw estimate can't be
+    * oracle-checked cross-engine (DuckDB's HLL is a different
+    * implementation with different estimates), so the output is the
+    * exact count plus a `within_bounds` flag — `|approx−exact|/exact ≤
+    * 0.05` — which IS deterministic on the Spark side: HLL register
+    * merge is a per-register max, commutative and associative, so the
+    * estimate doesn't depend on partitioning or merge order. DuckDB
+    * oracles the exact side and a constant-true flag; a sketch drifting
+    * past its documented rsd now fails the hash gate instead of hiding
+    * behind a rows-only check (r5 verdict next-round #3).
     */
   def a6ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // distinct-first, ONE agg after: putting countDistinct and the HLL in
+    // the same agg makes Spark's distinct rewrite key the FIRST partial
+    // aggregate by (status, custkey) — and at rsd 0.01 that carries a
+    // 16K-register HLL buffer per CUSTOMER group (~1 GB of agg buffers at
+    // sf0.1; measured 3.7 s vs 0.5 s for this form). After the distinct,
+    // exact = count(*) and the HLL sees each key once — which changes
+    // nothing: HLL register updates are idempotent per value, so the
+    // estimate over the de-duplicated keys is bit-identical.
+    // rsd 0.02 (not the 0.05 default): the output's within_bounds flag is
+    // |approx−exact|/exact ≤ 0.05, and with rsd 0.05 that bound is only
+    // ~1σ — the 'O' group breached it at sf0.01 (observed). At 0.02 the
+    // bound is 2.5σ and VERIFIED within bounds on all three seed-42 SF
+    // tiers (the testdata is deterministic, so this can't flake); the
+    // register array stays fixed-size and partial-aggregable, and after
+    // the distinct it exists only per STATUS group (3), not per customer
+    // (rsd 0.01 measured 1.44 s vs 0.74 s at sf0.1 for no added safety
+    // on pinned data).
     orders(s, d)
+      .select("o_orderstatus", "o_custkey").distinct()
       .groupBy("o_orderstatus")
       .agg(
-        approx_count_distinct("o_custkey").as("approx_custs"),
-        countDistinct("o_custkey").as("exact_custs"))
+        count(lit(1)).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      .select(col("o_orderstatus"), col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs")) / col("exact_custs")
+          <= 0.05).cast("int").as("within_bounds"))
       .orderBy("o_orderstatus")
 
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
@@ -866,9 +910,11 @@ object CoreQueries {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
         |ORDER BY user_id""".stripMargin,
-    // a6_approx_distinct is deliberately oracle-less (sketch results are
-    // merge-order-dependent); the driver records rows-only, the spec
-    // bounds the error.
+    "a6_approx_distinct" ->
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  CAST(1 AS INT) AS within_bounds
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "a7_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

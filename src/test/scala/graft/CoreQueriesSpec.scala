@@ -92,10 +92,14 @@ class CoreQueriesSpec extends AnyFunSuite {
   }
 
   test("a6 HLL sketch stays within 5% of the exact distinct count") {
-    CoreQueries.a6ApproxDistinct(spark, sf).collect().foreach { r =>
-      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+    // within_bounds IS the 5% check, computed inside the query so the
+    // DuckDB oracle (constant-true column) hash-gates it per round
+    val rows = CoreQueries.a6ApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: exact count missing")
+      assert(r.getInt(2) == 1,
+        s"${r.getString(0)}: sketch outside 5% of exact=${r.getLong(1)}")
     }
   }
 

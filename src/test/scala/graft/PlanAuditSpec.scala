@@ -77,6 +77,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 2,
       s"expected 2 exchanges (supplier hash + output sort), got $n:\n" +
         df.queryExecution.executedPlan.toString)
+    // the exposed form switch (r5 verdict #8): the map-side-combine form
+    // pays one more exchange but must be ROW-IDENTICAL — the choice is a
+    // density heuristic (rows per (supplier, day)), never a semantics one
+    val combine = graft.queries.CoreQueries
+      .w6RangeRolling(spark, sf, mapSideCombine = true)
+    assert(TestSpark.countShuffles(combine) == 3,
+      "map-side-combine form should plan (supp,day) agg + supp window + sort")
+    assert(combine.collect().toSeq == df.collect().toSeq,
+      "the two w6 forms diverged")
   }
 
   test("selective dim filter prunes fact partitions at RUNTIME (dynamic partition pruning, r3 verdict #4)") {
@@ -252,6 +261,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"threshold table not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus was shuffled for the threshold join:\n$plan")
+  }
+
+  test("s3 embedding near-dup: bounded exchanges, bucket-join reuse, no cartesian (r5 verdict #4)") {
+    // the heaviest bench query: its scale shape is LSH buckets -> id-only
+    // candidate pairs -> exact cosine on candidates ONLY. The plan must
+    // never go all-pairs (no cartesian/BNLJ between corpus-sized sides),
+    // must reuse the bucket-table exchange across the self-join, and its
+    // exchange count must stay fixed as data grows
+    val df = Similarity.s3EmbeddingNeardup(spark, sf)
+    df.collect() // materialize the final AQE plan (reuse shows at runtime)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("reused"),
+      s"s3 does not reuse the bucket-table exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"s3 went all-pairs:\n$plan")
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 7, s"s3 exchange count grew to $n (bucket self-join + " +
+      s"pair dedup + two embedding joins + output sort expected):\n$plan")
+  }
+
+  test("eventsBetween pushes the ts bounds into the parquet scan (r5 verdict #2)") {
+    // the plain events path converts the nanos-long ts first, so range
+    // predicates evaluate post-scan; eventsBetween filters the RAW long —
+    // the scan must show both bounds in PushedFilters, and w9 (the one
+    // user of the path) must keep its row set
+    val df = graft.lake.Tables.eventsBetween(spark, sf,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters:") &&
+      scan.contains("GreaterThanOrEqual(ts,1704067200000000000)") &&
+      scan.contains("LessThan(ts,1704153600000000000)"),
+      s"ts-long bounds not pushed to the events scan:\n$scan")
+    // row-set equivalence with the post-conversion filter it replaces
+    import org.apache.spark.sql.functions.{col, lit}
+    val old = graft.lake.Tables.events(spark, sf)
+      .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+    assert(df.count() == old.count(),
+      "eventsBetween changed the selected row set vs the derived-column filter")
   }
 
   test("t17 packing: ONE shard hash exchange serves both window and pack agg") {
