@@ -333,8 +333,26 @@ object Lake {
       .select(col(key), col("status"))
   }
 
+  /** Key-based upsert: rows in `increment` replace same-key rows in the
+    * table; everything else is kept. CONTRACT (r5 verdict #5):
+    *  - `increment` must be KEY-UNIQUE — enforced here with one agg over
+    *    the increment (the small side by construction) because a
+    *    duplicated key would silently land twice and poison every later
+    *    read; failing fast beats nondeterministically dropping one.
+    *  - SINGLE WRITER per path — the read-rewrite-swap is not atomic, so
+    *    two concurrent upserts each read the same base and the second
+    *    swap erases the first's rows (lost update). Serialize writers
+    *    externally; a transactional table format would lift this, and
+    *    the offline sandbox has none (PROGRESS.md round-4 adjudication).
+    */
   def upsertByKey(spark: SparkSession, increment: DataFrame, path: String,
       key: String): Unit = {
+    val dup = increment.groupBy(key).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsertByKey: increment has duplicate key '$key' = ${dup.head.get(0)}; " +
+        "dedup the increment first (e.g. latest-per-key) — which row wins " +
+        "is the caller's business rule, not this function's")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {

@@ -137,6 +137,13 @@ class B3PipelineSpec extends AnyFunSuite {
     // the rename-aside swap cleaned up both working directories
     assert(!new java.io.File(dir.stripSuffix("/") + "_upserting").exists)
     assert(!new java.io.File(dir.stripSuffix("/") + "_old").exists)
+    // the key-unique contract is ENFORCED, and rejection leaves the
+    // table untouched (r5 verdict #5: dup keys used to land twice)
+    val err = intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark, Seq((5L, "x"), (5L, "y")).toDF("k", "v"), dir, "k")
+    }
+    assert(err.getMessage.contains("duplicate key"))
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
   }
 
   test("diffSnapshots classifies added/removed/changed and skips identical rows") {
