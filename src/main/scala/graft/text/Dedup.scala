@@ -401,7 +401,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame,
       materialize: DataFrame => DataFrame = _.localCheckpoint(),
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, materialize, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of alternation rounds it
+    * took — the observable the SoCC'14 O(log² n) convergence claim rests
+    * on, exposed so the spec can stress it on adversarial topologies
+    * (long paths: worst case for star contraction; big cliques: worst
+    * case for edge-multiset width) instead of trusting the citation
+    * (r5 verdict #6).
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      maxRounds: Int = 50): (DataFrame, Int) = {
     val Array(ca, cb) = pairs.columns.take(2)
     // canonical directed form: (u, v) with u > v, no self-loops
     def canon(e: DataFrame): DataFrame = e
@@ -448,9 +460,9 @@ object Dedup {
     }
     // at the fixpoint every edge is (member, component-min); the centers
     // themselves map to their own id
-    edges.select(col("u").as("doc_id"), col("v").as("component"))
+    (edges.select(col("u").as("doc_id"), col("v").as("component"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
-      .distinct()
+      .distinct(), round)
   }
 
   /** Corpus API: near-dup removal with exactly ONE survivor (the global
