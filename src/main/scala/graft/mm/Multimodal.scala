@@ -76,10 +76,9 @@ object Multimodal {
   final case class Media(media_id: Long, payload: Array[Byte])
   final case class Frame(media_id: Long, frame_idx: Int, frame_hash: Long)
 
-  /** STUB decode kernel — stands in for an image/video codec. Real
-    * implementation would decode `payload` and emit one row per sampled
-    * frame; the stub derives a deterministic per-frame hash from the
-    * bytes so the plumbing is testable.
+  /** STUB decode kernel — stands in for a video/audio codec the JDK
+    * doesn't ship. Derives a deterministic per-frame hash from the raw
+    * bytes so the plumbing is testable (and DuckDB-oracle-expressible).
     */
   def decodeFrameStub(m: Media, idx: Int): Frame = {
     var h = 1125899906842597L
@@ -89,23 +88,81 @@ object Multimodal {
     Frame(m.media_id, idx, h)
   }
 
+  /** Cheap header sniff — is this payload a format `javax.imageio` can
+    * decode (PNG/JPEG/GIF/BMP)? Magic-byte check only: the non-image
+    * common case (this corpus rides text bytes) must cost nanoseconds,
+    * not an ImageIO service-provider scan per row.
+    */
+  private[graft] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||               // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode (r5 verdict #7): the JDK ships `javax.imageio`,
+    * so PNG/JPEG/GIF/BMP payloads decode to actual pixels with zero
+    * added dependencies. Returns None for anything else — the caller
+    * falls back to [[decodeFrameStub]].
+    */
+  private[graft] def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(p)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+    catch { case _: Throwable => None }
+
+  /** Frame hash over DECODED pixels: the stub's 31-polynomial, folded
+    * over the ARGB raster in row-major order with the same
+    * frame_idx-strided sampling — a flip in any sampled pixel changes
+    * the frame, and a lossless re-encode (different PNG filter/zlib
+    * settings, same pixels) does NOT.
+    */
+  private[graft] def frameFromImage(mediaId: Long,
+      img: java.awt.image.BufferedImage, idx: Int): Frame = {
+    val w = img.getWidth
+    val n = w * img.getHeight
+    var h = 1125899906842597L
+    var i = idx
+    val step = math.max(1, n / 16)
+    while (i < n) { h = 31 * h + img.getRGB(i % w, i / w); i += step }
+    Frame(mediaId, idx, h)
+  }
+
+  /** The decode batch kernel over any media frame-set: decode ONCE per
+    * media item (not once per sampled frame — codec init is the cost a
+    * real pipeline amortizes), then emit `framesPer` frames from the
+    * pixel raster, or from the byte stub where no codec applies.
+    */
+  def frameSample(media: Dataset[Media], framesPer: Int = 4,
+      parallelism: Int = 32): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media
+      // co-locate whole media items; the decode batch unit
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          decodeImage(m.payload) match {
+            case Some(img) => (0 until framesPer).iterator
+              .map(i => frameFromImage(m.media_id, img, i))
+            case None => (0 until framesPer).iterator
+              .map(i => decodeFrameStub(m, i))
+          }
+        }
+      }
+  }
+
   /** mm3: batched frame sampling via a typed mapPartitions — the
-    * Spark-native equivalent of a `mapInPandas` decode stage. Every
-    * partition processes its media items as one batch (where a codec
-    * would amortize init/GPU transfer); `framesPer` frames per item.
+    * Spark-native equivalent of a `mapInPandas` decode stage. Image
+    * payloads go through the real `javax.imageio` pixel decode; this
+    * corpus's text-byte payloads take the stub (which keeps the row
+    * DuckDB-oracle-checkable — the pixel path is pinned in
+    * MultimodalSpec over generated PNG fixtures instead).
     */
   def mm3FrameSample(s: SparkSession, d: String, framesPer: Int = 4,
       parallelism: Int = 32): Dataset[Frame] = {
     import s.implicits._
-    mediaTable(s, d)
-      .select(col("media_id"), col("payload"))
-      .as[Media]
-      // co-locate whole media items; the decode batch unit
-      .repartition(parallelism, col("media_id"))
-      .mapPartitions { batch =>
-        batch.flatMap(m => (0 until framesPer).iterator
-          .map(i => decodeFrameStub(m, i)))
-      }
+    frameSample(
+      mediaTable(s, d).select(col("media_id"), col("payload")).as[Media],
+      framesPer, parallelism)
   }
 
   /** Query form of mm3 — oracle-checked since r4: the stub's strided

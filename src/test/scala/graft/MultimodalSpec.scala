@@ -48,6 +48,56 @@ class MultimodalSpec extends AnyFunSuite {
       s"$nonAscii docs have multi-byte chars; mm3's SQL oracle is invalid for them")
   }
 
+  test("image payloads decode to REAL pixels via javax.imageio (r5 verdict #7)") {
+    import spark.implicits._
+    // generate PNG fixtures in-memory: 8x8 images with known per-pixel
+    // colors, round-tripped through the JDK's PNG encoder
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8)
+        img.setRGB(x, y, (seed * 1000003 + x * 131 + y * 31) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.Media(1L, png(1)),
+      Multimodal.Media(2L, png(2)),
+      Multimodal.Media(3L, "plain text payload, no codec".getBytes("UTF-8")))
+    val frames = Multimodal.frameSample(media.toDS(), framesPer = 2)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.frame_hash).toMap
+    assert(frames.size == 6)
+    // the pixel kernel saw the REAL raster: recompute the expected hash
+    // from the known pixel values, independent of the PNG byte stream
+    def expected(seed: Int, idx: Int): Long = {
+      var h = 1125899906842597L
+      var i = idx
+      while (i < 64) {
+        val (x, y) = (i % 8, i / 8)
+        h = 31 * h + (0xFF000000 |
+          ((seed * 1000003 + x * 131 + y * 31) & 0xFFFFFF))
+        i += math.max(1, 64 / 16)
+      }
+      h
+    }
+    assert(frames((1L, 0)) == expected(1, 0) && frames((1L, 1)) == expected(1, 1),
+      "decoded pixels don't match the pixels that were encoded")
+    assert(frames((2L, 0)) == expected(2, 0))
+    assert(frames((1L, 0)) != frames((2L, 0)), "different images must differ")
+    // pixel identity: a re-encode of the SAME raster (fresh encoder run)
+    // hashes identically — the hash is over pixels, not container bytes
+    val reenc = Multimodal.frameSample(
+      Seq(Multimodal.Media(9L, png(1))).toDS(), framesPer = 1).collect()
+    assert(reenc.head.frame_hash == frames((1L, 0)))
+    // non-image payloads fall back to the byte stub
+    val stubbed = Multimodal.decodeFrameStub(media(2), 0)
+    assert(frames((3L, 0)) == stubbed.frame_hash)
+    // and the sniff rejects text without invoking ImageIO
+    assert(!Multimodal.looksLikeImage(media(2).payload))
+    assert(Multimodal.looksLikeImage(media(0).payload))
+  }
+
   test("mm2 features are ANN-ready: 8-dim doubles in [0,1)") {
     val rows = Multimodal.mm2FeatureVectors(spark, sf).collect()
     assert(rows.forall { r =>
