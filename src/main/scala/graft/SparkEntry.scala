@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{B3Queries, CoreQueries, FunctionQueries}
 import graft.text.{Dedup, Normalize, Pipelines, Redaction, TextAnalysis}
-import graft.sim.{Hybrid, KMeans, Similarity}
+import graft.sim.{Hybrid, KMeans, ProductQuantization, Similarity}
 import graft.streaming.StreamQueries
 import graft.mm.Multimodal
 
@@ -27,12 +27,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
-      KMeans.queries ++ Hybrid.queries ++
+      KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
-      KMeans.oracles ++ Hybrid.oracles ++
+      KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles
 }

@@ -232,6 +232,39 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s9 PQ: codes are in-range, recall@3 holds, and the floor is pinned at sf0.01") {
+    import graft.sim.ProductQuantization
+    // every code is a valid entry index (argmin never misses)
+    val codes = ProductQuantization.encoded(spark, sf).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 16),
+        s"pq code out of range: $cs")
+    }
+    def recallAt(dir: String): Double = {
+      val exact = Similarity.s1CosineTopk(spark, dir).collect()
+        .filter(_.getInt(3) <= 3)
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val approx = ProductQuantization.s9PqTopk(spark, dir).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.keys.toSeq.map { q =>
+        approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 3.0
+      }
+      rs.sum / rs.length
+    }
+    // 4 subspaces x 16 entries is a coarse quantizer; fetch=40 re-rank
+    // recovers 2/3 of the true top-3 on the deterministic sf0.01 corpus
+    // (measured 0.667) — between IVF's 0.433 and LSH's 0.70. Tiny-tier
+    // floor below the measured value absorbs tier variation.
+    assert(recallAt(sf) >= 0.3, "PQ recall@3 collapsed at tiny tier")
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).exists())
+      assert(recallAt(sf001) >= 0.66,
+        "PQ recall@3 at sf0.01 regressed (was 0.667)")
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val df = Dedup.d1ExactDedup(spark, sf)
     val n = df.count()

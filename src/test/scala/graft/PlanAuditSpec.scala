@@ -281,6 +281,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair dedup + two embedding joins + output sort expected):\n$plan")
   }
 
+  test("s9 PQ: zero-shuffle encode, broadcast LUT scan, bounded exchanges") {
+    import graft.sim.ProductQuantization
+    // encoding is one literal-codebook projection over the corpus
+    val enc = ProductQuantization.encoded(spark, sf)
+    assert(TestSpark.countShuffles(enc) == 0,
+      s"pq encode should be a pure projection:\n${enc.queryExecution.executedPlan}")
+    // the ADC scan broadcasts the bounded LUT side and never shuffles
+    // the corpus for scoring; exchanges stay fixed as data grows
+    // (candidate fetch agg + re-rank joins + output sort)
+    val df = ProductQuantization.s9PqTopk(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"pq LUT side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pq went all-pairs:\n$plan")
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 6, s"pq exchange count grew to $n:\n$plan")
+  }
+
   test("eventsBetween pushes the ts bounds into the parquet scan (r5 verdict #2)") {
     // the plain events path converts the nanos-long ts first, so range
     // predicates evaluate post-scan; eventsBetween filters the RAW long —
