@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{B3Queries, CoreQueries, FunctionQueries}
+import graft.queries.{B3Queries, CoreQueries, EventAnalytics, FunctionQueries}
 import graft.text.{Dedup, Normalize, Pipelines, Redaction, TextAnalysis}
 import graft.sim.{Hybrid, KMeans, ProductQuantization, Similarity}
 import graft.streaming.StreamQueries
@@ -26,12 +26,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
+      EventAnalytics.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
       KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
+      EventAnalytics.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
       KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+
+/** Product-analytics operators over the `events` stream table — the
+  * families a warehouse team runs daily on an event log next to the
+  * funnel (w9) and sessionize (w4) ops: cohort retention, time-series
+  * regularization (resample + interpolate), moment-based anomaly
+  * flagging, and sliding-window aggregation.
+  *
+  * Cross-engine determinism: every DOUBLE that reaches output or a
+  * comparison is derived from EXACT integer aggregates (floor'd
+  * fixed-point units summed as bigint — sum order can't perturb them),
+  * so both engines compute bit-identical doubles from identical inputs
+  * with identical operation order; outputs floor to fixed-point bigints.
+  * Timestamps format to strings (ns-vs-µs dtype mismatch otherwise).
+  */
+object EventAnalytics {
+
+  /** Micro-units fixed point for event `value` sums: floor(v·1e6) as
+    * bigint. Exact under summation (|v| ≤ ~600 ⇒ ≤ 6e8 per row; 1e10
+    * rows to bigint overflow), deterministic under any partitioning.
+    */
+  private val ValueU = "cast(floor(value * 1000000) as bigint)"
+
+  /** t24: weekly cohort retention — users grouped by first-seen week,
+    * distinct-user counts at each later week offset. THE standard
+    * engagement query over an event log.
+    *
+    * Scale shape: events collapse to (user, week) grain FIRST (one
+    * shuffle with map-side partials — the raw log never reaches the
+    * window), the per-user cohort week is a window min over that grain
+    * (second shuffle, user grain), and the final count groups the
+    * user-week rows (third, cohort×offset grain ≤ weeks²). A user
+    * appears once per (user, week), so count(*) ≡ count(distinct
+    * user_id) with no distinct expansion.
+    */
+  def t24Retention(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .groupBy("user_id", "w").agg(count(lit(1)).as("n_events"))
+    val cohort = uw.withColumn("cw",
+      min(col("w")).over(Window.partitionBy("user_id")))
+    cohort
+      .groupBy(col("cw"), (datediff(col("w"), col("cw")) / 7).cast("int")
+        .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** t25: hourly resample + linear interpolation — regularize an
+    * irregular event series onto a dense per-type hour grid, filling
+    * gaps by interpolating between the bracketing observed hours
+    * (the forward-fill w8's two-sided sibling; ML feature pipelines
+    * want this shape for windowed models).
+    *
+    * Scale shape: the log collapses to (type, hour) grain in one
+    * map-side-partial shuffle; the grid explodes from a 1-row-per-type
+    * span agg and joins the grain AT GRAIN SIZE (both sides bounded by
+    * types × hours — the raw log is out of the join entirely);
+    * the interpolation windows partition by type over the HOURLY series
+    * — bounded rows per partition regardless of event volume. Partition
+    * keys are low-cardinality here; the real deployment partitions by
+    * (entity, type) with the identical plan.
+    *
+    * The grid spans each type's observed [min, max] hour, so every
+    * interpolated row is bracketed on both sides — no edge nulls.
+    */
+  def t25Interpolate(s: SparkSession, d: String): DataFrame = {
+    val k = events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        expr(ValueU).as("vu"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"), sum("vu").as("sum_u"))
+      // hourly mean in micro-units: exact ints in, deterministic double out
+      .withColumn("v", col("sum_u").cast("double") / col("cnt"))
+    val grid = k.groupBy("event_type")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val merged = grid.join(k, Seq("event_type", "h"), "left")
+      .withColumn("hn_", (unix_timestamp(col("h")) / 3600L).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("hn_")
+    val prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val next = w.rowsBetween(0, Window.unboundedFollowing)
+    val known = when(col("v").isNotNull, col("hn_"))
+    merged
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(prev))
+      .withColumn("hp", last(known, ignoreNulls = true).over(prev))
+      .withColumn("vn", first(col("v"), ignoreNulls = true).over(next))
+      .withColumn("hnx", first(known, ignoreNulls = true).over(next))
+      .withColumn("out",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("hn_") - col("hp")).cast("double") / (col("hnx") - col("hp")))))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("v").isNull.as("interp"),
+        floor(col("out")).cast("long").as("value_u"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** o9: z-score anomaly flagging — per-type mean/std from EXACT
+    * integer moments (centi-unit floor'd values, bigint sums: immune to
+    * fp sum order), outliers at |z| > 2.5. Winsorize (o8) bounds tails;
+    * this NAMES them.
+    *
+    * Scale shape: one map-side-partial agg to 1 row per type; the tiny
+    * moment table broadcasts back (t16's threshold-broadcast shape —
+    * the log never shuffles); flagging is a codegen'd projection.
+    * Squares fit bigint to ~1e15 rows per type at this value range.
+    */
+  def o9ZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("vc"))
+    val m = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("vc").as("s1"),
+      sum(col("vc") * col("vc")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("std", sqrt(col("s2").cast("double") / col("n") -
+        col("mean") * col("mean")))
+      .select("event_type", "mean", "std")
+    base.join(broadcast(m), "event_type")
+      .withColumn("z", (col("vc").cast("double") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("vc").as("value_c"),
+        floor(col("z") * 10000).cast("long").as("z_bp"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** w10: sliding-window aggregation — 2-hour windows sliding by 1 hour
+    * (each event lands in exactly two windows), the batch form of the
+    * streaming hop-window agg. Spark's `window()` generator keeps this
+    * a groupBy with map-side partials: the double-counting happens in
+    * the window-assignment projection, not a self-union of the log.
+    */
+  def w10SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(expr(ValueU)).as("sum_u"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("window_start"), col("event_type"), col("n_events"), col("sum_u"))
+      .orderBy("window_start", "event_type")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_retention"    -> (t24Retention _),
+    "t25_interpolate"  -> (t25Interpolate _),
+    "o9_zscore_outliers" -> (o9ZscoreOutliers _),
+    "w10_sliding_window" -> (w10SlidingWindow _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t24_retention" ->
+      """WITH uw AS (
+        |  SELECT user_id, date_trunc('week', ts) AS w, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS cw FROM uw)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cw, w) / 7 AS INTEGER) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY cw, week_offset ORDER BY cohort, week_offset""".stripMargin,
+    "t25_interpolate" ->
+      """WITH k AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS cnt,
+        |    SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_u
+        |  FROM events GROUP BY 1, 2
+        |), kv AS (
+        |  SELECT event_type, h, CAST(sum_u AS DOUBLE) / cnt AS v FROM k
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS mn, max(h) AS mx FROM kv GROUP BY 1)
+        |), m AS (
+        |  SELECT g.event_type, g.h, kv.v,
+        |    CAST(epoch(g.h) / 3600 AS BIGINT) AS hn
+        |  FROM grid g LEFT JOIN kv ON g.event_type = kv.event_type AND g.h = kv.h
+        |), f AS (
+        |  SELECT event_type, h, v, hn,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY hn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY hn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY hn
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY hn
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hnx
+        |  FROM m)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+        |  v IS NULL AS interp,
+        |  CAST(floor(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE vp + (vn - vp) * (CAST(hn - hp AS DOUBLE) / (hnx - hp))
+        |    END) AS BIGINT) AS value_u
+        |FROM f ORDER BY event_type, hour""".stripMargin,
+    "o9_zscore_outliers" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(vc) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt(CAST(SUM(vc * vc) AS DOUBLE) / COUNT(*)
+        |      - (CAST(SUM(vc) AS DOUBLE) / COUNT(*))
+        |        * (CAST(SUM(vc) AS DOUBLE) / COUNT(*))) AS std
+        |  FROM b GROUP BY 1)
+        |SELECT b.event_id, b.event_type, b.vc AS value_c,
+        |  CAST(floor((CAST(b.vc AS DOUBLE) - m.mean) / m.std * 10000) AS BIGINT)
+        |    AS z_bp
+        |FROM b JOIN m ON b.event_type = m.event_type
+        |WHERE abs((CAST(b.vc AS DOUBLE) - m.mean) / m.std) > 2.5
+        |ORDER BY b.event_type, b.event_id""".stripMargin,
+    "w10_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(vu) AS BIGINT) AS sum_u
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |    event_type, CAST(floor(value * 1000000) AS BIGINT) AS vu
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.EventAnalytics
+import graft.lake.Tables
+
+/** Invariant tests for the event-analytics family (t24/t25/o9/w10) —
+  * cross-engine value equality is the driver's DuckDB gate; these pin
+  * the semantic properties the oracle can't express.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t24: no offset cohort exceeds its week-0 size; offsets are dense non-negative") {
+    val rows = EventAnalytics.t24Retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cohort, rs) =>
+      val week0 = rs.find(_.getInt(1) == 0)
+        .getOrElse(fail(s"cohort $cohort has no week-0 row")).getLong(2)
+      rs.foreach { r =>
+        assert(r.getInt(1) >= 0, s"negative offset in $cohort")
+        assert(r.getLong(2) <= week0,
+          s"cohort $cohort offset ${r.getInt(1)} retains more users than week 0")
+      }
+    }
+    // every user is in exactly one cohort: week-0 totals = distinct users
+    val totalWeek0 = rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(totalWeek0 == users,
+      s"week-0 cohort sizes sum to $totalWeek0, expected $users distinct users")
+  }
+
+  test("t25: grid is dense per type and interpolated values are bracketed") {
+    val rows = EventAnalytics.t25Interpolate(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (tpe, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      // dense: hour strings are consecutive (span size == row count is
+      // implied by min/max construction + sequence; spot-check adjacency)
+      assert(sorted.length >= 2)
+      // every interpolated value lies within [min, max] of the nearest
+      // known values on each side (linear interpolation is bracketed)
+      val vals = sorted.map(r => (r.getBoolean(2), r.getLong(3)))
+      vals.zipWithIndex.filter(_._1._1).foreach { case ((_, v), i) =>
+        val prevKnown = vals.take(i).reverse.find(!_._1).map(_._2)
+        val nextKnown = vals.drop(i + 1).find(!_._1).map(_._2)
+        (prevKnown, nextKnown) match {
+          case (Some(p), Some(n)) =>
+            // floor() can land 1 below the lower bracket's floored value
+            assert(v >= math.min(p, n) - 1 && v <= math.max(p, n) + 1,
+              s"$tpe interpolated $v outside bracket [$p, $n]")
+          case _ => fail(s"$tpe has an unbracketed interpolated row")
+        }
+      }
+    }
+    // at least one real gap is interpolated at this tier
+    assert(rows.exists(_.getBoolean(2)), "no interpolated rows — grid degenerate")
+  }
+
+  test("o9: flagged rows are beyond 2.5 sigma and are a small tail") {
+    val n = Tables.events(spark, sf).count()
+    val out = EventAnalytics.o9ZscoreOutliers(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getLong(3)) >= 25000),
+      "a flagged row has |z| < 2.5")
+    // Chebyshev: P(|z|>2.5) <= 0.16; flag rate must stay a tail
+    assert(out.length.toDouble / n <= 0.16, s"${out.length}/$n flagged")
+  }
+
+  test("w10: every event lands in exactly two sliding windows") {
+    val events = Tables.events(spark, sf).count()
+    val agg = EventAnalytics.w10SlidingWindow(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(agg == 2 * events, s"window assignment total $agg != 2 * $events")
+  }
+
+  test("o9 moment join broadcasts the per-type moments; the log never shuffles for it") {
+    val df = EventAnalytics.o9ZscoreOutliers(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"moments not broadcast back:\n$plan")
+  }
+}
