@@ -122,6 +122,30 @@ object Streams {
         col("n_ticks"), col("total_value"))
   }
 
+  /** Sliding (hop) window twin of [[tumblingAgg]] — each event lands in
+    * size/slide windows (2 for the 2h/1h default), assigned by the
+    * `window()` generator in a projection (never a self-union of the
+    * stream). Same watermark contract: state for a window drops once
+    * event time passes its end + `lateness`; a hop window holds state
+    * for size/slide× as many open windows as the tumbling form — slide
+    * is the state-size knob. Batch form = [[graft.queries.EventAnalytics
+    * .w10SlidingWindow]]'s shape; equivalence is pinned in
+    * StreamingSpec.
+    */
+  def hopAgg(df: DataFrame, tsCol: String, valueCol: String,
+      size: String = "2 hours", slide: String = "1 hour",
+      lateness: String = "2 minutes", stream: Boolean = true): DataFrame = {
+    val in = if (stream) df.withWatermark(tsCol, lateness) else df
+    in.groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), size, slide))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        round(sum(col(valueCol).cast("decimal(18,6)")), 2)
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_ticks"), col("total_value"))
+  }
+
   /** Streaming K3: append each micro-batch to a JDBC table via
     * foreachBatch — the streaming twin of the reference's poll-loop →
     * SQLite INSERT (bitoin_coin_gecko_api.py:50-54). foreachBatch gives

@@ -426,6 +426,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.find(_._1 == "u1").get == (("u1", 2L, 3.0)))
   }
 
+  test("hop windows: streaming matches batch and each event lands in size/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (Timestamp.valueOf("2024-02-01 10:00:05"), 1.0),
+      (Timestamp.valueOf("2024-02-01 10:20:00"), 2.0),
+      (Timestamp.valueOf("2024-02-01 11:00:00"), 4.0))
+    val batch = Streams.hopAgg(
+      data.toDF("ts", "value"), "ts", "value", stream = false)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // 2h/1h: every event is in exactly two windows
+    assert(batch.toSeq.map(_._2).sum == 2 * data.length)
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = Streams.hopAgg(ms.toDF().toDF("ts", "value"), "ts", "value")
+    val q = agg.writeStream.format("memory").queryName("st_hop_both")
+      .outputMode("complete").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("st_hop_both").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("st1 batch form and streaming form produce the same windows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
