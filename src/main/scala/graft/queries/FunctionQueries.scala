@@ -81,6 +81,29 @@ object FunctionQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.8 URL functions — `parse_url` host/path/query-parameter
+    * extraction (the web-crawl provenance columns a training-data
+    * pipeline keys dedup and source filtering on). The URL is BUILT
+    * deterministically from document fields first, so the oracle can
+    * rebuild and re-parse it with regexes; the extraction stage is the
+    * operator under test. All narrow projections — one codegen span
+    * over the scan.
+    */
+  def fUrlFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.org/docs/"),
+        col("lang"), lit("/"), col("doc_id"),
+        lit("?page="), pmod(col("doc_id"), lit(10)), lit("&ref=home")))
+      .select(
+        col("doc_id"),
+        col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).cast("int").as("page"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_clean_cast_pipeline" -> (p3CleanCastPipeline _),
     "f_date_funcs"           -> (fDateFuncs _),
@@ -88,6 +111,7 @@ object FunctionQueries {
     "f_json_extract"         -> (fJsonExtract _),
     "f_br_money"             -> (fBrMoney _),
     "k6_coalesce_update"     -> (k6CoalesceUpdate _),
+    "f_url_funcs"            -> (fUrlFuncs _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -125,5 +149,17 @@ object FunctionQueries {
         |  coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), -1.0)
         |    AS prev_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "f_url_funcs" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/docs/' || lang || '/'
+        |      || doc_id || '?page=' || (doc_id % 10) || '&ref=home' AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+        |  CAST(regexp_extract(url, '[?&]page=([^&]*)', 1) AS INT) AS page,
+        |  regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+        |FROM u ORDER BY doc_id""".stripMargin,
   )
 }

@@ -146,6 +146,34 @@ object Streams {
         col("n_ticks"), col("total_value"))
   }
 
+  /** Stream-stream inner join on an equi key + event-time interval —
+    * the attribution shape (impression ↔ conversion within a window)
+    * that needs BOTH sides buffered in state. Watermarks on both
+    * streams plus the two-sided time condition are what let Spark
+    * bound that state: a left row can be dropped once the right
+    * watermark passes `lts + after`, and vice versa — without the
+    * interval both sides buffer forever (Spark refuses the plan in
+    * append mode). Batch equivalent: [[graft.ops.RangeJoin.banded]]
+    * (same semantics, bucketed equi-join instead of state buffers);
+    * equivalence is pinned in StreamingSpec.
+    *
+    * Columns must be pre-renamed so the two sides share no names; the
+    * join condition references them directly.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      beforeSec: Long, afterSec: Long,
+      lateness: String = "1 minute",
+      stream: Boolean = true): DataFrame = {
+    val l = if (stream) left.withWatermark(leftTs, lateness) else left
+    val r = if (stream) right.withWatermark(rightTs, lateness) else right
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+        s"$rightTs >= $leftTs - interval $beforeSec seconds AND " +
+        s"$rightTs <= $leftTs + interval $afterSec seconds"))
+  }
+
   /** Streaming K3: append each micro-batch to a JDBC table via
     * foreachBatch — the streaming twin of the reference's poll-loop →
     * SQLite INSERT (bitoin_coin_gecko_api.py:50-54). foreachBatch gives

@@ -451,6 +451,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch banded range join") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks and purchases: attribute a purchase to clicks by the same
+    // user within [-60 s, +600 s] of the click
+    val clicks = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-02-01 11:00:00")),
+      (2L, Timestamp.valueOf("2024-02-01 10:05:00")))
+    val buys = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 10:05:00"), 9.99), // joins click 1
+      (1L, Timestamp.valueOf("2024-02-01 12:00:00"), 5.00), // joins nothing
+      (2L, Timestamp.valueOf("2024-02-01 10:04:30"), 7.50)) // joins click 3 (before window)
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(3),
+        r.getDouble(4))).toSet
+    val ms1 = MemoryStream[(Long, Timestamp)]
+    val ms2 = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      ms1.toDF().toDF("c_user", "c_ts"),
+      ms2.toDF().toDF("b_user", "b_ts", "amount"),
+      "c_user", "b_user", "c_ts", "b_ts", beforeSec = 60, afterSec = 600)
+    val q = joined.writeStream.format("memory").queryName("st_ij")
+      .outputMode("append").start()
+    try {
+      // feed across two micro-batches: the join must buffer state
+      ms1.addData(clicks: _*)
+      q.processAllAvailable()
+      ms2.addData(buys: _*)
+      q.processAllAvailable()
+      val streamed = shape(spark.table("st_ij").collect())
+      val batch = shape(Streams.intervalJoin(
+        clicks.toDF("c_user", "c_ts"), buys.toDF("b_user", "b_ts", "amount"),
+        "c_user", "b_user", "c_ts", "b_ts", 60, 600, stream = false)
+        .collect())
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.size == 2)
+      // and the batch banded range join computes the same pair set
+      val banded = graft.ops.RangeJoin.banded(
+        clicks.toDF("user_id", "c_ts"),
+        buys.toDF("user_id", "b_ts", "amount"),
+        "user_id", "c_ts", "b_ts", beforeSec = 60, afterSec = 600)
+      assert(banded.count() == batch.size)
+    } finally q.stop()
+  }
+
   test("st1 batch form and streaming form produce the same windows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
