@@ -26,14 +26,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
-      EventAnalytics.queries ++
+      EventAnalytics.queries ++ graft.lake.ZOrder.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
       KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
-      EventAnalytics.oracles ++
+      EventAnalytics.oracles ++ graft.lake.ZOrder.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
       KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles

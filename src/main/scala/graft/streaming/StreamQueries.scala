@@ -41,9 +41,25 @@ object StreamQueries {
           floor(col("value") * 100).cast("long")).as("tick"))
       .orderBy("event_id")
 
+  /** Native session-window agg ([[Streams.sessionAgg]]) on batch input —
+    * same 1-hour gap as w4's lag/cumsum sessionizer, so the DuckDB
+    * lag/cumsum oracle here doubles as an equivalence proof between the
+    * two sessionization forms. Timestamps string-encoded (dtype note on
+    * st1).
+    */
+  def st3SessionAgg(s: SparkSession, d: String): DataFrame =
+    Streams.sessionAgg(events(s, d), "ts", "user_id", "1 hour",
+        stream = false)
+      .select(col("user_id"),
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_agg" -> (st1TumblingAgg _),
     "st2_tick_json"    -> (st2TickJson _),
+    "st3_session_agg"  -> (st3SessionAgg _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -58,5 +74,29 @@ object StreamQueries {
         |  '","price":' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || '}'
         |  AS tick
         |FROM events ORDER BY event_id""".stripMargin,
+    // session_window merge rule (pinned empirically in StreamingSpec):
+    // an event at EXACTLY the previous session's end still extends it —
+    // new session only when diff > gap STRICTLY (same rule as w4)
+    "st3_session_agg" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events
+        |), x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 3600000000 THEN 1
+        |      ELSE 0 END AS ns
+        |  FROM l
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
   )
 }

@@ -146,6 +146,35 @@ object Streams {
         col("n_ticks"), col("total_value"))
   }
 
+  /** Native session-window aggregation — Spark's `session_window`
+    * generator: per-key sessions that extend while events arrive within
+    * `gap` of the last one, exactly the sessionization w4 builds with
+    * lag + running sum. The native form is the STREAMING one: on a
+    * stream the state store merges windows incrementally and the
+    * watermark closes sessions whose end passed it — the lag/cumsum
+    * form can't run on unbounded input at all (its window scans the
+    * whole history). Batch output equality between the two forms is
+    * pinned by st3's oracle (a lag/cumsum replication in DuckDB).
+    *
+    * Merge semantics (matters at exact-boundary gaps, pinned in
+    * StreamingSpec): an event arriving EXACTLY `gap` after its
+    * predecessor still EXTENDS the session — a new session starts only
+    * when the gap is exceeded strictly (the same `> gap` rule as w4's
+    * lag/cumsum form). Session end = last event + gap.
+    */
+  def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "1 hour", lateness: String = "2 minutes",
+      stream: Boolean = true): DataFrame = {
+    val in = if (stream) df.withWatermark(tsCol, lateness) else df
+    in.groupBy(col(keyCol),
+        org.apache.spark.sql.functions.session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+  }
+
   /** Stream-stream inner join on an equi key + event-time interval —
     * the attribution shape (impression ↔ conversion within a window)
     * that needs BOTH sides buffered in state. Watermarks on both
@@ -159,19 +188,27 @@ object Streams {
     *
     * Columns must be pre-renamed so the two sides share no names; the
     * join condition references them directly.
+    *
+    * `joinType` extends to the outer forms ("left_outer" etc.) — on a
+    * stream an unmatched left row emits null-padded ONLY after the
+    * right watermark passes its interval end (the engine must prove no
+    * future match can arrive), so outer results trail the watermark by
+    * design; the spec pins this emission timing.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       beforeSec: Long, afterSec: Long,
       lateness: String = "1 minute",
-      stream: Boolean = true): DataFrame = {
+      stream: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
     val l = if (stream) left.withWatermark(leftTs, lateness) else left
     val r = if (stream) right.withWatermark(rightTs, lateness) else right
     l.join(r, expr(
       s"$leftKey = $rightKey AND " +
         s"$rightTs >= $leftTs - interval $beforeSec seconds AND " +
-        s"$rightTs <= $leftTs + interval $afterSec seconds"))
+        s"$rightTs <= $leftTs + interval $afterSec seconds"),
+      joinType)
   }
 
   /** Streaming K3: append each micro-batch to a JDBC table via

@@ -451,6 +451,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: streaming matches batch, including the exact-gap boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-02-01 10:30:00")), // merges (< 1h gap)
+      (1L, Timestamp.valueOf("2024-02-01 11:30:00")), // EXACTLY 1h after -> still merges
+      (1L, Timestamp.valueOf("2024-02-01 12:30:01")), // 1h + 1s -> new session
+      (2L, Timestamp.valueOf("2024-02-01 09:00:00")))
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val batch = shape(Streams.sessionAgg(
+      data.toDF("user_id", "ts"), "ts", "user_id", stream = false).collect())
+    // inclusive-boundary merge: the exactly-1h event EXTENDS the first
+    // session; only the 1h+1s event opens a second one
+    assert(batch.count(_._1 == 1L) == 2, s"unexpected sessionization: $batch")
+    assert(batch.exists(r => r._1 == 1L && r._4 == 3L),
+      s"exact-gap event did not merge: $batch")
+    assert(batch.count(_._1 == 2L) == 1)
+    val ms = MemoryStream[(Long, Timestamp)]
+    val agg = Streams.sessionAgg(ms.toDF().toDF("user_id", "ts"),
+      "ts", "user_id")
+    val q = agg.writeStream.format("memory").queryName("st_sess")
+      .outputMode("complete").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = shape(spark.table("st_sess").collect())
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     implicit val sqlCtx = spark.sqlContext
     // clicks and purchases: attribute a purchase to clicks by the same
@@ -493,6 +525,39 @@ class StreamingSpec extends AnyFunSuite {
         buys.toDF("user_id", "b_ts", "amount"),
         "user_id", "c_ts", "b_ts", beforeSec = 60, afterSec = 600)
       assert(banded.count() == batch.size)
+    } finally q.stop()
+  }
+
+  test("left-outer interval join emits unmatched rows only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms1 = MemoryStream[(Long, Timestamp)]
+    val ms2 = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      ms1.toDF().toDF("c_user", "c_ts"),
+      ms2.toDF().toDF("b_user", "b_ts", "amount"),
+      "c_user", "b_user", "c_ts", "b_ts",
+      beforeSec = 0, afterSec = 600, lateness = "10 seconds",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("st_oij")
+      .outputMode("append").start()
+    try {
+      ms1.addData((1L, Timestamp.valueOf("2024-02-01 10:00:00")))
+      ms2.addData((2L, Timestamp.valueOf("2024-02-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // no match yet, and the watermark hasn't proven none can arrive
+      assert(spark.table("st_oij").isEmpty)
+      // advance both watermarks far past the click's interval end
+      ms1.addData((9L, Timestamp.valueOf("2024-02-01 12:00:00")))
+      ms2.addData((9L, Timestamp.valueOf("2024-02-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      // one more batch: outer emission happens in the batch AFTER the
+      // watermark update lands in the offset log
+      ms2.addData((9L, Timestamp.valueOf("2024-02-01 12:00:01"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("st_oij").collect()
+      val unmatched = rows.filter(r => r.getLong(0) == 1L)
+      assert(unmatched.length == 1 && unmatched.head.isNullAt(4),
+        s"user-1 click did not emit null-padded: ${rows.mkString(";")}")
     } finally q.stop()
   }
 
