@@ -29,12 +29,14 @@ object SparkEntry {
       EventAnalytics.queries ++ graft.lake.ZOrder.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
       KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
-      StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries
+      StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries ++
+      graft.ops.Warehouse.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
       EventAnalytics.oracles ++ graft.lake.ZOrder.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
       KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
-      StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles
+      StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles ++
+      graft.ops.Warehouse.oracles
 }

@@ -133,4 +133,29 @@ object Sampling {
     }
     df.filter(coin(key, salt) < thresh)
   }
+
+  /** Cap rows PER GROUP at `cap`, selecting deterministically by a
+    * content-keyed hash order — domain balancing for a crawl corpus
+    * (the heaviest domains would otherwise dominate the training mix;
+    * C4/RefinedWeb-style pipelines cap per registered domain). Unlike a
+    * rate, a cap guarantees the bound even when group sizes are
+    * heavy-tailed; unlike `ORDER BY random()`, the md5 order gives every
+    * re-run (and the DuckDB oracle) the identical survivor set.
+    *
+    * Scale shape: one hash exchange on `group` for the row_number
+    * window. At 100 TB the win over sort-global approaches is that each
+    * group sorts independently inside its partition; for a pathological
+    * mega-domain, pre-filter with `coin(key) < cap·fudge/|group|` (one
+    * cheap agg for group sizes) so the window never sees more than
+    * ~fudge·cap rows per group — same survivors, bounded sort.
+    */
+  def capPerKey(df: DataFrame, group: Column, key: Column, cap: Int,
+      salt: String = ""): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val order = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(concat(key.cast("string"), lit(salt))), key)
+    df.withColumn("__rn", row_number().over(order))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

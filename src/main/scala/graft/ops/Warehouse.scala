@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+
+/** Warehouse-maintenance operators: the dimension/changelog machinery an
+  * ETL deployment runs around its analytical queries (reference context:
+  * the B3 pipeline maintains refined tables by full rewrite —
+  * ETL_glue_pregao_B3.json's job reruns — which stops working the moment
+  * a dimension needs history or a feed turns into a changelog):
+  *
+  *   - SCD Type 2 history build (`scdType2` / l1): an event-sourced
+  *     attribute stream becomes interval rows `[valid_from, valid_to)`
+  *     with an `is_current` flag.
+  *   - CDC apply (`cdcApply` / l2): a changelog of I/U/D ops collapses
+  *     to current state — latest op per key wins, deletes drop the key.
+  *     The batch twin of `Lake.upsertByKey` with delete semantics.
+  *   - Column profiling (`profile` / v1): per-column null/distinct/range
+  *     stats in ONE pass — the scan that drives layout and skew choices.
+  *   - Constraint checks (`checkConstraints` / v2, `quarantine`): named
+  *     row predicates audited in one pass; quarantine splits violating
+  *     rows out instead of failing the load.
+  *
+  * Cross-engine determinism: timestamps surface as epoch-MICROSECOND
+  * bigints (`unix_micros` ≡ DuckDB `epoch_us`, both truncating the
+  * parquet nanos), money/value doubles as floor'd fixed-point bigints,
+  * and every window order carries `event_id` as a total tiebreaker.
+  */
+object Warehouse {
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** Build an SCD Type 2 interval table from an append-only attribute
+    * observation stream: one output row per CHANGE of `attr`, valid from
+    * its first observation until the next change (exclusive), open-ended
+    * on the current value.
+    *
+    * Scale shape (100 TB changelog): both windows partition by the
+    * entity key, so the whole build is ONE hash exchange on `key` —
+    * the change-detect lag, the filter, and the validity lead all run
+    * inside the same sort order (Catalyst plans one Sort under one
+    * Exchange; asserted in `WarehouseSpec`). No joins, no broadcast,
+    * no driver state; entity count can grow without bound because
+    * state per task is one window frame row.
+    *
+    * `tsCol` must be a total order per key — pass a tiebreaker column
+    * (`tieCol`) to break exact-timestamp ties deterministically.
+    */
+  def scdType2(df: DataFrame, key: Column, attr: Column, tsCol: Column,
+      tieCol: Column): DataFrame = {
+    val byTime = Window.partitionBy(key).orderBy(tsCol, tieCol)
+    val changes = df
+      .withColumn("__prev", lag(attr, 1).over(byTime))
+      .filter(col("__prev").isNull || col("__prev") =!= attr)
+      .select(key.as("key"), attr.as("attr"), tsCol.as("valid_from"),
+        tieCol.as("__tie"))
+    val byFrom = Window.partitionBy(col("key"))
+      .orderBy(col("valid_from"), col("__tie"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .drop("__tie")
+  }
+
+  /** l1: SCD2 over the event log — each user's `event_type` as the
+    * tracked attribute; epoch-µs validity bounds.
+    */
+  def l1Scd2(s: SparkSession, d: String): DataFrame =
+    scdType2(
+      events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us")),
+      col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .select(col("key").as("user_id"), col("attr"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "attr")
+
+  // ----------------------------------------------------------- CDC apply
+
+  /** Collapse a changelog to current state: for each key keep the latest
+    * op by `(tsCol, tieCol)`; a latest op in `deleteOps` removes the key.
+    *
+    * Scale shape: one hash exchange on `key` for the row_number window;
+    * the filter is post-window, no second shuffle. This is max_by with
+    * a tombstone — at 100 TB the changelog streams through one exchange
+    * and only surviving current rows come out. Intra-batch duplicate
+    * (key, ts, tie) triples can't happen when `tieCol` is unique
+    * (event_id here); the window order is total, so re-runs are
+    * bit-identical.
+    */
+  def cdcApply(df: DataFrame, key: Column, op: Column, tsCol: Column,
+      tieCol: Column, deleteOps: Set[String]): DataFrame = {
+    val latest = Window.partitionBy(key).orderBy(tsCol.desc, tieCol.desc)
+    df.withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1 && !op.isInCollection(deleteOps))
+      .drop("__rn")
+  }
+
+  /** l2: events as a synthetic changelog — `error` is a delete tombstone,
+    * `signup` an insert, the rest updates of the user's `value`.
+    */
+  def l2CdcApply(s: SparkSession, d: String): DataFrame = {
+    val log = events(s, d).select(
+      col("user_id"), col("event_id"),
+      when(col("event_type") === "error", "D")
+        .when(col("event_type") === "signup", "I")
+        .otherwise("U").as("op"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr("cast(floor(value * 1000000) as bigint)").as("value_u"))
+    cdcApply(log, col("user_id"), col("op"), col("ts_us"), col("event_id"),
+        deleteOps = Set("D"))
+      .select("user_id", "op", "value_u")
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------ Profiling
+
+  /** v1: one-pass column profile of the fact table's numeric measures —
+    * (column, null count, exact distinct count, fixed-point min/max).
+    *
+    * Scale shape: a single aggregation; the multi-`countDistinct` plans
+    * one Expand (×4 row multiplier, one branch per distinct column)
+    * feeding ONE partial-aggregable exchange — no per-column scans, no
+    * driver loop over columns. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` and the Expand collapses to a plain
+    * single-pass agg (HLL registers merge associatively); the exact form
+    * is kept here because the oracle hash-checks it. min/max floor to
+    * cents AFTER aggregating (floor is monotone, so floor(min) ≡
+    * min(floor) — but one floor beats N).
+    */
+  def v1Profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        expr(s"cast(floor(min($c) * 100) as bigint)").as(s"${c}__min"),
+        expr(s"cast(floor(max($c) * 100) as bigint)").as(s"${c}__max"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) " +
+        "as (col_name, n_null, n_distinct, min_c, max_c)"))
+      .orderBy("col_name")
+  }
+
+  // ------------------------------------------------------ Constraint audit
+
+  /** Named row-level constraints for the audit/quarantine pair. */
+  final case class Constraint(name: String, violated: Column)
+
+  /** The orders-feed ruleset: three hard schema invariants (expected to
+    * hold) and two distribution guards (expected to fire) — an audit
+    * whose output is all-zeros is indistinguishable from one that never
+    * ran.
+    */
+  private def orderRules: Seq[Constraint] = Seq(
+    Constraint("null_custkey", col("o_custkey").isNull),
+    Constraint("nonpositive_price", col("o_totalprice") <= 0),
+    Constraint("bad_status", !col("o_orderstatus").isInCollection(
+      Set("O", "F", "P"))),
+    Constraint("price_above_450k", col("o_totalprice") > 450000),
+    Constraint("stale_pre_1996",
+      col("o_orderdate") < lit("1996-01-01").cast("timestamp")))
+
+  /** v2: audit — per rule, how many rows violate it, over the total.
+    *
+    * Scale shape: every rule is a conditional-sum branch of ONE
+    * aggregation over ONE scan (no per-rule passes); output is
+    * rule-count rows regardless of input size. The stack unpivot runs
+    * on the single agg row — driver-side-tiny.
+    */
+  def v2Quarantine(s: SparkSession, d: String): DataFrame = {
+    val rules = orderRules
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(r.violated.cast("long")).as(s"__r$i")
+    } :+ count(lit(1)).as("__total")
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.name}', __r$i, __total" }.mkString(", ")
+    orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${rules.size}, $stackArgs) " +
+        "as (rule, n_bad, n_rows)"))
+      .orderBy("rule")
+  }
+
+  /** Split a load into (clean, quarantined-with-reasons) in one pass —
+    * the load-time twin of the v2 audit. Quarantined rows carry the
+    * array of violated rule names; both sides are lazy projections of
+    * the same scan (Spark plans two scans unless the input is
+    * checkpointed — at 100 TB, write `bad` first, then anti-filter, or
+    * persist the rule bitmap; documented here, tested in sbt).
+    */
+  def quarantine(df: DataFrame, rules: Seq[Constraint])
+      : (DataFrame, DataFrame) = {
+    val reasons = array(rules.map(r =>
+      when(r.violated, lit(r.name))): _*)
+    val tagged = df.withColumn("__reasons",
+      filter(reasons, x => x.isNotNull))
+    (tagged.filter(size(col("__reasons")) === 0).drop("__reasons"),
+      tagged.filter(size(col("__reasons")) > 0)
+        .withColumnRenamed("__reasons", "violations"))
+  }
+
+  /** Orders ruleset exposed for the sbt quarantine-split test. */
+  private[graft] def orderRulesForTest: Seq[Constraint] = orderRules
+
+  // --------------------------------------------------------------- Queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l1_scd2"      -> (l1Scd2 _),
+    "l2_cdc_apply" -> (l2CdcApply _),
+    "v1_profile"   -> (v1Profile _),
+    "v2_quarantine" -> (v2Quarantine _))
+
+  def oracles: Map[String, String] = Map(
+    "l1_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_type AS attr, ts_us AS valid_from, event_id
+        |  FROM e WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, attr, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id
+        |         ORDER BY valid_from, event_id) AS valid_to,
+        |       CAST(lead(valid_from) OVER (PARTITION BY user_id
+        |         ORDER BY valid_from, event_id) IS NULL AS INT) AS is_current
+        |FROM c ORDER BY user_id, valid_from, attr""".stripMargin,
+    "l2_cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type='error' THEN 'D'
+        |              WHEN event_type='signup' THEN 'I'
+        |              ELSE 'U' END AS op,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS value_u,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, op, value_u FROM r
+        |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    "v1_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      .map(c => s"""SELECT '$c' AS col_name,
+        | count(*) - count($c) AS n_null,
+        | count(DISTINCT $c) AS n_distinct,
+        | CAST(floor(min($c) * 100) AS BIGINT) AS min_c,
+        | CAST(floor(max($c) * 100) AS BIGINT) AS max_c
+        |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "v2_quarantine" ->
+      """SELECT rule, n_bad, n_rows FROM (
+        |  SELECT 'null_custkey' AS rule,
+        |    CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS n_bad,
+        |    count(*) AS n_rows FROM orders
+        |  UNION ALL SELECT 'nonpositive_price',
+        |    CAST(sum(CAST(o_totalprice <= 0 AS BIGINT)) AS BIGINT),
+        |    count(*) FROM orders
+        |  UNION ALL SELECT 'bad_status',
+        |    CAST(sum(CAST(o_orderstatus NOT IN ('O','F','P') AS BIGINT))
+        |      AS BIGINT), count(*) FROM orders
+        |  UNION ALL SELECT 'price_above_450k',
+        |    CAST(sum(CAST(o_totalprice > 450000 AS BIGINT)) AS BIGINT),
+        |    count(*) FROM orders
+        |  UNION ALL SELECT 'stale_pre_1996',
+        |    CAST(sum(CAST(o_orderdate < TIMESTAMP '1996-01-01' AS BIGINT))
+        |      AS BIGINT), count(*) FROM orders
+        |) ORDER BY rule""".stripMargin)
+}

@@ -659,6 +659,45 @@ object CoreQueries {
           <= 0.05).cast("int").as("within_bounds"))
       .orderBy("o_orderstatus")
 
+  /** §2.5 extension: equi-width histogram — the one-pass distribution
+    * scan behind every "how is this measure shaped?" question (and the
+    * sizing input for range partitioning / salting choices). Bucket
+    * bounds are LITERALS, so the whole thing is one map-side-partial
+    * aggregation on ≤ nBuckets groups — no pre-pass for min/max, no
+    * sort. (A data-driven-bounds variant is two passes: a 2-value agg,
+    * then this — still never a shuffle of the raw rows.) Per-bucket
+    * money sums in exact cents; bucket id from a literal division, so
+    * both engines compute the identical IEEE double before flooring.
+    */
+  def a12Histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(least(floor(col("o_totalprice") / 25000), lit(19))
+        .cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(floor(o_totalprice * 100) as bigint)"))
+          .as("sum_cents"))
+      .orderBy("bucket")
+
+  /** §2.5 extension: scalar subqueries — customers with above-average
+    * balance, the textbook uncorrelated scalar-subquery shape. Spark
+    * plans each subquery as a one-row broadcast into the filter, so the
+    * customer scan streams once with no shuffle at any size. The
+    * comparison is the integer cross-multiply `cents·n > Σcents`
+    * (≡ cents > Σ/n): EXACT in bigints, where comparing against a
+    * double `avg` could flip boundary rows between engines (sum order).
+    */
+  def a13ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey FROM customer_v
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT)
+        |        * (SELECT count(*) FROM customer_v)
+        |      > (SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT))
+        |         FROM customer_v)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -707,6 +746,8 @@ object CoreQueries {
     "o8_winsorize"        -> (o8Winsorize _),
     "a10_multi_distinct"  -> (a10MultiDistinct _),
     "a11_correlated"      -> (a11CorrelatedSubquery _),
+    "a12_histogram"       -> (a12Histogram _),
+    "a13_scalar_subquery" -> (a13ScalarSubquery _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
@@ -819,6 +860,19 @@ object CoreQueries {
         |                      FROM orders i
         |                      WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "a12_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000), 19) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a13_scalar_subquery" ->
+      """SELECT c_custkey FROM customer
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT)
+        |        * (SELECT count(*) FROM customer)
+        |      > (SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT))
+        |         FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "w9_funnel" ->
       """WITH a AS (
         |  SELECT user_id, ts, event_id, event_type,

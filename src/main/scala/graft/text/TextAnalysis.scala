@@ -450,7 +450,20 @@ object TextAnalysis {
     "t19_chunk_docs" -> ((s: SparkSession, d: String) => t19ChunkDocs(s, d)),
     "t20_source_filter" -> ((s: SparkSession, d: String) => t20SourceFilter(s, d)),
     "t21_token_rarity" -> (t21TokenRarity _),
+    "t22_domain_cap" -> (t22DomainCap _),
   )
+
+  /** t22: domain balancing — cap the corpus at 20 docs per source,
+    * chosen by content-keyed hash order (see `Sampling.capPerKey`): the
+    * standard guard against heavy-tailed crawl domains swamping the
+    * training mix. Deterministic: the md5 order makes the survivor set
+    * identical across runs, partitionings, and engines.
+    */
+  def t22DomainCap(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.capPerKey(
+        documents(s, d).select("doc_id", "source"),
+        col("source"), col("doc_id"), cap = 20)
+      .orderBy("source", "doc_id")
 
   def oracles: Map[String, String] = Map(
     "t13_repetition" ->
@@ -559,6 +572,13 @@ object TextAnalysis {
         |    AS BIGINT) AS ttr_bp
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "t22_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin,
     "t3_top_ngrams" ->
       """SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM (
         |  SELECT unnest(list_transform(range(len(t)-1),

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Warehouse
+
+/** Warehouse-maintenance operators (l1/l2/v1/v2 + the quarantine split):
+  * semantic invariants the DuckDB hash-compare can't express, plus the
+  * plan shapes the 100 TB story rests on.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("l1 SCD2: intervals chain per key — each valid_to equals the next valid_from, one open row per user") {
+    val scd = Warehouse.l1Scd2(spark, sf).cache()
+    try {
+      val rows = scd.collect()
+      assert(rows.nonEmpty)
+      val byUser = rows.groupBy(_.getLong(0))
+      byUser.foreach { case (u, rs) =>
+        val sorted = rs.sortBy(_.getLong(2)) // valid_from
+        // exactly one current (open) interval per user, and it's the last
+        assert(sorted.count(_.getInt(4) == 1) == 1, s"user $u current rows")
+        assert(sorted.last.getInt(4) == 1, s"user $u open row not last")
+        // intervals chain with no gaps or overlaps
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(!a.isNullAt(3) && a.getLong(3) == b.getLong(2),
+              s"user $u interval chain broken")
+          case _ => ()
+        }
+        // consecutive intervals always change the attribute (SCD2 collapses
+        // repeat observations)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getString(1) != b.getString(1),
+              s"user $u consecutive intervals share attr")
+          case _ => ()
+        }
+      }
+    } finally { scd.unpersist(); () }
+  }
+
+  test("l1 SCD2 plans ONE shuffle — both windows share the entity-key exchange") {
+    assert(countShuffles(
+      Warehouse.l1Scd2(spark, sf).limit(1000000)) <= 2,
+      "SCD2 build should cost one key exchange (+ at most the final sort)")
+  }
+
+  test("l2 CDC apply: users whose latest op is a delete are absent; others surface the latest value") {
+    import graft.lake.Tables
+    val state = Warehouse.l2CdcApply(spark, sf)
+    // recompute the expected survivor set row-by-row on the driver
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        expr("cast(floor(value * 1000000) as bigint)").as("vu"))
+      .collect()
+    val latest = evs.groupBy(_.getLong(0)).map { case (u, rs) =>
+      u -> rs.maxBy(r => (r.getLong(1), r.getLong(2)))
+    }
+    val expectedSurvivors = latest.filter {
+      case (_, r) => r.getString(3) != "error"
+    }
+    val got = state.collect().map(r =>
+      r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == expectedSurvivors.keySet.toSet)
+    expectedSurvivors.foreach { case (u, r) =>
+      assert(got(u) == r.getLong(4), s"user $u surfaced stale value")
+    }
+    assert(got.size < latest.size, "some delete should fire at this SF")
+  }
+
+  test("v1 profile: one aggregation pass (no per-column scans)") {
+    val df = Warehouse.v1Profile(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if r.getClass.getSimpleName.contains("DataSourceV2") => r
+    }
+    assert(scans.size == 1, s"profile should scan once, saw ${scans.size}")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    // lineitem measures are non-null in the generated data
+    assert(rows.forall(_.getLong(1) == 0L))
+    assert(rows.forall(_.getLong(2) > 0L))
+  }
+
+  test("v2 audit: hard invariants hold, distribution guards fire, totals consistent") {
+    val byRule = Warehouse.v2Quarantine(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = byRule.values.head._2
+    assert(byRule.values.forall(_._2 == total))
+    assert(byRule("null_custkey")._1 == 0)
+    assert(byRule("nonpositive_price")._1 == 0)
+    assert(byRule("bad_status")._1 == 0)
+    assert(byRule("price_above_450k")._1 > 0, "tail guard should fire")
+    assert(byRule("stale_pre_1996")._1 > 0, "stale guard should fire")
+  }
+
+  test("quarantine split: clean + bad partition the input; reasons name every violated rule") {
+    import graft.lake.Tables
+    val orders = Tables.orders(spark, sf)
+    val (clean, bad) = Warehouse.quarantine(orders,
+      Warehouse.orderRulesForTest)
+    val n = orders.count()
+    assert(clean.count() + bad.count() == n)
+    // every quarantined row's reason list is non-empty and each named rule
+    // really is violated by that row (spot-check the price rule)
+    val badRows = bad.filter(array_contains(col("violations"),
+      "price_above_450k"))
+    assert(badRows.count() ==
+      orders.filter(col("o_totalprice") > 450000).count())
+    assert(bad.filter(size(col("violations")) === 0).count() == 0)
+  }
+
+  test("t22 domain cap bounds every source at the cap with a deterministic survivor set") {
+    val capped = graft.text.TextAnalysis.t22DomainCap(spark, sf)
+    val perSource = capped.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 20))
+    // determinism: a second evaluation yields the identical set
+    val again = graft.text.TextAnalysis.t22DomainCap(spark, sf)
+    assert(capped.collect().toSeq == again.collect().toSeq)
+  }
+}
