@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
       TextSignatures.makeMinhash))
     ext.injectFunction((
+      FunctionIdentifier("graft_compress_bp"),
+      new ExpressionInfo(
+        classOf[graft.functions.CompressRatioBp].getName,
+        "graft_compress_bp"),
+      graft.functions.CompressRatio.make))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),

@@ -698,6 +698,42 @@ object CoreQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** §2.5 extension: EQUI-DEPTH histogram (a12's twin) — ten
+    * equal-frequency buckets with per-bucket count and range. The
+    * boundaries come from a one-row `percentile` aggregate that joins
+    * back as a broadcast, and each row's bucket is `Σ 1[x > bᵢ]` over
+    * the nine boundaries — expanded to nine codegen'd `when` terms,
+    * NOT `ntile()`: a global ntile is a no-partition window, which
+    * plans every row through ONE task — the canonical scale-killer.
+    * This form is scan → broadcast-join → agg, fully parallel.
+    *
+    * At 100 TB the exact `percentile` boundary agg (which collects
+    * per-group values) swaps for `approx_percentile` (t-digest,
+    * partial-aggregable, bounded memory) with the identical downstream
+    * plan; the exact form is kept here because boundary doubles
+    * interpolated from exact cent INTEGERS are bit-identical across
+    * engines (a5's proven property), which makes the whole histogram
+    * hash-checkable — approx boundaries are merge-order-dependent (see
+    * a6's pattern).
+    */
+  def a14EquidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val cents = orders(s, d)
+      .select(expr("cast(floor(o_totalprice * 100) as bigint)").as("c"))
+    val bounds = cents.agg(expr(
+      "percentile(c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("b"))
+    val bucket = (0 until 9)
+      .map(i => when(col("c") > col("b").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    cents.join(broadcast(bounds))
+      .groupBy(bucket.cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min("c").as("min_cents"),
+        max("c").as("max_cents"))
+      .orderBy("bucket")
+  }
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -748,6 +784,7 @@ object CoreQueries {
     "a11_correlated"      -> (a11CorrelatedSubquery _),
     "a12_histogram"       -> (a12Histogram _),
     "a13_scalar_subquery" -> (a13ScalarSubquery _),
+    "a14_equidepth"       -> (a14EquidepthHistogram _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
@@ -873,6 +910,15 @@ object CoreQueries {
         |      > (SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT))
         |         FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+    "a14_equidepth" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |b AS (SELECT quantile_cont(c,
+        |        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b FROM c)
+        |SELECT CAST(len(list_filter(b, e -> c > e)) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(c) AS min_cents, max(c) AS max_cents
+        |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "w9_funnel" ->
       """WITH a AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -104,6 +104,34 @@ object FunctionQueries {
         parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
       .orderBy("doc_id")
 
+  /** Fuzzy record linkage: block on an exact key, verify with edit
+    * distance — the structured-data twin of the d4 n-gram verify.
+    * Names within distance ≤ 2 inside the same nation block are
+    * candidate duplicate identities.
+    *
+    * Scale shape: the self-join shuffles BOTH sides once on the
+    * blocking key and compares only within blocks — never all-pairs.
+    * Block size bounds the quadratic term, so the blocking key is the
+    * scale knob (at 100 TB block on (nation, name-prefix) or an LSH
+    * bucket when nation blocks grow too fat; the plan is unchanged).
+    * `levenshtein` is a codegen'd built-in in BOTH engines with the
+    * same unit-cost semantics, so pairs hash-match exactly.
+    */
+  def fEditDistance(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val a = c.select(col("c_custkey").as("a_key"),
+      col("c_nationkey").as("nk"), col("c_name").as("a_name"))
+    val b = c.select(col("c_custkey").as("b_key"),
+      col("c_nationkey").as("nk"), col("c_name").as("b_name"))
+    a.join(b, Seq("nk"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("a_key", "b_key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_clean_cast_pipeline" -> (p3CleanCastPipeline _),
     "f_date_funcs"           -> (fDateFuncs _),
@@ -112,9 +140,17 @@ object FunctionQueries {
     "f_br_money"             -> (fBrMoney _),
     "k6_coalesce_update"     -> (k6CoalesceUpdate _),
     "f_url_funcs"            -> (fUrlFuncs _),
+    "f_edit_distance"        -> (fEditDistance _),
   )
 
   def oracles: Map[String, String] = Map(
+    "f_edit_distance" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY a_key, b_key""".stripMargin,
     "p3_clean_cast_pipeline" ->
       """SELECT doc_id AS id, lang AS idioma,
         |  TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) AS src_num,
