@@ -208,13 +208,58 @@ object Warehouse {
   /** Orders ruleset exposed for the sbt quarantine-split test. */
   private[graft] def orderRulesForTest: Seq[Constraint] = orderRules
 
+  // ------------------------------------------------------ Integrity audit
+
+  /** One relationship's referential-integrity audit: child row count,
+    * orphan children (no parent), childless parents. Anti joins, not
+    * outer-join-count — the anti join stops at first match and carries
+    * no payload columns.
+    */
+  private def relAudit(rel: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val nChild = child.agg(count(lit(1)).as("n_child"))
+    val nOrphan = child.join(parent, child(ck) === parent(pk), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    val nChildless = parent.join(child, parent(pk) === child(ck), "left_anti")
+      .agg(count(lit(1)).as("n_childless"))
+    nChild.crossJoin(nOrphan).crossJoin(nChildless)
+      .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"),
+        col("n_childless"))
+  }
+
+  /** v3: referential-integrity audit across the lake's FK edges — the
+    * load-gate a warehouse runs before publishing a snapshot (the
+    * reference's refined-zone rewrite assumes integrity; this measures
+    * it). Cross joins here are 1-row × 1-row aggregates — constant.
+    *
+    * Scale shape: each audit is two anti joins + count. The child-side
+    * anti join shuffles each table once on its FK (or broadcasts the
+    * parent's key column when it fits — AQE decides; key-only
+    * projection keeps the build side minimal either way). Counts are
+    * partial-aggregated; nothing wide survives the joins.
+    */
+  def v3Integrity(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select("c_custkey")
+    Seq(
+      relAudit("events->customer",
+        events(s, d).select("user_id"), "user_id", cust, "c_custkey"),
+      relAudit("lineitem->orders",
+        lineitem(s, d).select("l_orderkey"), "l_orderkey",
+        orders(s, d).select("o_orderkey"), "o_orderkey"),
+      relAudit("orders->customer",
+        orders(s, d).select("o_custkey"), "o_custkey", cust, "c_custkey"))
+      .reduce(_.unionAll(_))
+      .orderBy("rel")
+  }
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_scd2"      -> (l1Scd2 _),
     "l2_cdc_apply" -> (l2CdcApply _),
     "v1_profile"   -> (v1Profile _),
-    "v2_quarantine" -> (v2Quarantine _))
+    "v2_quarantine" -> (v2Quarantine _),
+    "v3_integrity" -> (v3Integrity _))
 
   def oracles: Map[String, String] = Map(
     "l1_scd2" ->
@@ -272,5 +317,27 @@ object Warehouse {
         |  UNION ALL SELECT 'stale_pre_1996',
         |    CAST(sum(CAST(o_orderdate < TIMESTAMP '1996-01-01' AS BIGINT))
         |      AS BIGINT), count(*) FROM orders
-        |) ORDER BY rule""".stripMargin)
+        |) ORDER BY rule""".stripMargin,
+    "v3_integrity" ->
+      """SELECT 'events->customer' AS rel,
+        |  (SELECT count(*) FROM events) AS n_child,
+        |  (SELECT count(*) FROM events e ANTI JOIN customer c
+        |     ON e.user_id = c.c_custkey) AS n_orphan,
+        |  (SELECT count(*) FROM customer c ANTI JOIN events e
+        |     ON c.c_custkey = e.user_id) AS n_childless
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey),
+        |  (SELECT count(*) FROM orders o ANTI JOIN lineitem l
+        |     ON o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o ANTI JOIN customer c
+        |     ON o.o_custkey = c.c_custkey),
+        |  (SELECT count(*) FROM customer c ANTI JOIN orders o
+        |     ON c.c_custkey = o.o_custkey)
+        |ORDER BY rel""".stripMargin)
 }

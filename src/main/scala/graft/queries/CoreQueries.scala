@@ -734,6 +734,36 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** §2.6 extension: ratio-to-report — each customer's share of their
+    * nation's revenue, in exact basis points. The report-writer staple
+    * (share of segment, % of total) next to the rank family (w7).
+    *
+    * Shape choice: the nation totals come from a second AGGREGATE over
+    * the per-customer rows (25-row result, broadcast back) rather than
+    * a `sum().over(Window.partitionBy(nation))` — the window form
+    * re-sorts ALL customer rows inside each nation partition just to
+    * attach one number, and a hot nation is a straggler task at 100 TB;
+    * the agg+broadcast form reuses the per-customer rows and touches
+    * them once more in a map-side join. Exact integer division floors
+    * the bp — no cross-engine double drift.
+    */
+  def w11ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val rev = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)"))
+        .as("rev_cents"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("rev_cents"))
+    val natTotals = rev.groupBy(col("c_nationkey"))
+      .agg(sum("rev_cents").as("nat_cents"))
+    rev.join(broadcast(natTotals), Seq("c_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nk"),
+        col("rev_cents"),
+        expr("rev_cents * 10000 div nat_cents").as("share_bp"))
+      .orderBy("c_custkey")
+  }
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -779,6 +809,7 @@ object CoreQueries {
     "o7_latest_per_key"   -> (o7LatestPerKey _),
     "w8_forward_fill"     -> (w8ForwardFill _),
     "w9_funnel"           -> (w9Funnel _),
+    "w11_share_of_total"  -> (w11ShareOfTotal _),
     "o8_winsorize"        -> (o8Winsorize _),
     "a10_multi_distinct"  -> (a10MultiDistinct _),
     "a11_correlated"      -> (a11CorrelatedSubquery _),
@@ -919,6 +950,21 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  min(c) AS min_cents, max(c) AS max_cents
         |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "w11_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey),
+        |nat AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(rev_cents) AS BIGINT) AS nat_cents
+        |  FROM rev GROUP BY c_nationkey)
+        |SELECT r.c_custkey, CAST(r.c_nationkey AS INT) AS nk, r.rev_cents,
+        |  r.rev_cents * 10000 // n.nat_cents AS share_bp
+        |FROM rev r JOIN nat n ON r.c_nationkey = n.c_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     "w9_funnel" ->
       """WITH a AS (
         |  SELECT user_id, ts, event_id, event_type,
