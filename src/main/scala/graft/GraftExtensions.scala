@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
       TextSignatures.makeMinhash))
     ext.injectFunction((
+      FunctionIdentifier("graft_lev"),
+      new ExpressionInfo(
+        classOf[graft.functions.BoundedLevenshtein].getName, "graft_lev"),
+      graft.functions.BoundedLevenshteinFn.make))
+    ext.injectFunction((
       FunctionIdentifier("graft_compress_bp"),
       new ExpressionInfo(
         classOf[graft.functions.CompressRatioBp].getName,

@@ -118,6 +118,7 @@ object FunctionQueries {
     * same unit-cost semantics, so pairs hash-match exactly.
     */
   def fEditDistance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BoundedLevenshteinFn.ensureRegistered(s)
     val c = customer(s, d).select(
       col("c_custkey"), col("c_nationkey"), col("c_name"))
     val a = c.select(col("c_custkey").as("a_key"),
@@ -126,9 +127,15 @@ object FunctionQueries {
       col("c_nationkey").as("nk"), col("c_name").as("b_name"))
     a.join(b, Seq("nk"))
       .filter(col("a_key") < col("b_key"))
+      // graft_lev = bounded levenshtein with common-prefix/suffix
+      // stripping + banded DP (functions/BoundedLevenshtein.scala):
+      // −1 past the threshold, the TRUE distance inside it — survivor
+      // rows and dist values identical to the plain form the oracle
+      // runs, at ~3.5× the throughput of the built-in kernel on
+      // linkage-shaped names (tools/LevDiag measurements in scaladoc).
       .select(col("a_key"), col("b_key"),
-        levenshtein(col("a_name"), col("b_name")).as("dist"))
-      .filter(col("dist") <= 2)
+        expr("graft_lev(a_name, b_name, 2)").as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy("a_key", "b_key")
   }
 

@@ -43,7 +43,9 @@ object DumpPlans {
       "s8_hybrid_rrf" -> "two broadcast bounded-query rankers collapsed to <=20 id+rank rows/query BEFORE the fusion full-outer join",
       "w9_funnel" -> "three stacked running-max windows over ONE (user, ts) exchange — no per-step self-joins; day filter pushed to the RAW ts long (PushedFilters on the events scan)",
       "s3_embedding_neardup" -> "LSH hyperplane buckets -> id-only candidate pairs (bucket self-join with ReusedExchange) -> exact cosine on candidates ONLY; corpus embeddings joined in per-side, never all-pairs (PlanAuditSpec bounds exchanges at 7)",
-      "d6_transitive_dedup" -> "LSH candidates -> exact-Jaccard verify -> alternating large/small-star CC over the PAIR SET only (per-round localCheckpoint truncates lineage; the dump shows the post-fixpoint label anti-join — the iteration's plans are intentionally absent, each round is the same two window/distinct steps)")
+      "d6_transitive_dedup" -> "LSH candidates -> exact-Jaccard verify -> alternating large/small-star CC over the PAIR SET only (per-round localCheckpoint truncates lineage; the dump shows the post-fixpoint label anti-join — the iteration's plans are intentionally absent, each round is the same two window/distinct steps)",
+      "l1_scd2" -> "SCD2 interval build: change-detect lag + validity lead planned under ONE user_id exchange (two Window nodes, one Sort, one Exchange before the output sort — WarehouseSpec bounds shuffles at 2)",
+      "a14_equidepth" -> "equi-depth histogram: exact-percentile boundary agg collapses to ONE row, broadcast back (BroadcastNestedLoopJoin on a 1-row side = a constant), bucket as nine codegen'd when-terms + partial agg — NOT a global ntile window (which would sort all rows in one task)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
