@@ -764,6 +764,31 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  /** §2.7 extension: UNPIVOT / melt — long-form rotation, the inverse
+    * of a9's PIVOT (wide measures → (measure, value) rows; the shape
+    * feature stores and plotting layers ingest). `Dataset.unpivot` is
+    * the native API (Spark's Expand node: each input row fans to
+    * nMeasures output rows inside the scan projection — no shuffle,
+    * no join, same Expand machinery multi-distinct aggregation uses).
+    * The demo aggregates the melted rows to per-measure totals in
+    * exact cents; Expand + partial agg = one exchange of 4 rows/task.
+    */
+  def o10Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+      .groupBy("measure")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(floor(val * 100) as bigint)")).as("sum_cents"))
+      .orderBy("measure")
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -807,6 +832,7 @@ object CoreQueries {
     "o6_except"           -> (o6Except _),
     "o2_sort_desc_limit"  -> (o2SortDescLimit _),
     "o7_latest_per_key"   -> (o7LatestPerKey _),
+    "o10_unpivot"         -> (o10Unpivot _),
     "w8_forward_fill"     -> (w8ForwardFill _),
     "w9_funnel"           -> (w9Funnel _),
     "w11_share_of_total"  -> (w11ShareOfTotal _),
@@ -950,6 +976,13 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  min(c) AS min_cents, max(c) AS max_cents
         |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "o10_unpivot" ->
+      """SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(val * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount,
+        |      l_tax INTO NAME measure VALUE val)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
     "w11_share_of_total" ->
       """WITH rev AS (
         |  SELECT c.c_custkey, c.c_nationkey,

@@ -332,4 +332,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 2, s"expected lang hash + output sort, got $n:\n" +
       df.queryExecution.executedPlan)
   }
+
+  test("a14 equi-depth: percentile boundaries broadcast back — NO global window, no one-task sort") {
+    // the ntile() formulation would plan Window with an empty
+    // partitionBy = every row through a single task; the shipped form
+    // must contain no Window at all, and the boundary side must reach
+    // the bucket projection as a broadcast of ONE row
+    val df = graft.queries.CoreQueries.a14EquidepthHistogram(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"a14 must not use a window:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"boundary row should broadcast:\n$plan")
+  }
+
+  test("w11 ratio-to-report: re-aggregate + broadcast, not a per-nation window re-sort") {
+    val df = graft.queries.CoreQueries.w11ShareOfTotal(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"w11 must not use a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation totals should broadcast-join back:\n$plan")
+  }
+
+  test("l2 CDC apply: ONE key exchange (+ output sort) — tombstone filter adds no shuffle") {
+    val df = graft.ops.Warehouse.l2CdcApply(spark, sf)
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 2, s"expected user_id hash + output sort, got $n:\n" +
+      df.queryExecution.executedPlan)
+  }
 }
