@@ -367,4 +367,86 @@ object Lake {
       .write.mode("overwrite").option("compression", "snappy").parquet(tmp)
     swapInto(spark, tmp, path)
   }
+
+  /** K-layer extension: targeted deletion from a partitioned store —
+    * the right-to-be-forgotten / record-expiry op (GDPR erasure, bad-feed
+    * retraction). Parquet files are immutable, so deletion is a rewrite;
+    * the whole point at 100 TB is rewriting ONLY the partitions that
+    * contain a matching row, leaving every other partition's FILES
+    * byte-identical (asserted in sbt by file path+length+mtime):
+    *
+    *   1. key-only scan finds the affected partition values;
+    *   2. only those partitions are re-read (partition-value predicates
+    *      → `PartitionFilters`, nothing else is touched) and rewritten
+    *      minus the matching keys into a side directory;
+    *   3. each affected partition directory is swapped in rename-aside
+    *      style ([[swapInto]]'s contract): old dir → `_old`, new in,
+    *      `_old` deleted — a crash at any point leaves either the old
+    *      or the new complete data in place, never neither.
+    *
+    * Returns the number of rows deleted. A delete-everything call on an
+    * unpartitioned store degenerates to a full rewrite — correct, just
+    * not cheap; that shape belongs to [[compact]]-style maintenance
+    * windows.
+    */
+  def deleteByKeys(spark: SparkSession, path: String, key: String,
+      keys: Seq[Any], partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "deleteByKeys needs the store's partition columns")
+    // partition VALUES must round-trip as the literal directory strings:
+    // with type inference on, `mes=07` reads back as int 7 and would
+    // rewrite (and rename) to a DIFFERENT directory `mes=7`. Pin
+    // inference off for this op's reads; restore on exit.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
+    try deleteByKeysInner(spark, path, key, keys, partCols)
+    finally spark.conf.set(inferKey, saved)
+  }
+
+  private def deleteByKeysInner(spark: SparkSession, path: String,
+      key: String, keys: Seq[Any], partCols: Seq[String]): Long = {
+    val store = spark.read.parquet(path)
+    val hit = store.filter(col(key).isInCollection(keys))
+    val affected = hit.select(partCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return 0L
+    val partPred = affected.map(r =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          col(c) === lit(r.get(i))
+        }.reduce(_ && _))
+      .reduce(_ || _)
+    val slice = store.filter(partPred)
+    val removed = slice.filter(col(key).isInCollection(keys)).count()
+    val tmp = path.stripSuffix("/") + "_deleting"
+    slice.filter(!col(key).isInCollection(keys))
+      .write.mode("overwrite").option("compression", "snappy")
+      .partitionBy(partCols: _*).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    affected.foreach { r =>
+      val rel = partCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      val target = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$rel")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$rel")
+      val old = new org.apache.hadoop.fs.Path(target.toString + "_old")
+      fs.delete(old, true)
+      if (!fs.rename(target, old))
+        throw new java.io.IOException(
+          s"delete: rename $target -> $old failed; partition untouched, " +
+            s"rewritten data at $src")
+      // an all-deleted partition has no tmp dir — the aside removal IS
+      // the swap then
+      if (fs.exists(src) && !fs.rename(src, target)) {
+        val restored = fs.rename(old, target)
+        throw new java.io.IOException(
+          if (restored)
+            s"delete: rename $src -> $target failed; partition restored"
+          else
+            s"delete: rename $src -> $target failed AND rollback failed; " +
+              s"partition $target is EMPTY — original at $old, new at $src")
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    removed
+  }
 }

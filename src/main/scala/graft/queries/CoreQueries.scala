@@ -764,6 +764,47 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  /** §2.4 extension: FULL OUTER join — the reconciliation shape (which
+    * days have orders but no shipments, and vice versa), completing the
+    * join-type surface next to inner/semi/anti/asof/range. Both sides
+    * collapse to DAY grain before the join (map-side partials), so the
+    * full-outer matches grain rows, never raw facts — at 100 TB the
+    * join input is bounded by the calendar, not the data. Unmatched
+    * sides surface as explicit zeros via coalesce.
+    */
+  def j7FullOuter(s: SparkSession, d: String): DataFrame = {
+    val od = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ld = lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    od.join(ld, Seq("day"), "full_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy("day")
+  }
+
+  /** §2.8 extension: the `try_*` error-safe function family — the
+    * ANSI-mode-era spelling of the reference's `errors='coerce'`
+    * ingestion contract (P4): malformed values become NULL instead of
+    * failing the job. A 100 TB load without try-semantics dies on one
+    * bad row. All three shapes: try_cast that succeeds (numeric source
+    * suffix), try_cast that fails (alpha string), try_divide hitting a
+    * zero divisor. Pure codegen'd projection — scan-bound.
+    */
+  def fTryFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("try_cast(replace(source, 'src', '') as bigint)")
+          .as("src_num"),
+        expr("try_cast(lang as bigint)").as("lang_num"),
+        expr("cast(floor(try_divide(n_chars, doc_id % 3)) as bigint)")
+          .as("chars_per"))
+      .orderBy("doc_id")
+
   /** §2.7 extension: UNPIVOT / melt — long-form rotation, the inverse
     * of a9's PIVOT (wide measures → (measure, value) rows; the shape
     * feature stores and plotting layers ingest). `Dataset.unpivot` is
@@ -823,6 +864,8 @@ object CoreQueries {
     "j4_star_join"        -> (j4StarJoin _),
     "j5_asof_join"        -> (j5AsofJoin _),
     "j6_range_join"       -> (j6RangeJoin _),
+    "j7_full_outer"       -> (j7FullOuter _),
+    "f_try_funcs"         -> (fTryFuncs _),
     "w1_window_topn"      -> (w1WindowTopn _),
     "w2_running_sum"      -> (w2RunningSum _),
     "w3_lag_lead"         -> (w3LagLead _),
@@ -976,6 +1019,25 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  min(c) AS min_cents, max(c) AS max_cents
         |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "j7_full_outer" ->
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |              CAST(count(*) AS BIGINT) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |ld AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_ships
+        |       FROM lineitem GROUP BY 1)
+        |SELECT strftime(COALESCE(od.day, ld.day), '%Y-%m-%d') AS day,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_ships, 0) AS n_ships
+        |FROM od FULL JOIN ld ON od.day = ld.day ORDER BY day""".stripMargin,
+    "f_try_funcs" ->
+      """SELECT doc_id,
+        |  TRY_CAST(replace(source, 'src', '') AS BIGINT) AS src_num,
+        |  TRY_CAST(lang AS BIGINT) AS lang_num,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE CAST(floor(CAST(n_chars AS DOUBLE) / (doc_id % 3))
+        |         AS BIGINT) END AS chars_per
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "o10_unpivot" ->
       """SELECT measure, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(val * 100) AS BIGINT)) AS BIGINT)
