@@ -57,10 +57,31 @@ object Lake {
       .json(path)
   }
 
-  /** Split a [[readJsonl]] frame into (clean rows sans reject column,
-    * rejected raw lines). Spark requires caching the frame before
-    * filtering on `_corrupt_record` (the column is filled during
-    * parsing, not derivable afterwards).
+  /** CSV source with an EXPLICIT schema and PERMISSIVE reject capture —
+    * the interchange-format twin of [[readJsonl]] with the same
+    * [[quarantine]] contract. Explicit schema for the same reason as
+    * JSONL: schema inference is a full extra pass over 100 TB and infers
+    * from whatever garbage the worst file contains; the load declares
+    * its contract and malformed rows land in `_corrupt_record` instead
+    * of failing the job (the reference's `errors='coerce'` posture at
+    * the file boundary).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val withReject = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withReject)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
+  /** Split a [[readJsonl]]/[[readCsv]] frame into (clean rows sans
+    * reject column, rejected raw lines). Spark requires caching the
+    * frame before filtering on `_corrupt_record` (the column is filled
+    * during parsing, not derivable afterwards).
     */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val cached = df.cache()

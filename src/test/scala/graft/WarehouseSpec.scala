@@ -41,6 +41,37 @@ class WarehouseSpec extends AnyFunSuite {
     } finally { scd.unpersist(); () }
   }
 
+  test("l1 SCD2 time travel: the interval containing t reproduces the raw log's state at t") {
+    // THE property SCD2 exists for: "what was this user's value on date
+    // X?" answered from intervals must equal a direct last-event-≤-X
+    // scan of the raw log. Probe a spread of timestamps per user.
+    import graft.lake.Tables
+    val scd = Warehouse.l1Scd2(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val log = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+    log.foreach { case (u, evs) =>
+      val sorted = evs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      val tsList = sorted.map(_.getLong(1))
+      // probe: first event, a mid-stream instant, between two events,
+      // and far after the last event
+      val probes = Seq(tsList.head, tsList(tsList.length / 2),
+        tsList(tsList.length / 2) + 1, tsList.last + 1000000L)
+      probes.foreach { t =>
+        val expected = sorted.takeWhile(_.getLong(1) <= t).lastOption
+          .map(_.getString(3))
+        val interval = scd(u).find(r =>
+          r.getLong(2) <= t && (r.isNullAt(3) || t < r.getLong(3)))
+        assert(interval.map(_.getString(1)) == expected,
+          s"user $u at t=$t: interval says ${interval.map(_.getString(1))}, " +
+            s"log says $expected")
+      }
+    }
+  }
+
   test("l1 SCD2 plans ONE shuffle — both windows share the entity-key exchange") {
     assert(countShuffles(
       Warehouse.l1Scd2(spark, sf).limit(1000000)) <= 2,
