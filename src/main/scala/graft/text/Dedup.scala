@@ -597,6 +597,60 @@ object Dedup {
             |  x -> x.ck)""".stripMargin), " ").as("text_clean"))
   }
 
+  /** Cross-document EXACT-SUBSTRING dedup with global survivorship (the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" operation, chunk-approximated): every span that occurs
+    * MORE THAN ONCE in the corpus keeps exactly ONE canonical copy —
+    * the occurrence with the globally smallest (doc_id, position) — and
+    * every other occurrence is cut from its document. Distinct from
+    * [[dropBoilerplateSpans]] (d7), which removes ALL occurrences of
+    * over-frequent spans (a boilerplate filter): here a span duplicated
+    * twice survives once, so no text is lost from the corpus, only
+    * repeated.
+    *
+    * Scale shape: chunks shuffle ONCE on md5(chunk) for the
+    * survivor-election aggregate (`min(struct(doc_id, i))` —
+    * partial-aggregable min_by, so each map task sends one candidate
+    * per local chunk value); the election result joins back BY THE SAME
+    * KEY (ReuseExchange-friendly, both sides hash-partitioned on `h`),
+    * and the rebuild is d7's one per-doc aggregate. The survivor
+    * relation is corpus-sized (one row per distinct chunk), so it is
+    * NEVER broadcast — unlike d7's tiny over-frequent set.
+    */
+  def dropDuplicateSpansGlobal(docs: DataFrame, span: Int = 10): DataFrame = {
+    val chunks = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks)+${span - 1}) div $span - 1)"))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"array_join(slice(toks, i*$span+1, $span), ' ')").as("chunk"))
+    val survivor = chunks
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("keep"))
+    chunks
+      .join(survivor, md5(col("chunk")) === col("h"))
+      .select(col("doc_id"), col("i"), col("chunk"),
+        (col("keep.doc_id") === col("doc_id") &&
+          col("keep.i") === col("i")).as("keep_this"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(!col("keep_this"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(expr(
+          """transform(
+            |  filter(array_sort(collect_list(struct(i,
+            |           IF(keep_this, chunk, CAST(NULL AS STRING)) AS ck))),
+            |         x -> x.ck IS NOT NULL),
+            |  x -> x.ck)""".stripMargin), " ").as("text_clean"))
+  }
+
+  /** d9: global exact-substring dedup over the documents corpus. */
+  def d9SubstringDedup(s: SparkSession, d: String): DataFrame =
+    dropDuplicateSpansGlobal(documents(s, d), span = 10)
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: flag training docs sharing any token
     * n-gram with an evaluation corpus — the train/test-overlap check
     * every serious LLM data pipeline runs before training. Returns
@@ -660,6 +714,7 @@ object Dedup {
     "d6_transitive_dedup" -> (d6TransitiveDedup _),
     "d7_span_dedup"       -> (d7SpanDedup _),
     "d8_contamination"    -> (d8Contamination _),
+    "d9_substring_dedup"  -> (d9SubstringDedup _),
   )
 
   // --- DuckDB oracles --------------------------------------------------
@@ -808,6 +863,27 @@ object Dedup {
         |        GROUP BY md5(chunk) HAVING count(*) > 2),
         |kept AS (SELECT doc_id, i, chunk FROM chunks
         |         WHERE md5(chunk) NOT IN (SELECT h FROM bad)),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |          FROM chunks GROUP BY doc_id),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         array_to_string(list(chunk ORDER BY i), ' ') AS text_clean
+        |       FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_spans, s.n_spans - COALESCE(ka.n_kept, 0) AS n_dropped,
+        |  COALESCE(ka.text_clean, '') AS text_clean
+        |FROM stats s LEFT JOIN ka USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+    "d9_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range((len(t)+9)//10)) r(i)
+        |),
+        |ranked AS (
+        |  SELECT doc_id, i, chunk, row_number() OVER (
+        |    PARTITION BY md5(chunk) ORDER BY doc_id, i) AS rn
+        |  FROM chunks
+        |),
+        |kept AS (SELECT doc_id, i, chunk FROM ranked WHERE rn = 1),
         |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
         |          FROM chunks GROUP BY doc_id),
         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,

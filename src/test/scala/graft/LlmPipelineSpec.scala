@@ -161,6 +161,40 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(shuffled == out, "shuffle-join form disagrees with broadcast form")
   }
 
+  test("global substring dedup keeps EXACTLY one copy of every duplicated chunk (d9 vs plain Scala)") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val out = Dedup.dropDuplicateSpansGlobal(docs, span = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunksOf(t: String) = t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    // reference survivor election: global min (doc_id, position) per chunk
+    val survivor = texts.toSeq
+      .flatMap { case (id, t) => chunksOf(t).zipWithIndex.map {
+        case (c, i) => (c, (id, i)) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val allKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    texts.foreach { case (id, t) =>
+      val cs = chunksOf(t)
+      val keep = cs.zipWithIndex.collect {
+        case (c, i) if survivor(c) == ((id, i)) => c }
+      allKept ++= keep
+      val (nSpans, nDropped, clean) = out(id)
+      assert(nSpans == cs.length && nDropped == cs.length - keep.length,
+        s"doc $id span counts")
+      assert(clean == keep.mkString(" "), s"doc $id rebuilt text")
+    }
+    assert(out.values.exists(_._2 > 0),
+      "testdata contains no cross-doc duplicate chunk — test is vacuous")
+    // corpus-wide: every distinct chunk survives exactly once — d9 loses
+    // REPETITION, never content (d7 by contrast deletes boilerplate)
+    assert(allKept.distinct.size == allKept.size,
+      "a chunk survived more than once")
+    assert(allKept.toSet == texts.values.toSeq.flatMap(chunksOf).toSet,
+      "some chunk content was lost entirely")
+  }
+
   test("crossContamination counts exactly the distinct shared n-grams (plain-Scala reference)") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val texts = docs.select("doc_id", "text").collect()
