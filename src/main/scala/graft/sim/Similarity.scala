@@ -71,6 +71,42 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s10: hard-negative mining — for each (query, positive) training
+    * pair, the top-k most-similar corpus vectors that are NOT the
+    * positive: the examples that teach an embedding model the decision
+    * boundary (in-batch random negatives are trivially easy; retrieval
+    * training pipelines mine these). The positive here is the
+    * deterministic synthetic pairing q ↔ q+100 (the corpus ships no
+    * labeled pairs; the pairing rule is the s4/s9 stand-in-artifact
+    * precedent, rebuilt identically by the oracle).
+    *
+    * Scale shape: identical to s1's bounded-query scan — queries
+    * broadcast, corpus streams once, per-query top-k window over the
+    * scored rows. At real scale the candidate source swaps for the
+    * IVF (s4) or PQ (s9) fetch with the same exclusion + re-rank
+    * downstream; mining then costs one ANN query per training pair,
+    * never a corpus scan per pair.
+    */
+  def s10HardNegatives(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val scored = q.crossJoin(c)
+      .filter(col("n_id") =!= col("q_id") &&
+        col("n_id") =!= col("q_id") + 100)
+      .withColumn("cos_exact", expr(cosSql("qv", "nv")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), (col("q_id") + 100).as("pos_id"), col("n_id"),
+        round(col("cos_exact"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding dimensionality of the testdata corpus. The hyperplane
     * matrix is precomputed for this width; [[bucketsSql]] guards with a
     * size check so a drifted corpus fails loudly, not wrongly.
@@ -345,6 +381,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"      -> (s1CosineTopk _),
+    "s10_hard_negatives"  -> (s10HardNegatives _),
     "s2_ann_lsh"          -> (s2AnnLsh _),
     "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
     "s4_ivf_topk"         -> (s4IvfTopk _),
@@ -398,6 +435,22 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, n_id, round(cos_exact, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s10_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS n_id, embedding AS nv FROM embeddings
+         |), scored AS (
+         |  SELECT q_id, n_id, ${cosDuck("qv", "nv")} AS cos_exact
+         |  FROM q, c WHERE n_id <> q_id AND n_id <> q_id + 100
+         |), ranked AS (
+         |  SELECT q_id, n_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_exact DESC, n_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT q_id, q_id + 100 AS pos_id, n_id,
+         |  round(cos_exact, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $bucketTableDuck, cand AS (
          |  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id
