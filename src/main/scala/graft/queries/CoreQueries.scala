@@ -830,6 +830,25 @@ object CoreQueries {
         sum(expr("cast(floor(val * 100) as bigint)")).as("sum_cents"))
       .orderBy("measure")
 
+  /** §2.6 extension: VALUE-based RANGE frame — how many same-status
+    * orders price within ±5 000 of each order (the "peers within a
+    * tolerance" window; w6's time-range sibling on a plain numeric
+    * axis). The frame bound is a VALUE offset, so the count depends
+    * only on the data, not on tie order — deterministic without a
+    * tiebreaker. One hash exchange on the partition key + per-partition
+    * sort; at 100 TB the partition key is the scale knob exactly as in
+    * w6 (status here is low-cardinality demo grain — real deployments
+    * partition by (entity, bucket)).
+    */
+  def a15RangeFrame(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("n_near",
+        count(lit(1)).over(Window.partitionBy("o_orderstatus")
+          .orderBy("o_totalprice")
+          .rangeBetween(-5000L, 5000L)))
+      .select(col("o_orderkey"), col("n_near"))
+      .orderBy("o_orderkey")
+
   /** §2.7 set ops: INTERSECT / EXCEPT (distinct semantics) — customers in
     * both segments' buyer sets, via intersect of projected keys.
     */
@@ -885,6 +904,7 @@ object CoreQueries {
     "a12_histogram"       -> (a12Histogram _),
     "a13_scalar_subquery" -> (a13ScalarSubquery _),
     "a14_equidepth"       -> (a14EquidepthHistogram _),
+    "a15_range_frame"     -> (a15RangeFrame _),
     "a2_count"            -> (a2Count _),
     "a3_multi_agg"        -> (a3MultiAgg _),
     "a4_rollup"           -> (a4Rollup _),
@@ -1019,6 +1039,13 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  min(c) AS min_cents, max(c) AS max_cents
         |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a15_range_frame" ->
+      """SELECT o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT)
+        |    AS n_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "j7_full_outer" ->
       """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |              CAST(count(*) AS BIGINT) AS n_orders

@@ -427,6 +427,41 @@ object Streams {
       }
   }
 
+  /** Per-key admission QUOTA on a stream: pass each key's rows through
+    * until its running total hits `quota`, drop the rest — the
+    * streaming form of [[graft.ops.Sampling.capPerKey]]'s domain
+    * balancing (a crawl frontier or event firehose where one hot
+    * domain/user must not flood the corpus). flatMapGroupsWithState:
+    * state is ONE counter per key — O(distinct keys), independent of
+    * stream length — and emission happens inline, so under-quota rows
+    * flow through in the same micro-batch. Admission is deterministic
+    * in arrival order WITHIN the stream's per-key order (a quota is an
+    * arrival-policy by definition — re-runs over the same checkpointed
+    * batches admit identical rows; there is no content coin to make
+    * reordered deliveries agree, which is exactly why the BATCH form
+    * uses one and this form is the online complement).
+    */
+  def quotaPerKeyStream(
+      rows: org.apache.spark.sql.Dataset[(String, Long)], quota: Long)
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val admitted = it.filter { _ =>
+            if (used < quota) { used += 1; true } else false
+          }.toVector
+          state.update(used)
+          admitted.iterator
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState — the brief's
     * named API for custom state, where the built-in session_window can't
     * express the output contract (emit ONE closed-session row per

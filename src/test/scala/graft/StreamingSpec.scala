@@ -587,4 +587,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("quotaPerKeyStream: per-key cap holds ACROSS micro-batches; under-quota keys flow through") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val out = Streams.quotaPerKeyStream(ms.toDS(), quota = 3)
+    val q = out.toDF("k", "seq")
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: hot key exceeds quota inside one batch; cold key under
+      ms.addData(("hot", 1L), ("hot", 2L), ("hot", 3L), ("hot", 4L),
+        ("cold", 1L))
+      q.processAllAvailable()
+      // batch 2: hot is already exhausted — NOTHING more admits; cold
+      // fills up to its cap
+      ms.addData(("hot", 5L), ("cold", 2L), ("cold", 3L), ("cold", 4L))
+      q.processAllAvailable()
+      val admitted = spark.table("quota_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val byKey = admitted.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      assert(byKey("hot") == Set(1L, 2L, 3L),
+        s"hot key must admit exactly its first 3 rows: ${byKey("hot")}")
+      assert(byKey("cold") == Set(1L, 2L, 3L),
+        s"cold key must fill its quota across batches: ${byKey("cold")}")
+      assert(admitted.length == 6)
+    } finally q.stop()
+  }
 }
