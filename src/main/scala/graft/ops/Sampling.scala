@@ -143,18 +143,47 @@ object Sampling {
     * re-run (and the DuckDB oracle) the identical survivor set.
     *
     * Scale shape: one hash exchange on `group` for the row_number
-    * window. At 100 TB the win over sort-global approaches is that each
-    * group sorts independently inside its partition; for a pathological
-    * mega-domain, pre-filter with `coin(key) < cap·fudge/|group|` (one
-    * cheap agg for group sizes) so the window never sees more than
-    * ~fudge·cap rows per group — same survivors, bounded sort.
+    * window — each group sorts independently. The failure mode at
+    * 100 TB is a pathological MEGA-domain whose full per-group sort is
+    * one straggler task; `prefilterFudge = Some(f)` bounds it: keep
+    * only rows whose 32-bit hash PREFIX lands under
+    * `T = 2³² · f·cap / |group|` before the window. The prefix order is
+    * a coarsening of the md5-string rank order, so the kept set is
+    * rank-prefix-closed: whenever a group keeps ≥ min(cap, |group|)
+    * rows, its true top-cap is inside them — and groups that kept fewer
+    * (hash fluctuation; P ≈ e^(−f·cap·δ²) by Chernoff) are repaired
+    * EXACTLY by falling back to their full row set. Survivors are
+    * therefore IDENTICAL to the plain path (equivalence-tested), at the
+    * cost of two extra narrow aggregates — the trade that wins when a
+    * domain is millions of rows.
     */
   def capPerKey(df: DataFrame, group: Column, key: Column, cap: Int,
-      salt: String = ""): DataFrame = {
+      salt: String = "", prefilterFudge: Option[Int] = None): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val order = org.apache.spark.sql.expressions.Window.partitionBy(group)
       .orderBy(md5(concat(key.cast("string"), lit(salt))), key)
-    df.withColumn("__rn", row_number().over(order))
+    val base = prefilterFudge match {
+      case None => df
+      case Some(fudge) =>
+        require(fudge >= 1, s"fudge must be >= 1: $fudge")
+        val h = Hashing.h32(concat(key.cast("string"), lit(salt)))
+        val sizes = df.groupBy(group.as("__g"))
+          .agg(count(lit(1)).as("__n"))
+        val thr = least(lit(4294967296L),
+          ceil(lit(4294967296.0) * fudge * cap / col("__n")).cast("long"))
+        val tagged = df.join(sizes, group === col("__g")).drop("__g")
+          .withColumn("__pass", h <= thr)
+        val passCnt = tagged.filter(col("__pass"))
+          .groupBy(group.as("__g2")).agg(count(lit(1)).as("__p"))
+        tagged.join(passCnt, group === col("__g2"), "left").drop("__g2")
+          .withColumn("__p", coalesce(col("__p"), lit(0L)))
+          // keep the pass set; a group whose pass set can't contain its
+          // full top-cap falls back to ALL its rows (exact repair)
+          .filter(col("__pass") ||
+            col("__p") < least(lit(cap.toLong), col("__n")))
+          .drop("__pass", "__p", "__n")
+    }
+    base.withColumn("__rn", row_number().over(order))
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }

@@ -146,6 +146,40 @@ class WarehouseSpec extends AnyFunSuite {
     assert(bad.filter(size(col("violations")) === 0).count() == 0)
   }
 
+  test("capPerKey mega-domain prefilter: identical survivors to the plain path, repair leg exercised") {
+    import graft.lake.Tables
+    // sf0.01: 25 docs per source > cap, so the threshold actually cuts
+    // (at sf0.001 every group is under the cap, the threshold clamps to
+    // 2^32, and both legs are vacuous)
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).exists())
+    val docs = Tables.documents(spark, sf01).select("doc_id", "source")
+    val plain = graft.ops.Sampling.capPerKey(docs, col("source"),
+      col("doc_id"), cap = 20).orderBy("source", "doc_id").collect().toSeq
+    Seq(1, 4).foreach { fudge =>
+      val pre = graft.ops.Sampling.capPerKey(docs, col("source"),
+          col("doc_id"), cap = 20, prefilterFudge = Some(fudge))
+        .orderBy("source", "doc_id").collect().toSeq
+      assert(pre == plain, s"fudge=$fudge changed the survivor set")
+    }
+    // fudge=1 sets the threshold AT the expected pass count, so with 20
+    // groups some group almost surely under-shoots min(cap, n) — verify
+    // the repair leg actually ran on this (deterministic) corpus, else
+    // the equivalence above proves less than it claims. The probe
+    // mirrors the repair predicate exactly: passCount < min(cap, n).
+    val h = graft.functions.Hashing.h32(col("doc_id").cast("string"))
+    val sizes = docs.groupBy(col("source").as("g"))
+      .agg(count(lit(1)).as("n"))
+    val passCounts = docs.join(sizes, col("source") === col("g"))
+      .filter(h <= least(lit(4294967296L),
+        ceil(lit(4294967296.0) * 1 * 20 / col("n")).cast("long")))
+      .groupBy("source").agg(count(lit(1)).as("p"))
+    val deficient = passCounts.join(sizes, col("source") === col("g"))
+      .filter(col("p") < least(lit(20L), col("n")))
+    assert(deficient.count() > 0,
+      "no group under-shot at fudge=1 — repair leg untested; lower fudge in this spec")
+  }
+
   test("t22 domain cap bounds every source at the cap with a deterministic survivor set") {
     val capped = graft.text.TextAnalysis.t22DomainCap(spark, sf)
     val perSource = capped.groupBy("source").count().collect()
