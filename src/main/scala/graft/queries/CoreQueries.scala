@@ -830,22 +830,25 @@ object CoreQueries {
         sum(expr("cast(floor(val * 100) as bigint)")).as("sum_cents"))
       .orderBy("measure")
 
-  /** §2.6 extension: VALUE-based RANGE frame — how many same-status
-    * orders price within ±5 000 of each order (the "peers within a
-    * tolerance" window; w6's time-range sibling on a plain numeric
-    * axis). The frame bound is a VALUE offset, so the count depends
-    * only on the data, not on tie order — deterministic without a
-    * tiebreaker. One hash exchange on the partition key + per-partition
-    * sort; at 100 TB the partition key is the scale knob exactly as in
-    * w6 (status here is low-cardinality demo grain — real deployments
-    * partition by (entity, bucket)).
+  /** §2.6 extension: VALUE-based RANGE frame — how many of the SAME
+    * CUSTOMER's orders price within ±50 000 of each order (the "peers
+    * within a tolerance" window; w6's time-range sibling on a plain
+    * numeric axis). The frame bound is a VALUE offset, so the count
+    * depends only on the data, not on tie order — deterministic without
+    * a tiebreaker. One hash exchange on the partition key + tiny
+    * per-group sorts. The partition key is the scale knob: customer
+    * grain gives |customers| independent groups (this query's first
+    * form partitioned by the 3-value status column and ran 3 straggler
+    * tasks on 32 cores — 2.83 s vs 0.4 s for the identical frame at
+    * customer grain; the low-cardinality form is exactly the
+    * anti-pattern the scaladoc of w6 warns about).
     */
   def a15RangeFrame(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .withColumn("n_near",
-        count(lit(1)).over(Window.partitionBy("o_orderstatus")
+        count(lit(1)).over(Window.partitionBy("o_custkey")
           .orderBy("o_totalprice")
-          .rangeBetween(-5000L, 5000L)))
+          .rangeBetween(-50000L, 50000L)))
       .select(col("o_orderkey"), col("n_near"))
       .orderBy("o_orderkey")
 
@@ -1041,9 +1044,9 @@ object CoreQueries {
         |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "a15_range_frame" ->
       """SELECT o_orderkey,
-        |  CAST(count(*) OVER (PARTITION BY o_orderstatus
+        |  CAST(count(*) OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice
-        |    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT)
+        |    RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS BIGINT)
         |    AS n_near
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "j7_full_outer" ->
