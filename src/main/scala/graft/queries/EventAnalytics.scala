@@ -149,14 +149,58 @@ object EventAnalytics {
         .as("window_start"), col("event_type"), col("n_events"), col("sum_u"))
       .orderBy("window_start", "event_type")
 
+  /** t26: DAU/WAU stickiness — daily active users over trailing-7-day
+    * active users, the engagement ratio product dashboards lead with.
+    *
+    * Scale shape: the log collapses ONCE to the distinct (user, day)
+    * grain (one shuffle with map-side partials — the raw event volume
+    * never appears again); DAU is a count at that grain; WAU comes from
+    * exploding each grain row to the ≤7 future days it covers (fan-out
+    * ×7 of the GRAIN, not the log) and counting distinct covers per
+    * day. No sliding distinct-over-window (whose state is the window's
+    * user set) and no self-join of the log. Exact integers end to end;
+    * the ratio floors to basis points.
+    */
+  def t26Stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(0, 6)")).as("i"), col("day"))
+      .select(col("user_id"), expr("date_add(day, i)").as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 10000 div wau").as("stickiness_bp"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t24_retention"    -> (t24Retention _),
     "t25_interpolate"  -> (t25Interpolate _),
+    "t26_stickiness"   -> (t26Stickiness _),
     "o9_zscore_outliers" -> (o9ZscoreOutliers _),
     "w10_sliding_window" -> (w10SlidingWindow _)
   )
 
   def oracles: Map[String, String] = Map(
+    "t26_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('day', ts) AS DATE) AS day
+        |            FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY day),
+        |cover AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+        |          FROM ud, range(7) r(i)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |        FROM cover GROUP BY day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |  d.dau * 10000 // w.wau AS stickiness_bp
+        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin,
     "t24_retention" ->
       """WITH uw AS (
         |  SELECT user_id, date_trunc('week', ts) AS w, COUNT(*) AS n_events

@@ -333,6 +333,31 @@ class PlanAuditSpec extends AnyFunSuite {
       df.queryExecution.executedPlan)
   }
 
+  test("d9 substring dedup: survivor election is a same-key shuffle join at scale (no forced broadcast)") {
+    // the survivor relation is corpus-sized (one row per distinct
+    // chunk): the PLAN must not depend on broadcasting it. At test SF
+    // AQE rightly converts the tiny side — so pin the at-scale shape
+    // with the broadcast thresholds off (the BucketingSpec pattern);
+    // what this proves is that no broadcast HINT forces the OOM shape
+    // when the sides are genuinely big.
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = Dedup.d9SubstringDedup(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"survivor join must not require a broadcast:\n$plan")
+      val n = TestSpark.countShuffles(df)
+      assert(n <= 5,
+        s"expected chunk exchanges + election + doc agg + output sort, got $n:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("a14 equi-depth: percentile boundaries broadcast back — NO global window, no one-task sort") {
     // the ntile() formulation would plan Window with an empty
     // partitionBy = every row through a single task; the shipped form
