@@ -107,6 +107,86 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** MMR (maximal marginal relevance) diversified re-rank: greedily
+    * pick `k` results maximizing `λ·rel − (1−λ)·max-sim-to-selected` —
+    * the standard fix for a result page of near-duplicates (and for
+    * diverse few-shot example selection in prompting pipelines). λ=1
+    * degenerates to plain top-k (tested); lower λ trades relevance for
+    * spread.
+    *
+    * Scale shape: candidate generation is whatever ANN path fits
+    * (bounded-query scan here; s2/s4/s9 at scale) truncated to
+    * `fetch` rows per query — the greedy selection then runs inside
+    * ONE typed `flatMapGroups` over each query's BOUNDED candidate
+    * set (≤ fetch rows ≈ KBs). Greedy MMR is inherently sequential
+    * per query and needs candidate×candidate similarities — not
+    * expressible as relational ops without k self-joins — so this is
+    * the mm3-style justified escape hatch: the DISTRIBUTED work
+    * (scoring the corpus) stays declarative, only the per-query
+    * constant-size loop is imperative. Deterministic: candidates
+    * iterate in (rel desc, id) order and score ties keep the first,
+    * so re-runs and repartitionings pick identical sets (tested). No
+    * DuckDB oracle — greedy argmax chains aren't SQL — the spec pins
+    * invariants (λ=1 ≡ top-k; first pick = argmax relevance; diversity
+    * strictly improves on at least one query) instead.
+    */
+  def mmrDiversify(s: SparkSession, d: String, k: Int = 5,
+      lambda: Double = 0.7, fetch: Int = 20): DataFrame = {
+    import s.implicits._
+    VectorExpressions.ensureRegistered(s)
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val cand = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr(cosSql("qv", "nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fetch)
+      .select(col("q_id"), col("n_id"), col("cos"), col("nv"))
+    cand.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+          while (i < a.length) {
+            ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+          }
+          ab / math.sqrt(aa * bb)
+        }
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.toArray.sortBy(t => (-t._3, t._2)): _*)
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Int)]
+        val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        while (sel.length < k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var idx = 0
+          while (idx < remaining.length) {
+            val t = remaining(idx)
+            var maxSim = 0.0
+            selVecs.foreach { v =>
+              val sim = cos(t._4, v); if (sim > maxSim) maxSim = sim
+            }
+            val score = lambda * t._3 - (1 - lambda) * maxSim
+            // strict >: ties keep the earlier (higher-rel, lower-id) row
+            if (score > bestScore) { bestScore = score; bestIdx = idx }
+            idx += 1
+          }
+          val chosen = remaining.remove(bestIdx)
+          selVecs += chosen._4
+          sel += ((qid, chosen._2, chosen._3, sel.length + 1))
+        }
+        sel.iterator
+      }
+      .toDF("q_id", "n_id", "cos", "mmr_rank")
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("mmr_rank"))
+      .orderBy("q_id", "mmr_rank")
+  }
+
   /** Embedding dimensionality of the testdata corpus. The hyperplane
     * matrix is precomputed for this width; [[bucketsSql]] guards with a
     * size check so a drifted corpus fails loudly, not wrongly.

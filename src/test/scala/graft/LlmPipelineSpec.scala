@@ -195,6 +195,39 @@ class LlmPipelineSpec extends AnyFunSuite {
       "some chunk content was lost entirely")
   }
 
+  test("MMR diversification: λ=1 is plain top-k; lower λ strictly diversifies; deterministic") {
+    import graft.sim.Similarity
+    import org.apache.spark.sql.functions.col
+    val k = 5
+    // λ=1 degenerates to relevance top-k — must equal s1's head rows
+    val lam1 = Similarity.mmrDiversify(spark, sf, k = k, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val topk = Similarity.s1CosineTopk(spark, sf)
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(lam1.toSeq == topk.toSeq, "λ=1 must reproduce pure top-k")
+    // λ=0.5: per query the FIRST pick is still the relevance argmax,
+    // k rows come back, and the selected set differs from pure top-k
+    // somewhere (the whole point of MMR)
+    val mmr = Similarity.mmrDiversify(spark, sf, k = k, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQ = mmr.groupBy(_._1)
+    val topByQ = topk.groupBy(_._1)
+    assert(byQ.keySet == topByQ.keySet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == k, s"query $q returned ${rows.length} rows")
+      assert(rows.minBy(_._3)._2 == topByQ(q).minBy(_._3)._2,
+        s"query $q first MMR pick must be the relevance argmax")
+    }
+    assert(byQ.exists { case (q, rows) =>
+      rows.map(_._2).toSet != topByQ(q).map(_._2).toSet
+    }, "λ=0.5 never diverged from top-k — diversification is vacuous")
+    // determinism across evaluation runs (greedy ties broken by order)
+    val again = Similarity.mmrDiversify(spark, sf, k = k, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(again.toSeq == mmr.toSeq)
+  }
+
   test("crossContamination counts exactly the distinct shared n-grams (plain-Scala reference)") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val texts = docs.select("doc_id", "text").collect()
