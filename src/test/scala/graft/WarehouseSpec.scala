@@ -180,6 +180,30 @@ class WarehouseSpec extends AnyFunSuite {
       "no group under-shot at fudge=1 — repair leg untested; lower fudge in this spec")
   }
 
+  test("capPerKey prefilter BOUNDS a synthetic mega-domain's window input (the claim that matters at 100 TB)") {
+    import spark.implicits._
+    // one 50k-row hot domain next to a normal one — the straggler shape
+    val df = ((1L to 50000L).map(i => (i, "hot")) ++
+      (1L to 100L).map(i => (100000L + i, "cold"))).toDF("doc_id", "source")
+    val cap = 20
+    val plain = graft.ops.Sampling.capPerKey(df, col("source"),
+      col("doc_id"), cap).orderBy("source", "doc_id").collect().toSeq
+    val pre = graft.ops.Sampling.capPerKey(df, col("source"),
+        col("doc_id"), cap, prefilterFudge = Some(4))
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(pre == plain, "prefilter changed the mega-domain survivor set")
+    // and the pre-cut really bounds what reaches the window: expected
+    // pass count is fudge·cap = 80 of 50 000; allow generous binomial
+    // headroom but pin the ORDER OF MAGNITUDE (50 000 → ~80)
+    val h = graft.functions.Hashing.h32(col("doc_id").cast("string"))
+    val passHot = df.filter(col("source") === "hot")
+      .filter(h <= (4294967296.0 * 4 * cap / 50000).ceil.toLong)
+      .count()
+    assert(passHot >= cap && passHot <= 10L * 4 * cap,
+      s"hot-domain pass count $passHot outside [cap, 10·fudge·cap] — " +
+        "either the bound is broken or repair would mask a full sort")
+  }
+
   test("t22 domain cap bounds every source at the cap with a deterministic survivor set") {
     val capped = graft.text.TextAnalysis.t22DomainCap(spark, sf)
     val perSource = capped.groupBy("source").count().collect()
