@@ -118,8 +118,11 @@ object BoundedLevenshteinFn {
     val kExpr = exprs(2)
     require(kExpr.foldable && kExpr.dataType == IntegerType,
       "graft_lev's third argument must be an int literal")
-    BoundedLevenshtein(exprs.head, exprs(1),
-      kExpr.eval().asInstanceOf[Int])
+    val kVal = kExpr.eval()
+    // a NULL int literal is foldable and IntegerType but would unbox to
+    // threshold 0 — reject it instead of silently changing semantics
+    require(kVal != null, "graft_lev's third argument must be non-null")
+    BoundedLevenshtein(exprs.head, exprs(1), kVal.asInstanceOf[Int])
   }
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan stays the only pass, nothing shuffles. The Deflater is
   * task-thread-local (native zlib allocation per call would dominate
   * the hot loop); each call `reset()`s it. ~µs per KB — scan-bound next
-  * to parquet decode.
+  * to parquet decode. Lifecycle caveat: the ThreadLocal Deflater holds
+  * native zlib state that is never `end()`d — fine under Spark's
+  * long-lived pooled task threads (the intended host), but a
+  * thread-churning embedder (e.g. a fresh thread per tiny local
+  * session) would leak native memory until the threads die.
   *
   * Determinism: zlib level 6, default strategy, fixed dictionary-less
   * stream. For a FIXED zlib build the byte stream is a pure function

@@ -171,11 +171,15 @@ object Sampling {
           .agg(count(lit(1)).as("__n"))
         val thr = least(lit(4294967296L),
           ceil(lit(4294967296.0) * fudge * cap / col("__n")).cast("long"))
-        val tagged = df.join(sizes, group === col("__g")).drop("__g")
+        // <=> (null-safe): the plain path's window treats a NULL group
+        // as its own partition, so the prefilter joins must match NULL
+        // groups too or the survivor-equivalence contract breaks for
+        // nullable group columns
+        val tagged = df.join(sizes, group <=> col("__g")).drop("__g")
           .withColumn("__pass", h <= thr)
         val passCnt = tagged.filter(col("__pass"))
           .groupBy(group.as("__g2")).agg(count(lit(1)).as("__p"))
-        tagged.join(passCnt, group === col("__g2"), "left").drop("__g2")
+        tagged.join(passCnt, group <=> col("__g2"), "left").drop("__g2")
           .withColumn("__p", coalesce(col("__p"), lit(0L)))
           // keep the pass set; a group whose pass set can't contain its
           // full top-cap falls back to ALL its rows (exact repair)

@@ -451,6 +451,9 @@ object TextAnalysis {
     "t20_source_filter" -> ((s: SparkSession, d: String) => t20SourceFilter(s, d)),
     "t21_token_rarity" -> (t21TokenRarity _),
     "t22_domain_cap" -> (t22DomainCap _),
+    // t23 is intentionally unassigned: the id was skipped when the
+    // event-analytics family claimed t24–t26 (EventAnalytics.scala);
+    // kept vacant rather than renumbering published oracle history.
   )
 
   /** t22: domain balancing — cap the corpus at 20 docs per source,

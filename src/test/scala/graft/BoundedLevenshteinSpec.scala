@@ -74,6 +74,17 @@ class BoundedLevenshteinSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("a NULL threshold literal is rejected, not silently treated as 0") {
+    // CAST(NULL AS INT) is foldable and IntegerType; without the guard it
+    // would unbox to k=0 and silently change every distance to 0-or-miss
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_lev('abc', 'abd', CAST(NULL AS INT))").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("non-null"))
+  }
+
   test("f_edit_distance with graft_lev equals the plain built-in form row for row") {
     import graft.lake.Tables
     val c = Tables.customer(spark, sf).select(

@@ -204,6 +204,25 @@ class WarehouseSpec extends AnyFunSuite {
         "either the bound is broken or repair would mask a full sort")
   }
 
+  test("capPerKey prefilter treats a NULL group like the plain path (null-safe joins)") {
+    import spark.implicits._
+    // the plain path's window keeps NULL-group rows as their own
+    // partition; the prefilter joins must match them too (<=>), or the
+    // survivor-equivalence contract silently drops the NULL group
+    val df = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) null else s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    val cap = 10
+    val plain = graft.ops.Sampling.capPerKey(df, col("source"),
+      col("doc_id"), cap).orderBy("source", "doc_id").collect().toSeq
+    val pre = graft.ops.Sampling.capPerKey(df, col("source"),
+        col("doc_id"), cap, prefilterFudge = Some(2))
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(pre == plain, "prefilter diverged from the plain path on NULL groups")
+    assert(plain.count(_.isNullAt(1)) == cap,
+      "the NULL group was not capped as its own partition")
+  }
+
   test("t22 domain cap bounds every source at the cap with a deterministic survivor set") {
     val capped = graft.text.TextAnalysis.t22DomainCap(spark, sf)
     val perSource = capped.groupBy("source").count().collect()
