@@ -112,17 +112,45 @@ object Lake {
   /** K2 (ETL_glue_pregao_B3.json:240-268): refined-zone append, snappy,
     * partitioned by (acao, created_at); optionally registered in the
     * catalog (Glue's `tech_fiap.b3_fiap` ≙ `saveAsTable`).
+    *
+    * Catalog schema EVOLUTION on drift (the reference's
+    * `enableUpdateCatalog` + `UPDATE_IN_DATABASE` + `schemaAndPartitions`,
+    * ETL_glue_pregao_B3.json:255-261; SURVEY §1.3 calls drift tolerance
+    * first-class): a batch carrying columns the catalog has never seen
+    * ADDs them to the table schema before the append — rows already in
+    * the table read the new columns as null (parquet by-name
+    * resolution). Drift the other way (a batch MISSING known columns)
+    * null-fills, so a thinner upstream day can't fail the load. Catalog
+    * metadata ops are driver-side and O(columns) — nothing touches data
+    * files at any scale.
     */
   def writeRefined(df: DataFrame, path: String,
-      table: Option[String] = None): Unit = {
-    val w = df.write
-      .mode("append")
-      .option("compression", "snappy")
-      .partitionBy("acao", "created_at")
-    table match {
-      case Some(t) => w.option("path", path).format("parquet").saveAsTable(t)
-      case None => w.parquet(path)
-    }
+      table: Option[String] = None): Unit = table match {
+    case Some(t) =>
+      val spark = df.sparkSession
+      val aligned =
+        if (!spark.catalog.tableExists(t)) df
+        else {
+          val known = spark.table(t).schema.fieldNames
+            .map(_.toLowerCase).toSet
+          val added = df.schema.fields
+            .filterNot(f => known(f.name.toLowerCase))
+          if (added.nonEmpty) {
+            val ddl = added
+              .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+            spark.sql(s"ALTER TABLE $t ADD COLUMNS ($ddl)")
+          }
+          val have = df.columns.map(_.toLowerCase).toSet
+          df.select(spark.table(t).schema.fields.map(f =>
+            if (have(f.name.toLowerCase)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
+      aligned.write.mode("append").option("compression", "snappy")
+        .partitionBy("acao", "created_at")
+        .option("path", path).format("parquet").saveAsTable(t)
+    case None =>
+      df.write.mode("append").option("compression", "snappy")
+        .partitionBy("acao", "created_at").parquet(path)
   }
 
   /** K6 (src/query_db.py:36-43) rewritten for an immutable lake: the SQL
@@ -400,10 +428,17 @@ object Lake {
     *   2. only those partitions are re-read (partition-value predicates
     *      → `PartitionFilters`, nothing else is touched) and rewritten
     *      minus the matching keys into a side directory;
-    *   3. each affected partition directory is swapped in rename-aside
-    *      style ([[swapInto]]'s contract): old dir → `_old`, new in,
-    *      `_old` deleted — a crash at any point leaves either the old
-    *      or the new complete data in place, never neither.
+    *   3. each affected partition directory is swapped rename-aside
+    *      style: old dir → a DOT-PREFIXED sibling (`.dia=02_old`) that
+    *      Spark's partition discovery ignores, new in, aside deleted.
+    *      Crash safety (single-writer): the store stays READABLE with
+    *      correct partition values at every point — before the first
+    *      rename the old partition is in place; between the renames the
+    *      partition is absent from reads but intact in the hidden aside
+    *      (recover by renaming it back); after the second rename the new
+    *      data is live. A non-hidden aside would be worse than a missing
+    *      partition: discovery would parse `dia=02_old` as a bogus
+    *      partition VALUE and resurrect the deleted rows under it.
     *
     * Returns the number of rows deleted. A delete-everything call on an
     * unpartitioned store degenerates to a full rewrite — correct, just
@@ -430,12 +465,22 @@ object Lake {
     val hit = store.filter(col(key).isInCollection(keys))
     val affected = hit.select(partCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return 0L
-    val partPred = affected.map(r =>
-        partCols.zipWithIndex.map { case (c, i) =>
-          col(c) === lit(r.get(i))
-        }.reduce(_ && _))
-      .reduce(_ || _)
-    val slice = store.filter(partPred)
+    // ONE bounded In/InSet predicate over a concat of the partition
+    // columns, not an OR-of-ANDs literal tree: a delete spraying
+    // thousands of partitions would otherwise compile a huge expression
+    // (the optimizer converts a large value list to a constant-time
+    // InSet). Every reference is a partition column, so the predicate
+    // still prunes to PartitionFilters. \u0001 can't occur in a
+    // directory-name partition value; NULL (the hive default partition)
+    // gets an explicit token so concat_ws can't collapse it.
+    val sep = "\u0001"
+    val nullTok = "null"
+    val partKey = concat_ws(sep,
+      partCols.map(c => coalesce(col(c).cast("string"), lit(nullTok))): _*)
+    val affectedKeys = affected.map(r => partCols.indices
+      .map(i => Option(r.get(i)).map(_.toString).getOrElse(nullTok))
+      .mkString(sep))
+    val slice = store.filter(partKey.isInCollection(affectedKeys))
     val removed = slice.filter(col(key).isInCollection(keys)).count()
     val tmp = path.stripSuffix("/") + "_deleting"
     slice.filter(!col(key).isInCollection(keys))
@@ -448,7 +493,10 @@ object Lake {
         .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
       val target = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$rel")
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$rel")
-      val old = new org.apache.hadoop.fs.Path(target.toString + "_old")
+      // dot-prefixed aside: invisible to partition discovery, so a crash
+      // mid-swap can't surface a bogus `dia=02_old` partition value
+      val old = new org.apache.hadoop.fs.Path(
+        target.getParent, "." + target.getName + "_old")
       fs.delete(old, true)
       if (!fs.rename(target, old))
         throw new java.io.IOException(

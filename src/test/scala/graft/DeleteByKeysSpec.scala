@@ -85,6 +85,36 @@ class DeleteByKeysSpec extends AnyFunSuite {
     assert(left.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("a delete spraying hundreds of partitions stays bounded and correct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delkeys5").toString
+    val rows = for { p <- 0 until 200; u <- 1 to 3 }
+      yield ((p * 10 + u).toLong, f"$p%03d")
+    rows.toDF("user_id", "dia")
+      .write.mode("overwrite").partitionBy("dia").parquet(dir)
+    // one key from EVERY partition: the former OR-of-ANDs predicate
+    // would compile a 200-arm expression tree here; the In/InSet form
+    // stays one node regardless of spray width
+    val keys = (0 until 200).map(p => (p * 10 + 1).toLong)
+    val removed = Lake.deleteByKeys(spark, dir, "user_id", keys, Seq("dia"))
+    assert(removed == 200)
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 400)
+    assert(left.filter(col("user_id").isInCollection(keys)).count() == 0)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith("_old")), "aside debris left behind")
+    // a hidden aside (the crash-between-renames state) must be invisible
+    // to partition discovery — a visible `dia=xxx_old` sibling would
+    // resurrect deleted rows under a bogus partition value
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/dia=000"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/.dia=000_old"), false, conf)
+    assert(spark.read.parquet(dir).count() == 400,
+      "dot-prefixed aside leaked into partition discovery")
+  }
+
   test("zero-padded partition values survive the rewrite (no 07 -> 7 drift)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("delkeys4").toString

@@ -39,6 +39,35 @@ class LakeCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS tech_fiap.b3_fiap")
   }
 
+  test("K2 schema evolution: a drifted batch evolves the catalog; old rows read null (Glue UPDATE_IN_DATABASE parity)") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE DATABASE IF NOT EXISTS tech_fiap")
+    val path = Files.createTempDirectory("refined_evo").toString + "/b3_evo"
+    Lake.writeRefined(refinedFrame(4), path, Some("tech_fiap.b3_evo"))
+    try {
+      // day 2 drifts: an extra `volume` column appears upstream — the
+      // reference evolves the Glue catalog (UPDATE_IN_DATABASE); we must
+      // evolve the metastore schema, not fail and not drop the column
+      val drifted = refinedFrame(4)
+        .withColumn("volume",
+          col("total_qtde_teorica_dos_ultimos_7_dias") * 2)
+      Lake.writeRefined(drifted, path, Some("tech_fiap.b3_evo"))
+      val back = spark.table("tech_fiap.b3_evo")
+      assert(back.columns.contains("volume"),
+        s"catalog schema did not evolve: ${back.columns.mkString(",")}")
+      assert(back.count() == 8)
+      assert(back.filter(col("volume").isNull).count() == 4,
+        "pre-drift rows must read the new column as null")
+      assert(back.filter(col("volume").isNotNull).count() == 4)
+      // drift the OTHER way: a later batch missing the evolved column
+      // still appends (null-filled), like a thinner upstream day
+      Lake.writeRefined(refinedFrame(2), path, Some("tech_fiap.b3_evo"))
+      val after = spark.table("tech_fiap.b3_evo")
+      assert(after.count() == 10)
+      assert(after.filter(col("volume").isNull).count() == 6)
+    } finally spark.sql("DROP TABLE IF EXISTS tech_fiap.b3_evo")
+  }
+
   test("compact rewrites a many-small-files table in place and preserves the data") {
     val path = Files.createTempDirectory("compactme").toString + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
