@@ -71,23 +71,90 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** s10: hard-negative mining — for each (query, positive) training
-    * pair, the top-k most-similar corpus vectors that are NOT the
-    * positive: the examples that teach an embedding model the decision
-    * boundary (in-batch random negatives are trivially easy; retrieval
-    * training pipelines mine these). The positive here is the
-    * deterministic synthetic pairing q ↔ q+100 (the corpus ships no
-    * labeled pairs; the pairing rule is the s4/s9 stand-in-artifact
-    * precedent, rebuilt identically by the oracle).
+  /** Index-backed candidate fetch for a BOUNDED query set (vec_id < 10):
+    * the queries meet the corpus through the s2 LSH buckets — the 80
+    * query bucket rows (10 queries × 8 tables) BROADCAST into an
+    * equi-join against the corpus bucket projection, so the corpus
+    * streams ONCE with no crossJoin anywhere (r6 verdict #2; the brute
+    * scan survives as the recall baseline, [[s10BruteForce]]). Every
+    * distinct colliding (q_id, n_id) pair is then scored with exact
+    * cosine through the same per-side embedding joins as s2; the
+    * candidate's vector rides along for re-rank consumers (MMR).
     *
-    * Scale shape: identical to s1's bounded-query scan — queries
-    * broadcast, corpus streams once, per-query top-k window over the
-    * scored rows. At real scale the candidate source swaps for the
-    * IVF (s4) or PQ (s9) fetch with the same exclusion + re-rank
-    * downstream; mining then costs one ANN query per training pair,
-    * never a corpus scan per pair.
+    * Scale shape: candidate volume per query is bucket-size × tables —
+    * the LSH bit-width knob (see [[bucketsSql]]) keeps buckets
+    * executor-sized at corpus scale, so mining costs one index probe
+    * per query, never a corpus scan per query.
+    */
+  private[sim] def lshScoredCandidates(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val bt = bucketTable(s, d)
+    val cand = bt.as("c").join(
+        broadcast(bt.filter(col("vec_id") < 10)).as("q"),
+        col("q.tbl") === col("c.tbl") && col("q.bk") === col("c.bk") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val e = normedEmbeddings(s, d)
+    cand
+      .join(e.as("eq"), col("q_id") === col("eq.vec_id"))
+      .join(e.as("en"), col("n_id") === col("en.vec_id"))
+      .withColumn("cos_exact",
+        expr(dotSql("eq.embedding", "en.embedding")) /
+          (col("eq.nrm") * col("en.nrm")))
+      .select(col("q_id"), col("n_id"), col("cos_exact"),
+        col("en.embedding").as("nv"))
+  }
+
+  /** Top-k by exact cosine over the INDEX-fetched candidate set — the
+    * ranking MMR(λ=1) must reproduce, and the subject of the
+    * index-vs-brute recall floor pinned in LlmPipelineSpec.
+    */
+  private[graft] def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    lshScoredCandidates(s, d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos_exact"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s10: hard-negative mining — for each (query, positive) training
+    * pair, the top-k most-similar candidates that are NOT the positive:
+    * the examples that teach an embedding model the decision boundary
+    * (in-batch random negatives are trivially easy; retrieval training
+    * pipelines mine these). The positive here is the deterministic
+    * synthetic pairing q ↔ q+100 (the corpus ships no labeled pairs;
+    * the pairing rule is the s4/s9 stand-in-artifact precedent, rebuilt
+    * identically by the oracle).
+    *
+    * Candidates come from the LSH index ([[lshScoredCandidates]]) with
+    * the positive excluded AFTER the fetch and exact re-rank on the
+    * survivors — the DuckDB oracle rebuilds the identical bucket fetch,
+    * so the check is exact, and the recall cost of the index (vs the
+    * retired full-corpus crossJoin, kept as [[s10BruteForce]]) is
+    * pinned separately as a floor in LlmPipelineSpec.
     */
   def s10HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val scored = lshScoredCandidates(s, d)
+      .filter(col("n_id") =!= col("q_id") + 100)
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), (col("q_id") + 100).as("pos_id"), col("n_id"),
+        round(col("cos_exact"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The full-corpus brute form s10 replaced (exact scan per query):
+    * retained as the RECALL ORACLE for the index-backed fetch, the same
+    * role s1 plays for s2 — never the shape you'd run at 100 TB.
+    */
+  private[graft] def s10BruteForce(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     val e = embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
@@ -114,11 +181,11 @@ object Similarity {
     * degenerates to plain top-k (tested); lower λ trades relevance for
     * spread.
     *
-    * Scale shape: candidate generation is whatever ANN path fits
-    * (bounded-query scan here; s2/s4/s9 at scale) truncated to
-    * `fetch` rows per query — the greedy selection then runs inside
-    * ONE typed `flatMapGroups` over each query's BOUNDED candidate
-    * set (≤ fetch rows ≈ KBs). Greedy MMR is inherently sequential
+    * Scale shape: candidates come from the LSH index
+    * ([[lshScoredCandidates]] — no corpus crossJoin, r6 verdict #2)
+    * truncated to `fetch` rows per query — the greedy selection then
+    * runs inside ONE typed `flatMapGroups` over each query's BOUNDED
+    * candidate set (≤ fetch rows ≈ KBs). Greedy MMR is inherently sequential
     * per query and needs candidate×candidate similarities — not
     * expressible as relational ops without k self-joins — so this is
     * the mm3-style justified escape hatch: the DISTRIBUTED work
@@ -134,17 +201,13 @@ object Similarity {
       lambda: Double = 0.7, fetch: Int = 20): DataFrame = {
     import s.implicits._
     VectorExpressions.ensureRegistered(s)
-    val e = embeddings(s, d)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    val cand = q.crossJoin(c)
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", expr(cosSql("qv", "nv")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    val cand = lshScoredCandidates(s, d)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= fetch)
-      .select(col("q_id"), col("n_id"), col("cos"), col("nv"))
+      .select(col("q_id"), col("n_id"),
+        col("cos_exact").as("cos"), col("nv"))
     cand.as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
@@ -166,7 +229,11 @@ object Similarity {
           var idx = 0
           while (idx < remaining.length) {
             val t = remaining(idx)
-            var maxSim = 0.0
+            // textbook MMR: the penalty term is max over the SELECTED
+            // set — when every similarity is negative the anti-similar
+            // candidate is rewarded, not clamped to 0. The first pick
+            // (empty selected set) carries no penalty by convention.
+            var maxSim = if (selVecs.isEmpty) 0.0 else Double.NegativeInfinity
             selVecs.foreach { v =>
               val sim = cos(t._4, v); if (sim > maxSim) maxSim = sim
             }
@@ -516,13 +583,17 @@ object Similarity {
          |SELECT q_id, n_id, round(cos_exact, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s10_hard_negatives" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10
-         |), c AS (
-         |  SELECT vec_id AS n_id, embedding AS nv FROM embeddings
+      s"""WITH $bucketTableDuck, cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM b q JOIN b c
+         |    ON q.tbl = c.tbl AND q.bk = c.bk AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10
          |), scored AS (
-         |  SELECT q_id, n_id, ${cosDuck("qv", "nv")} AS cos_exact
-         |  FROM q, c WHERE n_id <> q_id AND n_id <> q_id + 100
+         |  SELECT q_id, n_id,
+         |    ${cosDuck("e1.embedding", "e2.embedding")} AS cos_exact
+         |  FROM cand JOIN embeddings e1 ON q_id = e1.vec_id
+         |            JOIN embeddings e2 ON n_id = e2.vec_id
+         |  WHERE n_id <> q_id + 100
          |), ranked AS (
          |  SELECT q_id, n_id, cos_exact,
          |    CAST(row_number() OVER (PARTITION BY q_id

@@ -199,11 +199,12 @@ class LlmPipelineSpec extends AnyFunSuite {
     import graft.sim.Similarity
     import org.apache.spark.sql.functions.col
     val k = 5
-    // λ=1 degenerates to relevance top-k — must equal s1's head rows
+    // λ=1 degenerates to relevance top-k OVER THE SAME CANDIDATE SET —
+    // candidates now come from the LSH index (r6 verdict #2), so the
+    // reference ranking is lshTopK, not the brute s1 scan
     val lam1 = Similarity.mmrDiversify(spark, sf, k = k, lambda = 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
-    val topk = Similarity.s1CosineTopk(spark, sf)
-      .filter(col("rank") <= k)
+    val topk = Similarity.lshTopK(spark, sf, k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(lam1.toSeq == topk.toSeq, "λ=1 must reproduce pure top-k")
     // λ=0.5: per query the FIRST pick is still the relevance argmax,
@@ -226,6 +227,29 @@ class LlmPipelineSpec extends AnyFunSuite {
     val again = Similarity.mmrDiversify(spark, sf, k = k, lambda = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(again.toSeq == mmr.toSeq)
+  }
+
+  test("index-backed hard negatives: no corpus crossJoin, recall vs the brute scan clears the floor") {
+    import graft.sim.Similarity
+    // the shipped s10 must not contain a corpus-wide cartesian — that
+    // shape is retired to s10BruteForce, which stays only as this
+    // test's recall oracle (r6 verdict #2 / "What's wrong" #1)
+    val idx = Similarity.s10HardNegatives(spark, sf)
+    val got = idx.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"s10 plan still contains a corpus cross join:\n$plan")
+    val mmrPlan = Similarity.mmrDiversify(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!mmrPlan.contains("CartesianProduct") &&
+      !mmrPlan.contains("BroadcastNestedLoopJoin"),
+      s"MMR plan still contains a corpus cross join:\n$mmrPlan")
+    val want = Similarity.s10BruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got intersect want).size.toDouble / want.size
+    assert(recall >= 0.6,
+      f"index-fetch recall $recall%.2f vs brute top-3 below floor 0.6")
   }
 
   test("crossContamination counts exactly the distinct shared n-grams (plain-Scala reference)") {
