@@ -44,8 +44,12 @@ def value_hash(df: pd.DataFrame) -> str:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # ScaleUp-generated tiers are spark-written DIRECTORIES named
+        # <table>.parquet; the driver tiers are single files
+        p = f"{sf_dir}/{t}.parquet"
+        import os
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):

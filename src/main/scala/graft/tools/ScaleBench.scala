@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale validation for the heavy families (r6 verdict #1): times each
+  * heavy query at the base tier (sf0.1) and the [[ScaleUp]]-generated
+  * scaled tier (sf1 = 10×) under Bench's methodology (sf0.01 warmup,
+  * min of N passes, noop sink), and reports the per-query SCALING
+  * EXPONENT  e = log(t_scaled / t_base) / log(factor):
+  * e ≈ 1 is linear, e ≈ 2 would be a pairwise blow-up. The r6 gate is
+  * e ≲ 1.3 per query (with an absolute-seconds floor — a 0.2 s query
+  * doubling is timer noise, not a scaling law).
+  *
+  *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  *
+  * Results land in SCALE_SELF.json (full record; stdout may truncate).
+  */
+object ScaleBench {
+
+  /** The expensive families named by the r6 verdict. */
+  val heavy: Seq[String] = Seq(
+    "d2_minhash_lsh", "d5_components", "d6_transitive_dedup",
+    "d9_substring_dedup",
+    "s2_ann_lsh", "s3_embedding_neardup", "s6_semdedup", "s9_pq_topk",
+    "t18_leakage_split", "pipe_docs_prep", "f_edit_distance")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val scaled = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt
+    val names = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(heavy)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runNoop(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JIT/codegen warmup on the small tier, same as Bench
+    names.foreach { n =>
+      try runNoop(n, "/root/testdata/sf0.01")
+      catch { case _: Throwable => () }
+    }
+
+    // interleave tiers pass by pass (base, scaled, base, scaled, ...) so
+    // a co-tenant stall can't land one-sidedly on a single tier
+    val results = names.map { n =>
+      val tb = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to passes).foreach { _ =>
+        tb += runNoop(n, base)
+        ts += runNoop(n, scaled)
+      }
+      val (b, s) = (tb.min, ts.min)
+      val e = math.log(s / b) / math.log(factor.toDouble)
+      (n, b, s, e)
+    }
+    val qs = results.map { case (n, b, s, e) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"exp":$e%.3f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_exponent","factor":$factor,"passes":$passes,"base":"$base","scaled":"$scaled","queries":$qs}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

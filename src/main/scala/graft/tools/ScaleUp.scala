@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up for scale validation (r6 verdict #1):
+  * replicates the driver-generated sf0.1 tables `factor`× into an sf1
+  * tier with DISJOINT key spaces and copy-perturbed content, so the
+  * scaled corpus has realistic 10× statistics instead of ten identical
+  * clones:
+  *
+  *   - ids offset by copy·stride (stride = the table's row count; the
+  *     testdata keys are 0-based dense) — uniqueness and referential
+  *     integrity hold per copy (each copy's orders point at that copy's
+  *     customers, etc.)
+  *   - document text goes through a per-copy letter ROTATION (caesar on
+  *     [a-z] and [A-Z] separately): lengths, token counts, whitespace
+  *     and within-copy duplicate structure are preserved exactly, while
+  *     cross-copy shingles/minhashes are disjoint — dedup candidate
+  *     volume scales linearly like a real 10× crawl, not quadratically
+  *     like cloned text would
+  *   - embeddings are PERMUTED (circular shift by copy·7 mod 64): a
+  *     permutation preserves norms and within-copy pairwise cosines
+  *     bit-for-bit, while cross-copy cosines are near-orthogonal noise —
+  *     LSH bucket occupancy grows 10× with the same geometry
+  *   - customer names regenerate from the new key (`Customer#%09d`, the
+  *     testdata's own pattern), so the name-linkage blocks of
+  *     f_edit_distance grow 10× in population without gaining
+  *     distance-0 clone pairs
+  *   - region/nation copy unchanged (fixed dims, TPC-H-style); events
+  *     copies byte-identical (no heavy-family query reads it, and a
+  *     nanos-long ts round-trip would drop the parquet timestamp
+  *     annotation)
+  *
+  * Every transform is a pure projection of exact integer/byte work — no
+  * float arithmetic, no shuffle — so the scaled corpus is bit-identical
+  * across runs and engines (the sf1 spot-oracle reads the same files).
+  *
+  *   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  */
+object ScaleUp {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  private def rotAlpha(c: Int): (String, String) = {
+    val k = ((c % 26) + 26) % 26
+    (Lower + Upper,
+      Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k))
+  }
+
+  /** One scaled copy of `df` — `perturb(copyIndex)` returns the
+    * column edits applied on top of the key offsets.
+    */
+  private def copies(df: DataFrame, factor: Int)(
+      perturb: Int => DataFrame => DataFrame): DataFrame =
+    (0 until factor).map(c => perturb(c)(df)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$out/$t.parquet")
+    def copyRaw(t: String): Unit = {
+      val to = java.nio.file.Paths.get(out, s"$t.parquet")
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src, s"$t.parquet"),
+        to, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // fixed dims + the nanos-ts table: byte-identical copies
+    Seq("region", "nation", "events").foreach(copyRaw)
+
+    val nCust = read("customer").count()
+    val nSupp = read("supplier").count()
+    val nPart = read("part").count()
+    val nOrd = read("orders").count()
+    val nDoc = read("documents").count()
+    val nVec = read("embeddings").count()
+
+    write(copies(read("customer"), factor) { c => df =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(c * nCust))
+        .withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey")))
+    }, "customer")
+
+    write(copies(read("supplier"), factor) { c => df =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(c * nSupp))
+    }, "supplier")
+
+    write(copies(read("part"), factor) { c => df =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(c * nPart))
+    }, "part")
+
+    write(copies(read("orders"), factor) { c => df =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(c * nOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * nCust))
+    }, "orders")
+
+    write(copies(read("lineitem"), factor) { c => df =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * nPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp))
+    }, "lineitem")
+
+    write(copies(read("documents"), factor) { c => df =>
+      val (from, to) = rotAlpha(c)
+      df.withColumn("doc_id", col("doc_id") + lit(c * nDoc))
+        .withColumn("text", translate(col("text"), from, to))
+    }, "documents")
+
+    write(copies(read("embeddings"), factor) { c => df =>
+      val dims = 64
+      val shift = (c * 7) % dims
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dims - shift),
+          slice(col("embedding"), 1, shift))
+      df.withColumn("vec_id", col("vec_id") + lit(c * nVec))
+        .withColumn("embedding", rotated)
+    }, "embeddings")
+
+    println(s"""{"scaled":"$out","factor":$factor,"docs":${nDoc * factor},"vecs":${nVec * factor}}""")
+    spark.stop()
+  }
+}
