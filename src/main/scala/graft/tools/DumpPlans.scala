@@ -46,7 +46,9 @@ object DumpPlans {
       "d6_transitive_dedup" -> "LSH candidates -> exact-Jaccard verify -> alternating large/small-star CC over the PAIR SET only (per-round localCheckpoint truncates lineage; the dump shows the post-fixpoint label anti-join — the iteration's plans are intentionally absent, each round is the same two window/distinct steps)",
       "l1_scd2" -> "SCD2 interval build: change-detect lag + validity lead planned under ONE user_id exchange (two Window nodes, one Sort, one Exchange before the output sort — WarehouseSpec bounds shuffles at 2)",
       "a14_equidepth" -> "equi-depth histogram: exact-percentile boundary agg collapses to ONE row, broadcast back (BroadcastNestedLoopJoin on a 1-row side = a constant), bucket as nine codegen'd when-terms + partial agg — NOT a global ntile window (which would sort all rows in one task)",
-      "d9_substring_dedup" -> "global exact-substring dedup: chunk explode -> min_by survivor election on md5(chunk) (partial-aggregable) -> same-key join back (no broadcast of the corpus-sized survivor relation; PlanAuditSpec pins it with thresholds off) -> one per-doc rebuild agg")
+      "d9_substring_dedup" -> "global exact-substring dedup: chunk explode -> min_by survivor election on md5(chunk) (partial-aggregable) -> same-key join back (no broadcast of the corpus-sized survivor relation; PlanAuditSpec pins it with thresholds off) -> one per-doc rebuild agg",
+      "s9_pq_topk" -> "product-quantization ANN: zero-shuffle literal-codebook encode, broadcast ADC LUT scan (corpus never shuffles to score), candidate agg + exact re-rank joins bounded (PlanAuditSpec caps exchanges at 6)",
+      "t18_leakage_split" -> "leakage-safe split: inherits d5's CC over the LSH pair set (iteration plans intentionally absent — each round is the same two window/distinct steps); the dump shows the post-fixpoint component-coin join, one component-key shuffle, never a doc-pair cartesian")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")

@@ -301,6 +301,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n <= 6, s"pq exchange count grew to $n:\n$plan")
   }
 
+  test("t18 leakage split: post-fixpoint plan is component join + output sort, no cartesian (r6 verdict #6)") {
+    // the CC fixpoint runs eagerly (localCheckpoint per round); what's
+    // left in t18's own plan is docs LEFT JOIN components + the coin
+    // projection + the output sort — bounded exchanges, never a
+    // doc-pair cartesian
+    val df = Dedup.t18LeakageSafeSplit(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"t18 went all-pairs:\n$plan")
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 4,
+      s"t18 post-fixpoint exchange count grew to $n:\n$plan")
+  }
+
   test("eventsBetween pushes the ts bounds into the parquet scan (r5 verdict #2)") {
     // the plain events path converts the nanos-long ts first, so range
     // predicates evaluate post-scan; eventsBetween filters the RAW long —
