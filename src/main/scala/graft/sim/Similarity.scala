@@ -24,8 +24,9 @@ import graft.functions.{Hashing, VectorExpressions}
   *   - s2 is the scale path: multi-table random-hyperplane LSH assigns
   *     every vector one bucket per hash table in a narrow projection;
   *     candidates meet in a (table, bucket) equi-join — never an n²
-  *     crossJoin. Bits per table size the buckets (keep them
-  *     executor-sized at scale); table count buys recall.
+  *     crossJoin. Bits per table size the buckets and GROW with the
+  *     corpus ([[bitsFor]]: one bit per doubling keeps occupancy, and
+  *     so candidate volume per row, constant); table count buys recall.
   *   - s4 is the IVF alternative: broadcast coarse quantizer, inverted
   *     lists, probe-limited exact scoring.
   */
@@ -261,12 +262,12 @@ object Similarity {
   private val Dims = 64
 
   /** Multi-table random-hyperplane LSH: [[Tables]] hash tables of
-    * [[Bits]] hyperplane bits each (32 hyperplanes total). A pair is a
-    * candidate if it collides in ANY table — for this corpus's top
-    * neighbors (cos ≈ 0.5, near-orthogonal random vectors) a single
-    * 8-bit table has collision probability (1−θ/π)^8 ≈ 4% and measured
-    * recall@3 of 0.0; 8 tables × 4 bits gives 1−(1−p⁴)⁸ ≈ 0.8 on the
-    * best neighbor. Table count/width are THE recall-vs-cost knobs of
+    * [[bitsFor]] hyperplane bits each. A pair is a candidate if it
+    * collides in ANY table — for this corpus's top neighbors
+    * (cos ≈ 0.5, near-orthogonal random vectors) a single 8-bit table
+    * has collision probability (1−θ/π)^8 ≈ 4% and measured recall@3 of
+    * 0.0; 8 tables × 4 bits gives 1−(1−p⁴)⁸ ≈ 0.8 on the best
+    * neighbor. Table count/width are THE recall-vs-cost knobs of
     * hyperplane LSH; at denser similarity regimes fewer/wider tables
     * win.
     *
@@ -279,10 +280,51 @@ object Similarity {
     * 10+ s at sf0.1; this form is sub-second, sign test bit-identical).
     */
   private val Tables = 8
-  private val Bits = 4
 
-  /** array<int> of the row's bucket in each table. */
-  private val bucketsSql: String = {
+  /** Bits per hash table as a function of CORPUS SIZE — the fix for the
+    * r6 scale finding (SCALE_SELF.json: s2 exp 1.61, s3 exp 1.74 at
+    * 10×). With a FIXED bit-width, bucket occupancy grows linearly in n
+    * and within-bucket candidate pairs grow QUADRATICALLY — the 10×
+    * corpus cost ~40× wall-clock. One extra bit per doubling of the
+    * corpus beyond the [[BaseN]] calibration point holds expected
+    * occupancy ≈ n/2^bits CONSTANT, so candidate volume (and the
+    * bucket-join shuffle) scales linearly like the rest of the plan.
+    *
+    *   bits(n) = BaseBits + max(0, floor(log2(n / BaseN)))   (≤ MaxBits)
+    *
+    * Pure integer arithmetic, mirrored verbatim in the DuckDB oracle
+    * (`//` + `bin()`), so both engines derive the same width from the
+    * same parquet and the cross-engine gate holds at EVERY tier. The
+    * per-table collision probability for a cos-θ pair is p^bits —
+    * wider tables trade recall for cost, and [[Tables]] is the recall
+    * knob that buys it back (1−(1−p^bits)^T); at the ~0.9-cosine regime
+    * real embedding dedup targets, p ≈ 0.86 keeps 7-bit tables at ~0.96
+    * recall with T = 8. Recall floors stay pinned at sf0.01 (bits = 4
+    * there — the seed formula `p = t·bits + b` is unchanged where the
+    * width is unchanged).
+    */
+  private val BaseBits = 4
+  private val BaseN = 2000L // sf0.1 embeddings count: ~125 rows/bucket
+  private val MaxBits = 20  // 8 M× the calibration corpus; plan-size guard
+
+  private[graft] def bitsFor(n: Long): Int = {
+    val k = n / BaseN
+    val extra =
+      if (k <= 1L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(k)
+    math.min(BaseBits + extra, MaxBits)
+  }
+
+  /** Corpus row count, cached per directory: one metadata-only parquet
+    * count action the first time a corpus is indexed — the same "know n
+    * before sizing the hash family" step any real ANN index build does.
+    */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingCount(s: SparkSession, d: String): Long =
+    corpusCount.computeIfAbsent(d, _ => embeddings(s, d).count()).longValue
+
+  /** array<int> of the row's bucket in each table, at `bits` width. */
+  private def bucketsSql(bits: Int): String = {
     def dot(p: Int) = {
       val plane = (0 until Dims)
         .map(j => s"${Hashing.h32Host(s"${p}_$j") / 2147483648.0 - 1.0}D")
@@ -290,8 +332,8 @@ object Similarity {
       s"graft_dot(embedding, $plane)"
     }
     val tables = (0 until Tables).map { t =>
-      (0 until Bits)
-        .map(b => s"IF(${dot(t * Bits + b)} > 0, ${1 << b}, 0)")
+      (0 until bits)
+        .map(b => s"IF(${dot(t * bits + b)} > 0, ${1 << b}, 0)")
         .mkString("(", " + ", ")")
     }
     tables.mkString(
@@ -310,7 +352,8 @@ object Similarity {
   private def bucketTable(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"),
-        posexplode(expr(bucketsSql)).as(Seq("tbl", "bk")))
+        posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)))))
+          .as(Seq("tbl", "bk")))
 
   /** (vec_id, embedding, nrm) — per-vector norm computed ONCE instead
     * of twice per scored pair (same double as the per-pair form: same
@@ -547,12 +590,14 @@ object Similarity {
     s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
 
   /** Per-table bucket, mirroring [[bucketsSql]]: hyperplane index
-    * p = tbl*Bits + b, hashed exactly like the Spark literals.
+    * p = tbl*bits + b, hashed exactly like the Spark literals. `bits`
+    * is a column (from the `params` CTE below) so the oracle derives
+    * the SAME corpus-size-adaptive width as [[bitsFor]].
     */
   private val bucketDuck: String = {
     val hp = Hashing.h32Duck(
-      "CAST(tbl*4 + b AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
-    s"""CAST(list_sum(list_transform(range(4), b ->
+      "CAST(tbl*bits + b AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+    s"""CAST(list_sum(list_transform(range(bits), b ->
        |  CASE WHEN list_reduce(list_transform(range(len(embedding)),
        |         j -> CAST(embedding[j+1] AS DOUBLE)
        |              * (($hp / 2147483648.0) - 1.0)),
@@ -560,10 +605,18 @@ object Similarity {
        |       THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
   }
 
+  /** `bits(n) = 4 + max(0, floor(log2(n // 2000)))` capped at 20 — the
+    * integer-only twin of [[bitsFor]] (`//` is DuckDB integer division;
+    * `length(bin(k)) - 1` is floor(log2 k) for k ≥ 1).
+    */
   private val bucketTableDuck: String =
-    s"""b AS (
+    s"""params AS (
+       |  SELECT LEAST(20, 4 + CASE WHEN cnt // 2000 <= 1 THEN 0
+       |    ELSE length(bin(cnt // 2000)) - 1 END) AS bits
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)
+       |), b AS (
        |  SELECT vec_id, embedding, tbl, $bucketDuck AS bk
-       |  FROM embeddings, range(8) tt(tbl)
+       |  FROM embeddings, range(8) tt(tbl), params
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(

@@ -287,6 +287,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bit-width grows with corpus size: one bit per doubling past the calibration point") {
+    // boundary values pinned against the DuckDB oracle twin
+    // (LEAST(20, 4 + CASE WHEN n//2000 <= 1 THEN 0 ELSE length(bin(n//2000))-1 END))
+    // — verified identical in duckdb for every row here
+    val expected = Seq(
+      0L -> 4, 500L -> 4, 2000L -> 4, 3999L -> 4, // testdata tiers: unchanged
+      4000L -> 5, 7999L -> 5, 8000L -> 6,
+      20000L -> 7, // the 10x scale tier: 128 buckets/table, occupancy ~ sf0.1's
+      2000L * (1L << 16) -> 20, 2000L * (1L << 17) -> 20) // MaxBits cap
+    expected.foreach { case (n, bits) =>
+      assert(Similarity.bitsFor(n) === bits, s"bitsFor($n)")
+    }
+  }
+
   test("ANN recall@3 vs the exact baseline: LSH and IVF both find real neighbors") {
     def recallAt(dir: String): (Double, Double) = {
       val exact = Similarity.s1CosineTopk(spark, dir).collect()
