@@ -76,8 +76,11 @@ object ScaleBench {
     val line =
       s"""{"metric":"scale_exponent","factor":$factor,"passes":$passes,"base":"$base","scaled":"$scaled","queries":$qs}"""
     println(line)
+    // SPARK_GRAFT_SCALE_OUT: artifact path override, so a second tier's
+    // run (e.g. the 100x record) doesn't clobber the 10x one
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_SELF.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALE_SELF.json"),
+      java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

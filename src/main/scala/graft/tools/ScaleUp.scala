@@ -60,6 +60,12 @@ object ScaleUp {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset — e.g. the 100x
+    // corpus tier only needs documents+embeddings (scaling lineitem
+    // 100x would write ~60 M rows no heavy-family query reads)
+    val only: String => Boolean = if (args.length > 3) {
+      val s = args(3).split(",").map(_.trim).toSet; s.contains
+    } else _ => true
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -82,47 +88,53 @@ object ScaleUp {
     }
 
     // fixed dims + the nanos-ts table: byte-identical copies
-    Seq("region", "nation", "events").foreach(copyRaw)
+    Seq("region", "nation", "events").filter(only).foreach(copyRaw)
 
-    val nCust = read("customer").count()
-    val nSupp = read("supplier").count()
-    val nPart = read("part").count()
-    val nOrd = read("orders").count()
-    val nDoc = read("documents").count()
-    val nVec = read("embeddings").count()
+    lazy val nCust = read("customer").count()
+    lazy val nSupp = read("supplier").count()
+    lazy val nPart = read("part").count()
+    lazy val nOrd = read("orders").count()
+    lazy val nDoc = read("documents").count()
+    lazy val nVec = read("embeddings").count()
 
-    write(copies(read("customer"), factor) { c => df =>
+    if (only("customer")) write(copies(read("customer"), factor) { c => df =>
       df.withColumn("c_custkey", col("c_custkey") + lit(c * nCust))
         .withColumn("c_name",
           format_string("Customer#%09d", col("c_custkey")))
     }, "customer")
 
-    write(copies(read("supplier"), factor) { c => df =>
+    if (only("supplier")) write(copies(read("supplier"), factor) { c => df =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(c * nSupp))
     }, "supplier")
 
-    write(copies(read("part"), factor) { c => df =>
+    if (only("part")) write(copies(read("part"), factor) { c => df =>
       df.withColumn("p_partkey", col("p_partkey") + lit(c * nPart))
     }, "part")
 
-    write(copies(read("orders"), factor) { c => df =>
+    if (only("orders")) write(copies(read("orders"), factor) { c => df =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(c * nOrd))
         .withColumn("o_custkey", col("o_custkey") + lit(c * nCust))
     }, "orders")
 
-    write(copies(read("lineitem"), factor) { c => df =>
+    if (only("lineitem")) write(copies(read("lineitem"), factor) { c => df =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd))
         .withColumn("l_partkey", col("l_partkey") + lit(c * nPart))
         .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp))
     }, "lineitem")
 
-    write(copies(read("documents"), factor) { c => df =>
+    // Beyond 26 copies the letter rotation repeats (c % 26): a repeated
+    // copy is an exact TEXT clone of its 26-earlier sibling under new
+    // doc ids. That adds each doc a bounded clone set (factor/26 ≈ 3 at
+    // 100x) — LINEAR extra dedup candidate volume, and realistic: a
+    // real 100x crawl is full of exact duplicates. Same story for the
+    // embedding shift (period 64): bounded exact-clone sets, linear.
+    if (only("documents")) write(copies(read("documents"), factor) { c => df =>
       val (from, to) = rotAlpha(c)
       df.withColumn("doc_id", col("doc_id") + lit(c * nDoc))
         .withColumn("text", translate(col("text"), from, to))
     }, "documents")
 
-    write(copies(read("embeddings"), factor) { c => df =>
+    if (only("embeddings")) write(copies(read("embeddings"), factor) { c => df =>
       val dims = 64
       val shift = (c * 7) % dims
       val rotated =
@@ -133,7 +145,9 @@ object ScaleUp {
         .withColumn("embedding", rotated)
     }, "embeddings")
 
-    println(s"""{"scaled":"$out","factor":$factor,"docs":${nDoc * factor},"vecs":${nVec * factor}}""")
+    val scaledDocs = if (only("documents")) nDoc * factor else 0L
+    val scaledVecs = if (only("embeddings")) nVec * factor else 0L
+    println(s"""{"scaled":"$out","factor":$factor,"docs":$scaledDocs,"vecs":$scaledVecs}""")
     spark.stop()
   }
 }
