@@ -58,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
       NormalizeExpression.make))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContain].getName,
+        "graft_bloom_contains"),
+      graft.functions.BloomFilterFn.make))
     ext.injectOptimizerRule(_ => graft.plans.NullFilterToAntiJoin)
   }
 }

@@ -30,7 +30,7 @@ object SparkEntry {
       Dedup.queries ++ TextAnalysis.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
       KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries ++
-      graft.ops.Warehouse.queries
+      graft.ops.Warehouse.queries ++ graft.ops.BloomJoin.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
@@ -38,5 +38,5 @@ object SparkEntry {
       Dedup.oracles ++ TextAnalysis.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
       KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles ++
-      graft.ops.Warehouse.oracles
+      graft.ops.Warehouse.oracles ++ graft.ops.BloomJoin.oracles
 }
