@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+
+/** Exact set-similarity self-join via prefix filtering (AllPairs /
+  * PPJoin family — Bayardo et al., WWW'07; Xiao et al., WWW'08):
+  * ALL pairs of documents whose 3-gram-shingle Jaccard ≥ τ, with NO
+  * false negatives — the guaranteed-complete counterpart to the
+  * probabilistic d2/d4 MinHash-LSH pipeline over the SAME shingle
+  * universe ([[Dedup.shingledDf]]). LSH trades recall for speed and
+  * its miss rate grows as τ drops toward the band threshold; prefix
+  * filtering is the shape a curation pipeline runs when recall must be
+  * provable (legal sweeps, contamination audits) — reference analogue:
+  * the cleaning stage of ETL_glue_pregao_B3.json, which can only drop
+  * exact duplicates.
+  *
+  * Prefix principle: order every shingle set by one global total order
+  * (document frequency ascending, shingle ascending — rarest first).
+  * Jaccard ≥ τ forces overlap ≥ ceil(τ·|A|), so the SMALLEST common
+  * shingle t* cannot sit deeper than position
+  * p(A) = |A| − ceil(τ·|A|) + 1 in A (otherwise every common shingle
+  * lies in A's suffix of ceil(τ·|A|)−1 elements — too few), and
+  * symmetrically for B: A and B collide on t* within both PREFIXES.
+  * Joining prefixes on shingle therefore finds every qualifying pair;
+  * exact full-set verification removes the prefix false positives.
+  *
+  * Scale shape (100 TB): the candidate join is on PREFIX shingles
+  * only — a doc's prefix holds its RAREST shingles, so boilerplate
+  * shingles shared by millions of docs almost never reach a prefix and
+  * the per-shingle fan-out is self-limiting (Σ prefix-df², with
+  * prefix-df ≪ df for common shingles). Three shuffles: shingle df
+  * (map-side partial count), per-doc ordering window (doc_id),
+  * candidate equi-join (shingle); verification joins only candidate
+  * pair ids back to the shingle arrays (d4's bounded-verify pattern).
+  * The knob is τ — higher τ ⇒ shorter prefixes ⇒ smaller join; a
+  * degenerate corpus where most docs truly match degrades toward the
+  * n² output that ANY complete algorithm must emit on it.
+  *
+  * Determinism: (df, shingle) is a total order (lexical tie-break), so
+  * prefixes are unique per doc and the result is a pure function of
+  * the corpus. The integer form ceil(3n/5) = (3n+4) div 5 keeps the
+  * τ=0.6 prefix length float-free.
+  */
+object SetSimilarity {
+
+  private val Tau = 0.6
+
+  /** Distinct 3-gram shingle sets per doc — d2/d4's universe
+    * ([[Dedup.shingledDf]]: ≥3 tokens, whitespace split).
+    */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    Dedup.shingledDf(docs).select(col("doc_id"), col("sh"))
+
+  /** The τ=0.6 prefix relation: (doc_id, tok) restricted to each doc's
+    * rarest |S| − ceil(0.6|S|) + 1 shingles under the global
+    * (df, shingle) order.
+    */
+  private[graft] def prefixes(ts: DataFrame): DataFrame = {
+    val tok = ts.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
+    tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select("doc_id", "tok")
+  }
+
+  private def verified(cand: DataFrame, ts: DataFrame): DataFrame =
+    cand
+      .join(ts.select(col("doc_id"), col("sh")).as("sa"),
+        col("doc_a") === col("sa.doc_id"))
+      .join(ts.select(col("doc_id"), col("sh")).as("sb"),
+        col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")), 4))
+      .filter(col("jac") >= Tau)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+
+  /** d10: every pair with shingle Jaccard ≥ 0.6 — (doc_a, doc_b, jac),
+    * exact and complete (no LSH miss rate).
+    */
+  def d10AllPairsJaccard(s: SparkSession, d: String): DataFrame =
+    allPairs(documents(s, d))
+
+  /** Corpus API over any (doc_id, text) frame. */
+  def allPairs(docs: DataFrame): DataFrame = {
+    val ts = shingleSets(docs)
+    val pref = prefixes(ts)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, ts)
+  }
+
+  /** The brute exact form (full shingle self-join) — the completeness
+    * oracle the spec compares against; also what the DuckDB oracle
+    * runs. Never the 100 TB shape: every boilerplate shingle fans out
+    * df² candidate rows.
+    */
+  private[graft] def bruteExact(docs: DataFrame): DataFrame = {
+    val ts = shingleSets(docs)
+    val tok = ts.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val cand = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, ts)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_allpairs_jaccard" -> (d10AllPairsJaccard _))
+
+  def oracles: Map[String, String] = Map(
+    "d10_allpairs_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shn AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |    for i in range(1, len(tk) - 1)]) AS s FROM toks),
+        |t AS (SELECT doc_id, unnest(s) AS tok FROM shn),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jac FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jac
+        |  FROM p JOIN sz sa ON doc_a = sa.doc_id
+        |         JOIN sz sb ON doc_b = sb.doc_id)
+        |WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+}

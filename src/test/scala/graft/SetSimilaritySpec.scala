@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.SetSimilarity
+
+/** AllPairs prefix-filtered exact Jaccard join (d10): completeness vs
+  * the brute exact form (the defining guarantee LSH lacks),
+  * prefix-length arithmetic, and adversarial shingle distributions.
+  */
+class SetSimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("prefix form equals brute exact form on the corpus (zero false negatives / positives)") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val fast = SetSimilarity.allPairs(docs).collect().toSeq
+    val brute = SetSimilarity.bruteExact(docs).collect().toSeq
+    assert(fast == brute)
+    assert(fast.nonEmpty, "corpus should contain at least one tau>=0.6 pair")
+  }
+
+  test("adversarial synthetic corpus: boilerplate shingles, identical docs, disjoint docs, 1-shingle docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // overlapping 4-shingle sets: inter 3 of union 5 = 0.6 (boundary)
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      // identical text (jaccard 1.0)
+      (3L, "omega psi chi tau nu"),
+      (4L, "omega psi chi tau nu"),
+      // one shared boilerplate shingle, low jaccard: 1 of 17
+      (5L, "x y z a5 b5 c5 d5 e5 f5 g5"),
+      (6L, "x y z a6 b6 c6 d6 e6 f6 g6"),
+      // disjoint
+      (7L, "seven7a seven7b seven7c seven7d"),
+      // single-shingle exact twins
+      (8L, "solo one two"),
+      (9L, "solo one two"),
+      // below the 3-token shingle floor: excluded entirely
+      (10L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val fast = SetSimilarity.allPairs(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = SetSimilarity.bruteExact(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast == brute)
+    val pairs = fast.map { case (a, b, _) => (a, b) }.toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (8L, 9L)), s"got $pairs")
+    val jac12 = fast.collectFirst { case (1L, 2L, j) => j }.get
+    assert(jac12 == 0.6, s"expected 3/5 jaccard (kept at the >= boundary), got $jac12")
+    assert(fast.collectFirst { case (3L, 4L, j) => j }.contains(1.0))
+  }
+
+  test("prefix relation is strictly smaller than the full shingle relation (the point of the filter)") {
+    val ts = SetSimilarity.shingleSets(graft.lake.Tables.documents(spark, sf))
+    val full = ts.select(col("doc_id"), explode(col("sh")).as("tok")).count()
+    val pref = SetSimilarity.prefixes(ts).count()
+    assert(pref < full, s"prefix $pref !< full $full")
+    // tau=0.6 keeps |S| - ceil(0.6|S|) + 1 ≈ 0.4|S| + 1 shingles per doc
+    assert(pref.toDouble / full < 0.6, s"prefix ratio ${pref.toDouble / full}")
+  }
+}
