@@ -252,16 +252,79 @@ object Warehouse {
       .orderBy("rel")
   }
 
+  /** Algebraic (count, sum) aggregate state per key — the partial an
+    * incremental maintenance step produces, stores, and merges.
+    */
+  def aggState(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).as("n"), sum(col(value)).as("s"))
+
+  /** Merge aggregate states: union + re-sum. count/sum are algebraic —
+    * merging partials commutes with aggregating the union of their
+    * inputs, which is the identity l3's oracle checks.
+    */
+  def mergeStates(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b).groupBy(key)
+      .agg(sum("n").as("n"), sum("s").as("s"))
+
+  /** l3: incremental materialized-aggregate maintenance — the direct
+    * cure for the reference's full-rescan posture (job bookmark
+    * DISABLED, ETL_glue_pregao_B3.json:34: every Glue run re-reads all
+    * history). Keep the per-key (count, sum) STATE from history; each
+    * new batch aggregates ONLY its own rows and merges states. The
+    * query proves the identity end-to-end: base state (orders before
+    * 2001-01-01) + delta batch (the rest) merged equals the full
+    * recompute the DuckDB oracle runs over all of orders.
+    *
+    * Scale shape (100 TB): steady-state cost is |delta| + |state| —
+    * the delta aggregates map-side to its key partials, the merge
+    * shuffles two keyset-sized relations on the SAME key; history is
+    * never rescanned. The state table persists via the lake's K2/K6
+    * surface (or `upsertByKey` keyed on the group key); derived
+    * measures (avg = s/n) come out of the state at read time, which is
+    * why only algebraic aggregates (count/sum/min/max) belong in it —
+    * holistic ones (exact percentile) need the a6/a5 sketch surface.
+    */
+  def l3IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    // integer-cents state: the sum is exact, so the merged state is
+    // BIT-identical to the full recompute (and the derived average is
+    // integer floor division — no round-tie exposure cross-engine)
+    val o = orders(s, d).withColumn("cents",
+      expr("CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)"))
+    val cutoff = to_timestamp(lit("2001-01-01"))
+    val base  = o.filter(col("o_orderdate") <  cutoff)
+    val delta = o.filter(col("o_orderdate") >= cutoff)
+    mergeStates(
+        aggState(base, "o_custkey", "cents"),
+        aggState(delta, "o_custkey", "cents"),
+        "o_custkey")
+      .select(col("o_custkey"),
+        col("n").cast("long").as("n_orders"),
+        round(col("s").cast("double") / lit(100), 2).as("total_price"),
+        expr("s div n").as("avg_price_cents"))
+      .orderBy("o_custkey")
+  }
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_scd2"      -> (l1Scd2 _),
+    "l3_incremental_agg" -> (l3IncrementalAgg _),
     "l2_cdc_apply" -> (l2CdcApply _),
     "v1_profile"   -> (v1Profile _),
     "v2_quarantine" -> (v2Quarantine _),
     "v3_integrity" -> (v3Integrity _))
 
   def oracles: Map[String, String] = Map(
+    "l3_incremental_agg" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS total_price,
+        |       CAST(sum(cents) // count(*) AS BIGINT) AS avg_price_cents
+        |FROM c GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "l1_scd2" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

@@ -231,4 +231,34 @@ class WarehouseSpec extends AnyFunSuite {
     val again = graft.text.TextAnalysis.t22DomainCap(spark, sf)
     assert(capped.collect().toSeq == again.collect().toSeq)
   }
+
+  test("l3 incremental agg: merged state equals full recompute; empty and disjoint deltas behave") {
+    import spark.implicits._
+    val o = graft.lake.Tables.orders(spark, sf)
+    val direct = o.withColumn("cents",
+        expr("CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum("cents").cast("double") / lit(100), 2).as("total_price"),
+        expr("sum(cents) div count(*)").as("avg_price_cents"))
+      .orderBy("o_custkey")
+    val incremental = Warehouse.l3IncrementalAgg(spark, sf)
+    assert(incremental.collect().toSeq == direct.collect().toSeq)
+
+    // empty delta: merging a zero-row state is the identity
+    val state = Warehouse.aggState(o, "o_custkey", "o_totalprice")
+    val emptyDelta = Warehouse.aggState(
+      o.filter(lit(false)), "o_custkey", "o_totalprice")
+    val mergedEmpty = Warehouse.mergeStates(state, emptyDelta, "o_custkey")
+      .orderBy("o_custkey").collect().toSeq
+    assert(mergedEmpty == state.orderBy("o_custkey").collect().toSeq)
+
+    // disjoint delta keys simply append to the state
+    val extra = Seq((-1L, 10.0), (-2L, 20.0)).toDF("o_custkey", "o_totalprice")
+    val merged = Warehouse.mergeStates(state,
+      Warehouse.aggState(extra, "o_custkey", "o_totalprice"), "o_custkey")
+    assert(merged.count() == state.count() + 2)
+    val newRow = merged.filter(col("o_custkey") === -1L).collect()(0)
+    assert(newRow.getLong(1) == 1L && newRow.getDouble(2) == 10.0)
+  }
 }
