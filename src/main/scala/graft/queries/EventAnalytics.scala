@@ -179,7 +179,32 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** w12: the event-type transition matrix — per-user ordered bigram
+    * counts plus each transition's share of its source state in basis
+    * points (the empirical Markov kernel; path analysis, "what follows
+    * signup", anomaly drift vs a prior snapshot).
+    *
+    * Scale shape: ONE log-sized shuffle — the lag window partitions by
+    * user_id (high cardinality, the w2/w4 grain rule) — then the
+    * count collapses to ≤ |types|² rows, and the share window runs on
+    * that tiny relation. Shares are integer basis points (t26's
+    * floor-division convention): no double sums anywhere.
+    */
+  def w12Transitions(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("n * 10000 div sum(n) over (partition by prev_type)"))
+      .orderBy("prev_type", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_transitions"  -> (w12Transitions _),
     "t24_retention"    -> (t24Retention _),
     "t25_interpolate"  -> (t25Interpolate _),
     "t26_stickiness"   -> (t26Stickiness _),
@@ -188,6 +213,18 @@ object EventAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "w12_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS share_bp
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
     "t26_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |              CAST(date_trunc('day', ts) AS DATE) AS day

@@ -83,4 +83,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"moments not broadcast back:\n$plan")
   }
+
+  test("w12 transition matrix: row-stochastic in floor'd bp, transition count conserves the log") {
+    val rows = EventAnalytics.w12Transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per source state: shares sum to 10000 minus at most (fanout-1) floor loss
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val bp = rs.map(_.getLong(3)).sum
+      assert(bp <= 10000 && bp > 10000 - rs.length,
+        s"$prev shares sum to $bp over ${rs.length} targets")
+    }
+    // sum of transitions = events - distinct users (each user chain of
+    // length n yields n-1 bigrams)
+    val e = graft.lake.Tables.events(spark, sf)
+    val expected = e.count() -
+      e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
 }
