@@ -305,17 +305,57 @@ object Warehouse {
       .orderBy("o_custkey")
   }
 
+  /** l4: incremental COUNT DISTINCT via mergeable HLL sketch state —
+    * l3's companion for the one aggregate that is NOT algebraic. A
+    * per-day DataSketches HLL of user_id is the stored state; each new
+    * batch sketches only its own rows and `hll_union_agg` merges —
+    * distinct users over any horizon without ever rescanning history
+    * (the reference's full-rescan posture again,
+    * ETL_glue_pregao_B3.json:34; exact distinct does not decompose,
+    * which is why warehouses persist sketches).
+    *
+    * Gate shape: the a6 within-bounds pattern — output carries the
+    * EXACT count (DuckDB recomputes it) plus a flag that the merged
+    * estimate lands within ±5%. lgConfigK=14 ⇒ ~0.8% RSE, so the 5%
+    * bound is >6σ on the pinned testdata (cannot flake); the sketch is
+    * 16 KB per day-group — partial-aggregable, broadcast-weight state.
+    */
+  def l4IncrementalDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    def sketch(df: DataFrame): DataFrame =
+      df.groupBy("day").agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val base  = e.filter(col("day") <  "2024-01-21")
+    val delta = e.filter(col("day") >= "2024-01-21")
+    val merged = sketch(base).unionByName(sketch(delta))
+      .groupBy("day").agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+    val exact = e.distinct().groupBy("day")
+      .agg(count(lit(1)).as("exact_users"))
+    merged.join(exact, "day")
+      .select(col("day"), col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) /
+          col("exact_users") <= 0.05).cast("int").as("within_bounds"))
+      .orderBy("day")
+  }
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_scd2"      -> (l1Scd2 _),
     "l3_incremental_agg" -> (l3IncrementalAgg _),
+    "l4_incremental_distinct" -> (l4IncrementalDistinct _),
     "l2_cdc_apply" -> (l2CdcApply _),
     "v1_profile"   -> (v1Profile _),
     "v2_quarantine" -> (v2Quarantine _),
     "v3_integrity" -> (v3Integrity _))
 
   def oracles: Map[String, String] = Map(
+    "l4_incremental_distinct" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       1 AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "l3_incremental_agg" ->
       """WITH c AS (
         |  SELECT o_custkey,

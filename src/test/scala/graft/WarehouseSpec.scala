@@ -261,4 +261,40 @@ class WarehouseSpec extends AnyFunSuite {
     val newRow = merged.filter(col("o_custkey") === -1L).collect()(0)
     assert(newRow.getLong(1) == 1L && newRow.getDouble(2) == 10.0)
   }
+
+  test("l4 incremental distinct: batch-sketch union is lossless vs one-pass sketch; estimates inside the gate") {
+    val out = Warehouse.l4IncrementalDistinct(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // every day's merged estimate lands inside the ±5% gate
+      assert(rows.forall(_.getInt(2) == 1), "a day fell outside ±5%")
+      // exact_users column really is the exact per-day distinct count
+      val e = graft.lake.Tables.events(spark, sf).select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      val direct = e.groupBy("day")
+        .agg(countDistinct("user_id").as("exact_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach(r =>
+        assert(r.getLong(1) == direct(r.getString(0)), s"day ${r.getString(0)}"))
+
+      // the incremental-maintenance contract: sketching two disjoint
+      // batches and UNIONING equals sketching the whole corpus in one
+      // pass — HLL union at equal lgConfigK is lossless, so per-day
+      // estimates must be IDENTICAL, not merely close
+      def sk(df: org.apache.spark.sql.DataFrame) = df.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val split = "2024-01-21"
+      val merged = sk(e.filter(col("day") < split))
+        .unionByName(sk(e.filter(col("day") >= split)))
+        .groupBy("day").agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      val onePass = sk(e)
+        .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val o = onePass.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == o, "batch-sketch union diverged from one-pass sketch")
+    } finally out.unpersist()
+  }
 }
