@@ -252,6 +252,92 @@ object Warehouse {
       .orderBy("rel")
   }
 
+  // ---------------------------------------------------------- k-anonymity
+
+  /** k-anonymity generalization with a RESIDUAL ladder: every row's
+    * quasi-identifier tuple is generalized just far enough that at
+    * least `k` PUBLISHED rows share it. The ladder suppresses quasi
+    * columns from the RIGHT (list order = most-specific-last): level 0
+    * keeps all of them, level i replaces the last i with `"*"`, level
+    * n suppresses everything (Sweeney 2002; Samarati 2001).
+    *
+    * "Residual" is the load-bearing word: level i's cell counts include
+    * ONLY rows still unpublished after level i−1 — counting all rows
+    * (plain full-domain recoding) lets a published coarse cell hold
+    * fewer than k rows once its siblings publish at a finer level,
+    * silently breaking the k guarantee (caught by this repo's own
+    * spec). With residual counts every published cell at level < n
+    * provably covers ≥ k rows; the level-n remainder is fully
+    * suppressed (`"*"` everywhere — zero quasi bits, nothing to
+    * isolate).
+    *
+    * Scale shape (100 TB): the raw table is scanned ONCE into level-0
+    * cells (one partial-aggregable count at the finest grain — the only
+    * data-sized exchange). The residual cascade re-aggregates the CELL
+    * relation, never the rows, so the ladder costs |cells| per level,
+    * and the per-row assignment is one join against the cell→level map
+    * on the full quasi key — broadcast-sized whenever the quasi domain
+    * is bounded (the point of quasi-identifiers). The `"*"` projection
+    * is a codegen'd `when` chain.
+    *
+    * Quasi columns must be string-typed (the `"*"` sentinel shares the
+    * column) and NON-NULL (cells group with plain equality; encode
+    * missing as a value first).
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    val n = quasi.length
+    val cells0 = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__c0"))
+    // residual cascade over the cell relation: `rem` = finest-grain
+    // cells whose rows are still unpublished entering level i
+    var rem = cells0.filter(col("__c0") < k)
+    val publishable = (1 until n).map { i =>
+      val keys = quasi.take(n - i)
+      val li = rem.groupBy(keys.map(col): _*).agg(sum("__c0").as("__ni"))
+      val pub = li.filter(col("__ni") >= k)
+        .select(keys.map(col): _*).withColumn(s"__p$i", lit(1))
+      rem = rem.join(li.filter(col("__ni") < k).select(keys.map(col): _*),
+        keys)
+      (keys, pub)
+    }
+    var ladder = cells0
+    publishable.foreach { case (keys, pub) =>
+      ladder = ladder.join(pub, keys, "left")
+    }
+    val levelOf = (1 until n).foldRight(lit(n): Column) { (i, coarser) =>
+      when(col(s"__p$i") === 1, lit(i)).otherwise(coarser)
+    }
+    val cellLevel = ladder.select(quasi.map(col) :+
+      when(col("__c0") >= k, lit(0)).otherwise(levelOf)
+        .cast("int").as("gen_level"): _*)
+    val keep = df.columns.filterNot(quasi.contains).toSeq
+    val genCols = quasi.zipWithIndex.map { case (q, idx) =>
+      // the column at position idx survives levels 0 .. n-1-idx
+      when(col("gen_level") <= lit(n - 1 - idx), col(q))
+        .otherwise(lit("*")).as(s"${q}_g")
+    }
+    df.join(cellLevel, quasi)
+      .select(keep.map(col) ++ (col("gen_level") +: genCols): _*)
+  }
+
+  /** v4: k-anonymity over customer quasi-identifiers (nation, market
+    * segment, $1000 account-balance band), k = 5. The band quantizes
+    * on integer cents with a positive offset so floor division agrees
+    * cross-engine (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they only coincide on non-negatives).
+    */
+  def v4KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey").cast("string").as("nation"),
+      col("c_mktsegment").as("segment"),
+      expr("CAST((CAST(round(c_acctbal * CAST(100 AS DOUBLE)) AS BIGINT)" +
+        " + 1000000) div 100000 AS STRING)").as("band"))
+    kAnonymize(c, Seq("nation", "segment", "band"), k = 5L)
+      .orderBy("c_custkey")
+  }
+
   /** Algebraic (count, sum) aggregate state per key — the partial an
     * incremental maintenance step produces, stores, and merges.
     */
@@ -348,9 +434,38 @@ object Warehouse {
     "l2_cdc_apply" -> (l2CdcApply _),
     "v1_profile"   -> (v1Profile _),
     "v2_quarantine" -> (v2Quarantine _),
-    "v3_integrity" -> (v3Integrity _))
+    "v3_integrity" -> (v3Integrity _),
+    "v4_kanonymity" -> (v4KAnonymity _))
 
   def oracles: Map[String, String] = Map(
+    "v4_kanonymity" ->
+      """WITH r AS (
+        |  SELECT c_custkey,
+        |    CAST(c_nationkey AS VARCHAR) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST((CAST(round(c_acctbal * CAST(100 AS DOUBLE)) AS BIGINT)
+        |          + 1000000) // 100000 AS VARCHAR) AS band
+        |  FROM customer),
+        |c0 AS (SELECT nation, segment, band, count(*) AS n0
+        |       FROM r GROUP BY 1, 2, 3),
+        |rem1 AS (SELECT * FROM c0 WHERE n0 < 5),
+        |l1 AS (SELECT nation, segment, sum(n0) AS n1 FROM rem1 GROUP BY 1, 2),
+        |rem2 AS (SELECT rem1.* FROM rem1
+        |         JOIN l1 USING (nation, segment) WHERE n1 < 5),
+        |l2 AS (SELECT nation, sum(n0) AS n2 FROM rem2 GROUP BY 1),
+        |lvl AS (
+        |  SELECT c0.nation, c0.segment, c0.band,
+        |    CASE WHEN n0 >= 5 THEN 0
+        |         WHEN l1.n1 >= 5 THEN 1
+        |         WHEN l2.n2 >= 5 THEN 2 ELSE 3 END AS gen_level
+        |  FROM c0 LEFT JOIN l1 USING (nation, segment)
+        |          LEFT JOIN l2 USING (nation))
+        |SELECT r.c_custkey, lvl.gen_level,
+        |  CASE WHEN gen_level <= 2 THEN r.nation ELSE '*' END AS nation_g,
+        |  CASE WHEN gen_level <= 1 THEN r.segment ELSE '*' END AS segment_g,
+        |  CASE WHEN gen_level <= 0 THEN r.band ELSE '*' END AS band_g
+        |FROM r JOIN lvl USING (nation, segment, band)
+        |ORDER BY r.c_custkey""".stripMargin,
     "l4_incremental_distinct" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

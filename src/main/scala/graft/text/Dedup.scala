@@ -536,6 +536,47 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** [[dropNearDuplicatesTransitive]] with a QUALITY-chosen survivor:
+    * per transitive dup-cluster keep the member maximizing `quality`
+    * (ties to the smallest doc_id), not the minimum id. This is the
+    * form production curation actually runs — "keep the longest /
+    * highest-scoring copy" (the component MIN id stays the cluster
+    * LABEL; which member survives is an independent policy choice).
+    *
+    * Scale shape: identical to the min-id form plus one
+    * |members|-sized `max_by` aggregate on the component key —
+    * partial-aggregable (each map task offers its best candidate), no
+    * window sort, and |members| ≤ 2·|pairs| ≪ |corpus|. The survivor
+    * election compares (quality, −doc_id) structs, so it is total and
+    * deterministic for any quality column.
+    */
+  def dropNearDuplicatesTransitiveBy(docs: DataFrame, quality: Column,
+      minJaccard: Double = 0.8,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      fam: Hashing.HashFamily = Hashing.md5Family): DataFrame = {
+    val comps = connectedComponents(
+      nearDupPairs(docs, minJaccard, materialize, fam), materialize)
+    val members = docs.select(col("doc_id"), quality.as("__q"))
+      .join(comps, Seq("doc_id"))
+    val survivors = members.groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("__q"), (-col("doc_id")).as("__nid"))).as("__survivor"))
+    val losers = members.join(survivors, Seq("component"))
+      .filter(col("doc_id") =!= col("__survivor"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Quality-survivor transitive dedup: d6's clusters, but each keeps
+    * its LONGEST member (n_chars, ties to the lowest id) — the
+    * keep-the-best-copy policy, hash-checked against the same
+    * recursive-closure oracle with a windowed survivor election.
+    */
+  def d11QualitySurvivor(s: SparkSession, d: String): DataFrame =
+    dropNearDuplicatesTransitiveBy(documents(s, d), col("n_chars"), 0.8)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   /** Span-level boilerplate removal (the line/paragraph dedup step of
     * C4/CCNet-style curation, applied WITHIN documents): segment each
     * doc into non-overlapping `span`-token chunks, count each chunk's
@@ -712,6 +753,7 @@ object Dedup {
     "d5_components"       -> (d5Components _),
     "t18_leakage_split"   -> (t18LeakageSafeSplit _),
     "d6_transitive_dedup" -> (d6TransitiveDedup _),
+    "d11_quality_survivor" -> (d11QualitySurvivor _),
     "d7_span_dedup"       -> (d7SpanDedup _),
     "d8_contamination"    -> (d8Contamination _),
     "d9_substring_dedup"  -> (d9SubstringDedup _),
@@ -843,6 +885,29 @@ object Dedup {
         |), """.stripMargin + closureCtes("vp") + """
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY d.doc_id""".stripMargin),
+    "d11_quality_survivor" ->
+      ("WITH RECURSIVE " + candidateCtes("documents") + """, vp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jac
+        |    FROM pairs JOIN sh sa ON doc_a = sa.doc_id
+        |               JOIN sh sb ON doc_b = sb.doc_id)
+        |  WHERE jac >= 0.8
+        |), """.stripMargin + closureCtes("vp") + """
+        |, m AS (
+        |  SELECT c.id, c.component, dd.n_chars
+        |  FROM comp c JOIN documents dd ON dd.doc_id = c.id
+        |), surv AS (
+        |  SELECT id FROM (
+        |    SELECT id, row_number() OVER (
+        |      PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn
+        |    FROM m) WHERE rn = 1
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT id FROM m WHERE id NOT IN (SELECT id FROM surv))
         |ORDER BY d.doc_id""".stripMargin),
     "d8_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -127,6 +127,32 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(survivors.size <= Dedup.dropNearDuplicates(docs, 0.8).count())
   }
 
+  test("quality-survivor transitive dedup keeps the longest member per component, ties to min id") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val comps = Dedup.connectedComponents(Dedup.nearDupPairs(docs, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val len = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = Dedup
+      .dropNearDuplicatesTransitiveBy(docs,
+        org.apache.spark.sql.functions.col("n_chars"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    comps.groupBy(_._2).foreach { case (c, members) =>
+      val ids = members.map(_._1)
+      val want = ids.minBy(id => (-len(id), id))
+      val kept = ids.filter(survivors)
+      assert(kept.toSeq == Seq(want),
+        s"component $c kept ${kept.mkString(",")} — want argmax n_chars $want")
+    }
+    // docs in no pair are untouched, and the cluster count (one
+    // survivor per component) matches the min-id form exactly
+    val inPairs = comps.map(_._1).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((all -- inPairs).forall(survivors))
+    assert(survivors.size ==
+      Dedup.dropNearDuplicatesTransitive(docs, 0.8).count())
+  }
+
   test("span dedup drops exactly the over-frequent chunks and preserves clean docs verbatim") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val out = Dedup.dropBoilerplateSpans(docs, span = 10, maxFreq = 2)

@@ -262,6 +262,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(newRow.getLong(1) == 1L && newRow.getDouble(2) == 10.0)
   }
 
+  test("v4 k-anonymity: every published quasi combination covers at least k rows; ladder is minimal") {
+    import spark.implicits._
+    // the real query upholds the k-anonymity property itself
+    val out = Warehouse.v4KAnonymity(spark, sf).cache()
+    try {
+      // every published cell below full suppression covers >= k rows —
+      // the residual-ladder guarantee (full-domain counts broke this:
+      // rows publishing at a finer level drained coarse cells below k)
+      val cellSizes = out.filter(col("gen_level") < 3)
+        .groupBy("nation_g", "segment_g", "band_g").count()
+        .collect().map(_.getLong(3))
+      assert(cellSizes.nonEmpty && cellSizes.forall(_ >= 5),
+        "a published quasi cell isolates fewer than k rows")
+      // minimality: a level-l row's UN-generalized cell at level l-1
+      // must have been below k (otherwise the ladder over-suppressed).
+      // Check the l=1 rows: their exact (nation, segment, band) cell
+      // in the raw data is < k.
+      val raw = graft.lake.Tables.customer(spark, sf).select(
+        col("c_custkey"),
+        col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST((CAST(round(c_acctbal * CAST(100 AS DOUBLE)) AS BIGINT)" +
+          " + 1000000) div 100000 AS STRING)").as("band"))
+      val rawCell = raw.groupBy("nation", "segment", "band").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      val rawByKey = raw.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+      out.filter(col("gen_level") === 1).collect().foreach { r =>
+        val cell = rawByKey(r.getLong(0))
+        assert(rawCell(cell) < 5, s"row ${r.getLong(0)} generalized needlessly")
+      }
+    } finally out.unpersist()
+
+    // crafted frame walks the WHOLE ladder (the synthetic corpus never
+    // reaches levels 2/3): k=2, quasi (a, b, c)
+    val df = Seq(
+      ("r1", "x", "p", "1"), ("r2", "x", "p", "1"),            // level 0
+      ("r3", "x", "p", "2"), ("r4", "x", "p", "3"),            // level 1
+      ("r5", "x", "q", "4"), ("r6", "x", "r", "5"),            // level 2
+      ("r7", "y", "s", "6")                                    // level 3
+    ).toDF("id", "a", "b", "c")
+    val g = Warehouse.kAnonymize(df, Seq("a", "b", "c"), 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(g("r1") == ((0, "x", "p", "1")) && g("r2") == ((0, "x", "p", "1")))
+    assert(g("r3") == ((1, "x", "p", "*")) && g("r4") == ((1, "x", "p", "*")))
+    assert(g("r5") == ((2, "x", "*", "*")) && g("r6") == ((2, "x", "*", "*")))
+    assert(g("r7") == ((3, "*", "*", "*")))
+  }
+
   test("l4 incremental distinct: batch-sketch union is lossless vs one-pass sketch; estimates inside the gate") {
     val out = Warehouse.l4IncrementalDistinct(spark, sf).cache()
     try {
