@@ -412,8 +412,12 @@ object Warehouse {
       col("user_id"))
     def sketch(df: DataFrame): DataFrame =
       df.groupBy("day").agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-    val base  = e.filter(col("day") <  "2024-01-21")
-    val delta = e.filter(col("day") >= "2024-01-21")
+    // batch split CROSSES the day grain (user parity, not a day
+    // boundary) so every day's state genuinely merges two sketches —
+    // a day-bounded split would union one sketch per day and never
+    // exercise mergeability
+    val base  = e.filter(col("user_id") % 2 === 0)
+    val delta = e.filter(col("user_id") % 2 =!= 0)
     val merged = sketch(base).unionByName(sketch(delta))
       .groupBy("day").agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
     val exact = e.distinct().groupBy("day")
@@ -425,12 +429,99 @@ object Warehouse {
       .orderBy("day")
   }
 
+  /** l5: incremental QUANTILE state via mergeable KLL sketches — the
+    * order-statistics companion to l3 (algebraic) and l4 (distinct).
+    * Per-month KLL sketch of order price cents is the stored state;
+    * batches sketch only their own rows and `kll_merge_agg_bigint`
+    * combines, so any horizon's median/p99 comes out of state without
+    * rescanning history. The batch split crosses the month grain
+    * (orderkey parity) so every month's state merges two sketches.
+    *
+    * k = 800 ⇒ months below 800 rows sit in the sketch's exact regime
+    * (no sampling), and beyond it the KLL normalized rank error at
+    * k=800 is ~0.4% — the gate checks the estimate's EXACT rank lands
+    * within ±(5% + 1/n) of the median. The 1/n term is rank
+    * DISCRETIZATION, not sketch error: with n rows the nearest
+    * achievable rank to 0.5 under the inclusive-quantile convention
+    * is up to 1/n above it (a 1-row month's only rank is 100%), so a
+    * fixed bound fails tiny groups no sketch could satisfy. Gate
+    * shape: a6/l4 pattern — DuckDB recomputes the exact row counts;
+    * the rank check is Spark-side arithmetic on exact integers.
+    *
+    * Scale shape (100 TB): two narrow scans (sketch partials are
+    * map-side combined; the rank gate re-aggregates the same
+    * month-keyed exchange); state is ≤ a few KB per month-group.
+    */
+  def l5IncrementalQuantile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)")
+        .as("cents"))
+    def sketch(df: DataFrame): DataFrame = df.groupBy("month")
+      .agg(expr("kll_sketch_agg_bigint(cents, 800)").as("sk"))
+    val merged = sketch(o.filter(col("o_orderkey") % 2 === 0))
+      .unionByName(sketch(o.filter(col("o_orderkey") % 2 =!= 0)))
+      .groupBy("month").agg(expr("kll_merge_agg_bigint(sk, 800)").as("sk"))
+    val est = merged.select(col("month"),
+      expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("est"))
+    o.join(est, "month")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("month"), col("n_orders"),
+        (abs(col("n_le") * 10000L / col("n_orders") - 5000L) <=
+          lit(500L) + lit(10000L) / col("n_orders"))
+          .cast("int").as("within_bounds"))
+      .orderBy("month")
+  }
+
+  /** l6: audience-overlap matrix via Theta-sketch SET ALGEBRA — for
+    * every pair of event types, how many distinct users did BOTH.
+    * Theta sketches support intersection/difference where HLL only
+    * unions, which is why warehouses persist them for segment-overlap
+    * analytics: per-segment sketches are tiny mergeable state, and any
+    * pairwise (or k-way) overlap is computed from state alone.
+    *
+    * The exact leg (distinct-grain self-join) exists here as the
+    * oracle gate; at 100 TB you publish the sketch estimates and skip
+    * it. Scale shape: the log collapses ONCE to the (user, type)
+    * grain; sketches partial-aggregate per type; the intersection runs
+    * on the k-row sketch relation (k = event types), k²/2 pairs of
+    * in-memory sketch ops — the log is never self-joined for the
+    * estimate path. At testdata scale the per-type user sets sit below
+    * the sketch's 4096-entry exact regime, so estimates are exact and
+    * the ±5% gate cannot flake.
+    */
+  def l6OverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val grain = events(s, d)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val sk = grain.groupBy("t").agg(expr("theta_sketch_agg(u)").as("sk"))
+    val est = sk.as("a").crossJoin(sk.as("b"))
+      .filter(col("a.t") < col("b.t"))
+      .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
+        expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))")
+          .as("est"))
+    val exact = grain.as("x")
+      .join(grain.as("y"), col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est") - col("exact_overlap")) <=
+          greatest(lit(1.0), col("exact_overlap") * 0.05))
+          .cast("int").as("within_bounds"))
+      .orderBy("type_a", "type_b")
+  }
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_scd2"      -> (l1Scd2 _),
     "l3_incremental_agg" -> (l3IncrementalAgg _),
     "l4_incremental_distinct" -> (l4IncrementalDistinct _),
+    "l5_incremental_quantile" -> (l5IncrementalQuantile _),
+    "l6_overlap_matrix" -> (l6OverlapMatrix _),
     "l2_cdc_apply" -> (l2CdcApply _),
     "v1_profile"   -> (v1Profile _),
     "v2_quarantine" -> (v2Quarantine _),
@@ -471,6 +562,18 @@ object Warehouse {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       1 AS within_bounds
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "l5_incremental_quantile" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       1 AS within_bounds
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "l6_overlap_matrix" ->
+      """WITH g AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events)
+        |SELECT x.t AS type_a, y.t AS type_b,
+        |       CAST(count(*) AS BIGINT) AS exact_overlap,
+        |       1 AS within_bounds
+        |FROM g x JOIN g y ON x.u = y.u AND x.t < y.t
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
     "l3_incremental_agg" ->
       """WITH c AS (
         |  SELECT o_custkey,

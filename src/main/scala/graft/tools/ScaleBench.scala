@@ -11,16 +11,51 @@ import org.apache.spark.sql.SparkSession
   * e ≲ 1.3 per query (with an absolute-seconds floor — a 0.2 s query
   * doubling is timer noise, not a scaling law).
   *
+  * Besides wall time it tallies SHUFFLE BYTES (read+written) per run
+  * via a stage listener and reports their exponent too: bytes are a
+  * pure function of the plan and the data — immune to the co-tenant
+  * timing drift that has flagged every round's bench — so `bexp` is
+  * the noise-free scaling law and `exp` the observed cost. A
+  * candidate-volume blow-up shows in `bexp` even when a fast machine
+  * hides it in seconds.
+  *
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1 /tmp/graft_sf1 10"
   *
   * Results land in SCALE_SELF.json (full record; stdout may truncate).
   */
 object ScaleBench {
 
+  /** Accumulates shuffle bytes across completed stages. Spark delivers
+    * stage events asynchronously, so reads go through [[quiesce]].
+    */
+  private final class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def snapshot: Long = read.get() + write.get()
+  }
+
+  /** Wait until no job is active, then give the listener bus a short
+    * drain window — bounds the event bleed between measured runs.
+    */
+  private def quiesce(spark: SparkSession): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    while (tracker.getActiveJobIds().nonEmpty) Thread.sleep(20)
+    Thread.sleep(150)
+  }
+
   /** The expensive families named by the r6 verdict. */
   val heavy: Seq[String] = Seq(
     "d2_minhash_lsh", "d5_components", "d6_transitive_dedup",
-    "d9_substring_dedup",
+    "d9_substring_dedup", "d10_allpairs_jaccard", "d11_quality_survivor",
     "s2_ann_lsh", "s3_embedding_neardup", "s6_semdedup", "s9_pq_topk",
     "t18_leakage_split", "pipe_docs_prep", "f_edit_distance")
 
@@ -44,11 +79,19 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runNoop(name: String, dir: String): Double = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    // returns (seconds, shuffle bytes read+written by this run)
+    def runNoop(name: String, dir: String): (Double, Long) = {
+      quiesce(spark)
+      val bytes0 = tally.snapshot
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      quiesce(spark)
+      (sec, tally.snapshot - bytes0)
     }
 
     // JIT/codegen warmup on the small tier, same as Bench
@@ -60,18 +103,22 @@ object ScaleBench {
     // interleave tiers pass by pass (base, scaled, base, scaled, ...) so
     // a co-tenant stall can't land one-sidedly on a single tier
     val results = names.map { n =>
-      val tb = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val tb = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      val ts = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       (1 to passes).foreach { _ =>
         tb += runNoop(n, base)
         ts += runNoop(n, scaled)
       }
-      val (b, s) = (tb.min, ts.min)
+      val (b, s) = (tb.map(_._1).min, ts.map(_._1).min)
+      // bytes are plan-deterministic; min discards any listener bleed
+      val (bb, sb) = (tb.map(_._2).min, ts.map(_._2).min)
       val e = math.log(s / b) / math.log(factor.toDouble)
-      (n, b, s, e)
+      val be = math.log(math.max(1L, sb).toDouble /
+        math.max(1L, bb).toDouble) / math.log(factor.toDouble)
+      (n, b, s, e, bb, sb, be)
     }
-    val qs = results.map { case (n, b, s, e) =>
-      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"exp":$e%.3f}"""
+    val qs = results.map { case (n, b, s, e, bb, sb, be) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"exp":$e%.3f,"base_shuffle_mb":${bb / 1e6}%.1f,"scaled_shuffle_mb":${sb / 1e6}%.1f,"bexp":$be%.3f}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_exponent","factor":$factor,"passes":$passes,"base":"$base","scaled":"$scaled","queries":$qs}"""

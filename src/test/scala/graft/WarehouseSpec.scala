@@ -332,19 +332,79 @@ class WarehouseSpec extends AnyFunSuite {
       // the incremental-maintenance contract: sketching two disjoint
       // batches and UNIONING equals sketching the whole corpus in one
       // pass — HLL union at equal lgConfigK is lossless, so per-day
-      // estimates must be IDENTICAL, not merely close
+      // estimates must be IDENTICAL, not merely close. The split
+      // crosses the day grain (user parity) so every day genuinely
+      // merges TWO sketches — a day-boundary split would union one
+      // sketch per day and prove nothing.
       def sk(df: org.apache.spark.sql.DataFrame) = df.groupBy("day")
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-      val split = "2024-01-21"
-      val merged = sk(e.filter(col("day") < split))
-        .unionByName(sk(e.filter(col("day") >= split)))
+      val merged = sk(e.filter(col("user_id") % 2 === 0))
+        .unionByName(sk(e.filter(col("user_id") % 2 =!= 0)))
         .groupBy("day").agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
         .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
       val onePass = sk(e)
         .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
       val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val o = onePass.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m.keySet == o.keySet, "merged/one-pass day sets diverged")
       assert(m == o, "batch-sketch union diverged from one-pass sketch")
+    } finally out.unpersist()
+  }
+
+  test("l5 incremental quantile: gate holds, counts exact, merge matches one-pass in the exact regime") {
+    val out = Warehouse.l5IncrementalQuantile(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getInt(2) == 1), "a month's median fell outside the rank gate")
+      val direct = graft.lake.Tables.orders(spark, sf)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach(r => assert(r.getLong(1) == direct(r.getString(0))))
+
+      // below k=800 rows/month the KLL sketch is in its exact regime:
+      // a parity-split merge must yield the IDENTICAL median estimate
+      // to one-pass sketching (merged exact sketches stay exact)
+      val o = graft.lake.Tables.orders(spark, sf).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)").as("cents"))
+      assert(o.groupBy("month").count().collect().forall(_.getLong(1) < 800),
+        "test premise broken: a month exceeds the exact regime")
+      def est(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("month"),
+          expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def sk(df: org.apache.spark.sql.DataFrame) = df.groupBy("month")
+        .agg(expr("kll_sketch_agg_bigint(cents, 800)").as("sk"))
+      val merged = est(sk(o.filter(col("o_orderkey") % 2 === 0))
+        .unionByName(sk(o.filter(col("o_orderkey") % 2 =!= 0)))
+        .groupBy("month").agg(expr("kll_merge_agg_bigint(sk, 800)").as("sk")))
+      val onePass = est(sk(o))
+      assert(merged == onePass, "KLL merge diverged from one-pass in exact regime")
+    } finally out.unpersist()
+  }
+
+  test("l6 overlap matrix: exact overlaps match a direct computation; sketch estimates inside the gate") {
+    val out = Warehouse.l6OverlapMatrix(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getInt(3) == 1), "a pair overlap fell outside ±5%")
+      // direct overlap computation in plain Scala
+      val grain = graft.lake.Tables.events(spark, sf)
+        .select("event_type", "user_id").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val byType = grain.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+      rows.foreach { r =>
+        val want = (byType(r.getString(0)) & byType(r.getString(1))).size
+        assert(r.getLong(2) == want,
+          s"${r.getString(0)}x${r.getString(1)}: ${r.getLong(2)} != $want")
+      }
+      // every unordered type pair appears exactly once
+      val types = byType.keys.toSeq.sorted
+      assert(rows.length == types.combinations(2).length)
     } finally out.unpersist()
   }
 }
