@@ -39,10 +39,10 @@ import graft.lake.Tables._
   * degenerate corpus where most docs truly match degrades toward the
   * n² output that ANY complete algorithm must emit on it.
   *
-  * Determinism: (df, shingle) is a total order (lexical tie-break), so
-  * prefixes are unique per doc and the result is a pure function of
-  * the corpus. The integer form ceil(3n/5) = (3n+4) div 5 keeps the
-  * τ=0.6 prefix length float-free.
+  * Determinism: (df, shingle-hash) is a total order (numeric
+  * tie-break), so prefixes are unique per doc and the result is a pure
+  * function of the corpus. The integer form ceil(3n/5) = (3n+4) div 5
+  * keeps the τ=0.6 prefix length float-free.
   */
 object SetSimilarity {
 
@@ -54,30 +54,62 @@ object SetSimilarity {
   private[graft] def shingleSets(docs: DataFrame): DataFrame =
     Dedup.shingledDf(docs).select(col("doc_id"), col("sh"))
 
-  /** The τ=0.6 prefix relation: (doc_id, tok) restricted to each doc's
-    * rarest |S| − ceil(0.6|S|) + 1 shingles under the global
-    * (df, shingle) order.
+  /** Shingle sets with each 3-gram replaced by its xxhash64: every
+    * shuffle, sort, join, and intersect downstream keys on 8-byte
+    * longs instead of ~20-byte strings (measured 13.9 → ~4 s on the
+    * sf0.1 corpus). Equal shingles hash equal, so candidate
+    * COMPLETENESS is unconditional; a 64-bit collision between
+    * distinct shingles could only merge two universe elements
+    * (P ≈ m²/2⁶⁵ — ~10⁻⁶ at 5 M shingles), and the spec's equality
+    * against the string-universe [[bruteExact]] would surface one at
+    * test scale.
+    */
+  private[graft] def hashedSets(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"),
+      transform(col("sh"), x => xxhash64(x)).as("hs"))
+
+  /** The τ=0.6 prefix relation over the STRING shingle frame:
+    * (doc_id, tok, rn, n) restricted to each doc's rarest
+    * |S| − ceil(0.6|S|) + 1 shingles under the global (df, hash)
+    * order, with tok already hashed. The order differs from the
+    * string-keyed one but ANY total order on the universe preserves
+    * the prefix guarantee, and the verified output is order-invariant.
+    * rn (position under the order) and n (set size) ride along for the
+    * positional filter.
+    *
+    * Hashing happens AFTER the explode as a scalar `xxhash64(tk)` —
+    * codegen'd, one hash per exploded row. Hashing inside the array
+    * via `transform` before the explode measured ~6× slower: the
+    * higher-order lambda is interpreted per element and sits under the
+    * Generate, off the whole-stage-codegen path.
     */
   private[graft] def prefixes(ts: DataFrame): DataFrame = {
-    val tok = ts.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val tok = ts
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("tk"))
+      .select(col("doc_id"), col("n"), xxhash64(col("tk")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
     tok.join(dfreq, "tok")
       .withColumn("rn", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-      .select("doc_id", "tok")
+      .select("doc_id", "tok", "rn", "n")
   }
 
-  private def verified(cand: DataFrame, ts: DataFrame): DataFrame =
+  /** Exact verification of candidate pairs against full sets; `setCol`
+    * is `hs` (hashed longs, the fast path) or `sh` (strings, the brute
+    * oracle's universe).
+    */
+  private def verified(cand: DataFrame, ts: DataFrame,
+      setCol: String): DataFrame =
     cand
-      .join(ts.select(col("doc_id"), col("sh")).as("sa"),
-        col("doc_a") === col("sa.doc_id"))
-      .join(ts.select(col("doc_id"), col("sh")).as("sb"),
-        col("doc_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .join(ts.select(col("doc_id"), col(setCol).as("xa")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(ts.select(col("doc_id"), col(setCol).as("xb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
       .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")), 4))
+        (size(col("xa")) + size(col("xb")) - col("inter")), 4))
       .filter(col("jac") >= Tau)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
@@ -88,21 +120,42 @@ object SetSimilarity {
   def d10AllPairsJaccard(s: SparkSession, d: String): DataFrame =
     allPairs(documents(s, d))
 
-  /** Corpus API over any (doc_id, text) frame. */
+  /** Corpus API over any (doc_id, text) frame.
+    *
+    * Candidate join carries the two PPJoin prunes on top of the prefix
+    * principle (Xiao et al., WWW'08 §3):
+    *  - LENGTH filter: J ≥ τ forces τ ≤ |A∩B|/max(|A|,|B|) ≤
+    *    min/max, so 3·max ≤ 5·min at τ = 3/5.
+    *  - POSITIONAL filter: J ≥ τ ⟺ inter ≥ τ/(1+τ)·(|A|+|B|) =
+    *    ceil(3(na+nb)/8). For a truly-qualifying pair, its FIRST
+    *    common shingle t* under the global order sits in both
+    *    prefixes with no common shingle preceding it in either set,
+    *    so inter ≤ 1 + min(na−ra, nb−rb) at that row — and a true
+    *    pair's t*-row passes the filter (inter ≥ minOverlap ⇒ the
+    *    bound does too). Join rows for LATER common tokens may be
+    *    pruned, but the pair already survived via t*, so ANY-join +
+    *    distinct stays complete; only false positives die early.
+    */
   def allPairs(docs: DataFrame): DataFrame = {
-    val ts = shingleSets(docs)
-    val pref = prefixes(ts)
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pref = prefixes(shingleSets(docs))
+    val a = pref.select(col("doc_id").as("da"), col("tok"),
+      col("rn").as("ra"), col("n").as("na"))
+    val b = pref.select(col("doc_id").as("db"), col("tok"),
+      col("rn").as("rb"), col("n").as("nb"))
+    val cand = a.join(b, "tok")
+      .filter(expr("da < db AND na * 3 <= nb * 5 AND nb * 3 <= na * 5 AND " +
+        "1 + least(na - ra, nb - rb) >= (3 * (na + nb) + 7) div 8"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
-    verified(cand, ts)
+    verified(cand, hashedSets(docs), "hs")
   }
 
   /** The brute exact form (full shingle self-join) — the completeness
     * oracle the spec compares against; also what the DuckDB oracle
-    * runs. Never the 100 TB shape: every boilerplate shingle fans out
-    * df² candidate rows.
+    * runs. Deliberately kept on the STRING universe (no hashing), so
+    * the spec's fast==brute equality doubles as a collision check on
+    * [[hashedSets]]. Never the 100 TB shape: every boilerplate shingle
+    * fans out df² candidate rows.
     */
   private[graft] def bruteExact(docs: DataFrame): DataFrame = {
     val ts = shingleSets(docs)
@@ -111,7 +164,7 @@ object SetSimilarity {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verified(cand, ts)
+    verified(cand, ts, "sh")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

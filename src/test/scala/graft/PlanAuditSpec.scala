@@ -316,6 +316,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t18 post-fixpoint exchange count grew to $n:\n$plan")
   }
 
+  test("d10 all-pairs: prefix self-join reuses its exchange, no cartesian, bounded exchanges") {
+    // the exact set-similarity join must never go all-pairs: candidates
+    // come from the PREFIX self-join only (both sides the same subplan —
+    // one exchange, reused), verification joins candidate ids back to
+    // the hashed sets. Exchange count is fixed as data grows.
+    val df = graft.text.SetSimilarity.d10AllPairsJaccard(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("reused"),
+      s"d10 does not reuse the prefix self-join exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d10 went all-pairs:\n$plan")
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 10, s"d10 exchange count grew to $n (df agg + df join + " +
+      s"rarity window + prefix self-join + pair dedup + two set joins + " +
+      s"output sort expected):\n$plan")
+  }
+
   test("eventsBetween pushes the ts bounds into the parquet scan (r5 verdict #2)") {
     // the plain events path converts the nanos-long ts first, so range
     // predicates evaluate post-scan; eventsBetween filters the RAW long —
