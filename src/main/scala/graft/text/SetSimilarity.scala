@@ -68,26 +68,17 @@ object SetSimilarity {
     shingleSets(docs).select(col("doc_id"),
       transform(col("sh"), x => xxhash64(x)).as("hs"))
 
-  /** The τ=0.6 prefix relation over the STRING shingle frame:
+  /** The τ=0.6 prefix relation over the HASHED shingle frame:
     * (doc_id, tok, rn, n) restricted to each doc's rarest
     * |S| − ceil(0.6|S|) + 1 shingles under the global (df, hash)
-    * order, with tok already hashed. The order differs from the
-    * string-keyed one but ANY total order on the universe preserves
-    * the prefix guarantee, and the verified output is order-invariant.
-    * rn (position under the order) and n (set size) ride along for the
-    * positional filter.
-    *
-    * Hashing happens AFTER the explode as a scalar `xxhash64(tk)` —
-    * codegen'd, one hash per exploded row. Hashing inside the array
-    * via `transform` before the explode measured ~6× slower: the
-    * higher-order lambda is interpreted per element and sits under the
-    * Generate, off the whole-stage-codegen path.
+    * order. The order differs from the string-keyed one but ANY total
+    * order on the universe preserves the prefix guarantee, and the
+    * verified output is order-invariant. rn (position under the
+    * order) and n (set size) ride along for the positional filter.
     */
-  private[graft] def prefixes(ts: DataFrame): DataFrame = {
-    val tok = ts
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("tk"))
-      .select(col("doc_id"), col("n"), xxhash64(col("tk")).as("tok"))
+  private[graft] def prefixes(hs: DataFrame): DataFrame = {
+    val tok = hs.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
     tok.join(dfreq, "tok")
@@ -135,9 +126,21 @@ object SetSimilarity {
     *    bound does too). Join rows for LATER common tokens may be
     *    pruned, but the pair already survived via t*, so ANY-join +
     *    distinct stays complete; only false positives die early.
+    *
+    * The hashed-sets relation feeds FOUR branches (df count, prefix
+    * join probe, both verification sides); `materialize` runs the
+    * shingle construction ONCE instead of per branch (the in-plan
+    * recompute measured ~2 s of a 4.5 s sf0.1 run — the shingling and
+    * hashing `transform` lambdas are interpreted per element, off the
+    * codegen path). Same durability dial as [[Dedup.nearDupPairs]]:
+    * `localCheckpoint` (fast, executor-local) vs `checkpoint`/
+    * write-out (survives executor loss at 100 TB); `identity` keeps
+    * the fully declarative single plan and pays the recompute.
     */
-  def allPairs(docs: DataFrame): DataFrame = {
-    val pref = prefixes(shingleSets(docs))
+  def allPairs(docs: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val hs = materialize(hashedSets(docs))
+    val pref = prefixes(hs)
     val a = pref.select(col("doc_id").as("da"), col("tok"),
       col("rn").as("ra"), col("n").as("na"))
     val b = pref.select(col("doc_id").as("db"), col("tok"),
@@ -147,7 +150,7 @@ object SetSimilarity {
         "1 + least(na - ra, nb - rb) >= (3 * (na + nb) + 7) div 8"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
-    verified(cand, hashedSets(docs), "hs")
+    verified(cand, hs, "hs")
   }
 
   /** The brute exact form (full shingle self-join) — the completeness

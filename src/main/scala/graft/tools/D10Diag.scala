@@ -24,27 +24,19 @@ object D10Diag {
     }
 
     val docs = graft.lake.Tables.documents(spark, sfDir)
-    val ts = graft.text.SetSimilarity.shingleSets(docs)
-    // warmups
-    ts.write.format("noop").mode("overwrite").save()
+    // warmup
+    graft.text.SetSimilarity.hashedSets(docs)
+      .write.format("noop").mode("overwrite").save()
 
-    time("shingleSets (noop)") { ts.write.format("noop").mode("overwrite").save() }
     time("hashedSets (noop)") {
       graft.text.SetSimilarity.hashedSets(docs)
         .write.format("noop").mode("overwrite").save()
     }
-    val pref = graft.text.SetSimilarity.prefixes(ts)
-    time("prefixes count") { println("  prefix rows = " + pref.count()) }
-    val a = pref.select(col("doc_id").as("da"), col("tok"),
-      col("rn").as("ra"), col("n").as("na"))
-    val b = pref.select(col("doc_id").as("db"), col("tok"),
-      col("rn").as("rb"), col("n").as("nb"))
-    val cand = a.join(b, "tok")
-      .filter(expr("da < db AND na * 3 <= nb * 5 AND nb * 3 <= na * 5 AND " +
-        "1 + least(na - ra, nb - rb) >= (3 * (na + nb) + 7) div 8"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"))
-      .distinct()
-    time("candidates count") { println("  cand pairs = " + cand.count()) }
+    val hs = graft.text.SetSimilarity.hashedSets(docs).localCheckpoint()
+    val pref = graft.text.SetSimilarity.prefixes(hs)
+    time("prefixes count (checkpointed base)") {
+      println("  prefix rows = " + pref.count())
+    }
     time("full d10 (noop)") {
       graft.text.SetSimilarity.d10AllPairsJaccard(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -52,8 +52,8 @@ class SetSimilaritySpec extends AnyFunSuite {
   }
 
   test("prefix relation is strictly smaller than the full shingle relation (the point of the filter)") {
-    val ts = SetSimilarity.shingleSets(graft.lake.Tables.documents(spark, sf))
-    val full = ts.select(col("doc_id"), explode(col("sh")).as("tok")).count()
+    val ts = SetSimilarity.hashedSets(graft.lake.Tables.documents(spark, sf))
+    val full = ts.select(col("doc_id"), explode(col("hs")).as("tok")).count()
     val pref = SetSimilarity.prefixes(ts).count()
     assert(pref < full, s"prefix $pref !< full $full")
     // tau=0.6 keeps |S| - ceil(0.6|S|) + 1 ≈ 0.4|S| + 1 shingles per doc
