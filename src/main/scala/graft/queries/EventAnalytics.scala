@@ -203,7 +203,39 @@ object EventAnalytics {
       .orderBy("prev_type", "event_type")
   }
 
+  /** w13: exponentially-weighted trailing average of each user's daily
+    * spend — the exponential-decay smoother the w-family lacked (w6 and
+    * w10 are uniform-weight frames). α = 1/2 over an 8-term horizon,
+    * carried in ×128 fixed point: the weights 128, 64, …, 1 are exact
+    * dyadic integers, so the op is integer arithmetic end to end — no
+    * float summation order anywhere (the transcendental-free
+    * determinism rule) — and the truncation error vs the
+    * infinite-horizon recursion is < max|v|/128 of one step.
+    *
+    * Scale shape: ONE log-sized exchange — repartition(user_id)
+    * satisfies BOTH the (user, day) grain aggregation (hash on a key
+    * subset clusters the finer grain) and the lag window's
+    * partitioning (the w6 shared-exchange rule, asserted in
+    * EventAnalyticsSpec); the lag ladder is seven codegen'd window
+    * lags over the (user, day) GRAIN, never the raw log.
+    */
+  def w13Ewma(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val g = events(s, d)
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(expr(ValueU)).as("vu"))
+    val ewma = (col("vu") * lit(128L)) +: (1 to 7).map(i =>
+      coalesce(lag(col("vu"), i).over(byDay), lit(0L)) * lit(1L << (7 - i)))
+    g.withColumn("ewma_x128", ewma.reduce(_ + _))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("vu"), col("ewma_x128"))
+      .orderBy("user_id", "day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_ewma"         -> (w13Ewma _),
     "w12_transitions"  -> (w12Transitions _),
     "t24_retention"    -> (t24Retention _),
     "t25_interpolate"  -> (t25Interpolate _),
@@ -213,6 +245,22 @@ object EventAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "w13_ewma" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vu
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, vu,
+        |  128 * vu
+        |  + 64 * COALESCE(lag(vu, 1) OVER u, 0)
+        |  + 32 * COALESCE(lag(vu, 2) OVER u, 0)
+        |  + 16 * COALESCE(lag(vu, 3) OVER u, 0)
+        |  +  8 * COALESCE(lag(vu, 4) OVER u, 0)
+        |  +  4 * COALESCE(lag(vu, 5) OVER u, 0)
+        |  +  2 * COALESCE(lag(vu, 6) OVER u, 0)
+        |  +      COALESCE(lag(vu, 7) OVER u, 0) AS ewma_x128
+        |FROM g WINDOW u AS (PARTITION BY user_id ORDER BY day)
+        |ORDER BY user_id, day""".stripMargin,
     "w12_transitions" ->
       """WITH o AS (
         |  SELECT user_id, event_type,

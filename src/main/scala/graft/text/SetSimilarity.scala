@@ -46,7 +46,10 @@ import graft.lake.Tables._
   */
 object SetSimilarity {
 
-  private val Tau = 0.6
+  private val TauBp = 6000L  // τ = 0.6 as floor'd basis points
+
+  /** Containment threshold τ_c = 0.8 as basis points (d12). */
+  private val TauCBp = 8000L
 
   /** Distinct 3-gram shingle sets per doc — d2/d4's universe
     * ([[Dedup.shingledDf]]: ≥3 tokens, whitespace split).
@@ -89,7 +92,10 @@ object SetSimilarity {
 
   /** Exact verification of candidate pairs against full sets; `setCol`
     * is `hs` (hashed longs, the fast path) or `sh` (strings, the brute
-    * oracle's universe).
+    * oracle's universe). Jaccard is emitted as floor'd basis points
+    * (inter·10000 div union) — `round(x, 4)` on an exact dyadic
+    * quotient like 27/32 = 0.84375 is a HALF tie, and the engines'
+    * tie modes differ (the repo-wide integer-bp convention).
     */
   private def verified(cand: DataFrame, ts: DataFrame,
       setCol: String): DataFrame =
@@ -99,14 +105,14 @@ object SetSimilarity {
       .join(ts.select(col("doc_id"), col(setCol).as("xb")),
         col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("xa")) + size(col("xb")) - col("inter")), 4))
-      .filter(col("jac") >= Tau)
-      .select("doc_a", "doc_b", "jac")
+      .withColumn("jac_bp", expr(
+        "inter * 10000L div (size(xa) + size(xb) - inter)"))
+      .filter(col("jac_bp") >= TauBp)
+      .select("doc_a", "doc_b", "jac_bp")
       .orderBy("doc_a", "doc_b")
 
-  /** d10: every pair with shingle Jaccard ≥ 0.6 — (doc_a, doc_b, jac),
-    * exact and complete (no LSH miss rate).
+  /** d10: every pair with shingle Jaccard ≥ 0.6 — (doc_a, doc_b,
+    * jac_bp), exact and complete (no LSH miss rate).
     */
   def d10AllPairsJaccard(s: SparkSession, d: String): DataFrame =
     allPairs(documents(s, d))
@@ -170,8 +176,92 @@ object SetSimilarity {
     verified(cand, ts, "sh")
   }
 
+  /** d12: directed set-containment join — every ORDERED pair (A, B),
+    * A ≠ B, with |A∩B|/|A| ≥ 0.8 over the d10 shingle universe:
+    * (doc_a = contained, doc_b = container, cont_bp). Catches
+    * subset/quote-inclusion duplicates that Jaccard misses when the
+    * container dwarfs the contained doc (J = |A∩B|/|A∪B| → 0 as |B|
+    * grows even at full containment) — the complement to d9's
+    * CONTIGUOUS-substring dedup: d12's containment is set-level, so a
+    * quoted doc with its sentences reordered or interleaved still
+    * scores 1.0.
+    */
+  def d12Containment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d))
+
+  /** Corpus API for d12. Prefix filtering adapts to the asymmetric
+    * predicate: required overlap o = ceil(0.8·|A|) depends on the
+    * CONTAINED side only, so A keeps its rarest |A| − o + 1 shingles
+    * (a ~0.2|A| prefix) while B probes with its FULL list (no
+    * τ·|B|-based prune exists — B only needs |B| ≥ o, the length
+    * filter 5·nb ≥ 4·na). The positional bound at A and B's first
+    * common shingle (no common shingle precedes it in either set)
+    * is inter ≤ 1 + min(na−ra, nb−rb), so a true pair's t*-row
+    * passes and ANY-join + distinct stays complete — same argument
+    * as [[allPairs]], asymmetric thresholds.
+    *
+    * Scale shape: candidates are prefix(A) ⋈ full(B) — the fan-out
+    * is Σ_tok prefix-df(tok)·df(tok), self-limiting because rare
+    * shingles dominate prefixes; verification touches candidate ids
+    * only. Same materializer dial as [[allPairs]].
+    */
+  def containmentPairs(docs: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val hs = materialize(hashedSets(docs))
+    val tok = hs.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
+    val ranked = tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(byRarity))
+    val prefA = ranked
+      .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id").as("da"), col("tok"),
+        col("rn").as("ra"), col("n").as("na"))
+    val fullB = ranked.select(col("doc_id").as("db"), col("tok"),
+      col("rn").as("rb"), col("n").as("nb"))
+    val cand = prefA.join(fullB, "tok")
+      .filter(expr("da <> db AND 5 * nb >= 4 * na AND " +
+        "1 + least(na - ra, nb - rb) >= (4 * na + 4) div 5"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id"), col("hs").as("xa")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(hs.select(col("doc_id"), col("hs").as("xb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
+      .withColumn("cont_bp", expr("inter * 10000L div size(xa)"))
+      .filter(col("cont_bp") >= TauCBp)
+      .select("doc_a", "doc_b", "cont_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute containment over the string universe — d12's completeness
+    * oracle (mirrors the DuckDB SQL).
+    */
+  private[graft] def bruteContainment(docs: DataFrame): DataFrame = {
+    val ts = shingleSets(docs)
+    val tok = ts.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val cand = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ts.select(col("doc_id"), col("sh").as("xa")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(ts.select(col("doc_id"), col("sh").as("xb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
+      .withColumn("cont_bp", expr("inter * 10000L div size(xa)"))
+      .filter(col("cont_bp") >= TauCBp)
+      .select("doc_a", "doc_b", "cont_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d10_allpairs_jaccard" -> (d10AllPairsJaccard _))
+    "d10_allpairs_jaccard" -> (d10AllPairsJaccard _),
+    "d12_containment" -> (d12Containment _))
 
   def oracles: Map[String, String] = Map(
     "d10_allpairs_jaccard" ->
@@ -187,10 +277,28 @@ object SetSimilarity {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, jac FROM (
+        |SELECT doc_a, doc_b, jac_bp FROM (
         |  SELECT doc_a, doc_b,
-        |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jac
+        |    CAST(inter * 10000 // (sa.n + sb.n - inter) AS BIGINT) AS jac_bp
         |  FROM p JOIN sz sa ON doc_a = sa.doc_id
         |         JOIN sz sb ON doc_b = sb.doc_id)
-        |WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+        |WHERE jac_bp >= 6000 ORDER BY doc_a, doc_b""".stripMargin,
+    "d12_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shn AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |    for i in range(1, len(tk) - 1)]) AS s FROM toks),
+        |t AS (SELECT doc_id, unnest(s) AS tok FROM shn),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cont_bp FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(inter * 10000 // sa.n AS BIGINT) AS cont_bp
+        |  FROM p JOIN sz sa ON doc_a = sa.doc_id)
+        |WHERE cont_bp >= 8000 ORDER BY doc_a, doc_b""".stripMargin)
 }

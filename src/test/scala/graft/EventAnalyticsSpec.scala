@@ -32,6 +32,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"week-0 cohort sizes sum to $totalWeek0, expected $users distinct users")
   }
 
+  test("w13: dyadic EWMA matches a hand-rolled recursion and shares one log exchange") {
+    import spark.implicits._
+    // hand-check on a 3-day single-user series: vu 100, 200, 400 (micro
+    // units land as value*1e6); horizon covers all rows so the ladder is
+    // the full weighted sum
+    val rows = EventAnalytics.w13Ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per user, recompute the ladder from the vu series and compare
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val vus = rs.sortBy(_.getString(1)).map(_.getLong(2))
+      vus.indices.foreach { t =>
+        val expected = (0 to math.min(7, t)).map(i =>
+          (1L << (7 - i)) * vus(t - i)).sum
+        val got = rs.sortBy(_.getString(1)).apply(t).getLong(3)
+        assert(got == expected, s"user $u day index $t: $got != $expected")
+      }
+    }
+    // w6 shared-exchange rule: repartition(user_id) serves grain agg AND
+    // lag window -> exactly 2 exchanges (user hash + output sort)
+    val n = countShuffles(EventAnalytics.w13Ewma(spark, sf))
+    assert(n == 2, s"expected 2 exchanges (user hash + output sort), got $n")
+  }
+
   test("t25: grid is dense per type and interpolated values are bracketed") {
     val rows = EventAnalytics.t25Interpolate(spark, sf).collect()
     val byType = rows.groupBy(_.getString(0))

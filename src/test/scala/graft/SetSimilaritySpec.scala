@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.text.SetSimilarity
 
-/** AllPairs prefix-filtered exact Jaccard join (d10): completeness vs
-  * the brute exact form (the defining guarantee LSH lacks),
-  * prefix-length arithmetic, and adversarial shingle distributions.
+/** AllPairs prefix-filtered exact Jaccard join (d10) and directed
+  * set-containment join (d12): completeness vs the brute exact forms
+  * (the defining guarantee LSH lacks), prefix-length arithmetic, and
+  * adversarial shingle distributions.
   */
 class SetSimilaritySpec extends AnyFunSuite {
   import TestSpark._
@@ -17,6 +18,14 @@ class SetSimilaritySpec extends AnyFunSuite {
     val brute = SetSimilarity.bruteExact(docs).collect().toSeq
     assert(fast == brute)
     assert(fast.nonEmpty, "corpus should contain at least one tau>=0.6 pair")
+  }
+
+  test("containment form equals brute containment on the corpus") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val fast = SetSimilarity.containmentPairs(docs).collect().toSeq
+    val brute = SetSimilarity.bruteContainment(docs).collect().toSeq
+    assert(fast == brute)
+    assert(fast.nonEmpty, "corpus should contain at least one cont>=0.8 pair")
   }
 
   test("adversarial synthetic corpus: boilerplate shingles, identical docs, disjoint docs, 1-shingle docs") {
@@ -40,15 +49,41 @@ class SetSimilaritySpec extends AnyFunSuite {
       (10L, "tiny doc")
     ).toDF("doc_id", "text")
     val fast = SetSimilarity.allPairs(docs).collect().toSeq
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val brute = SetSimilarity.bruteExact(docs).collect().toSeq
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fast == brute)
     val pairs = fast.map { case (a, b, _) => (a, b) }.toSet
     assert(pairs == Set((1L, 2L), (3L, 4L), (8L, 9L)), s"got $pairs")
     val jac12 = fast.collectFirst { case (1L, 2L, j) => j }.get
-    assert(jac12 == 0.6, s"expected 3/5 jaccard (kept at the >= boundary), got $jac12")
-    assert(fast.collectFirst { case (3L, 4L, j) => j }.contains(1.0))
+    assert(jac12 == 6000L,
+      s"expected 3/5 jaccard = 6000 bp (kept at the >= boundary), got $jac12")
+    assert(fast.collectFirst { case (3L, 4L, j) => j }.contains(10000L))
+  }
+
+  test("containment: strict subset scores 10000 one way; direction and boundary are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      // A's 4 shingles are a strict subset of B's 8: C(A,B)=1.0,
+      // C(B,A) = 4/8 = 0.5 (below tau, must NOT appear)
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j"),
+      // boundary: A has 5 shingles, 4 shared with C: C(A,C) = 0.8 exactly
+      (3L, "p q r s t u v"),
+      (4L, "p q r s t u zz yy xx"),
+      // disjoint
+      (5L, "one1 two2 three3 four4")
+    ).toDF("doc_id", "text")
+    val fast = SetSimilarity.containmentPairs(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = SetSimilarity.bruteContainment(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast == brute)
+    val m = fast.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(m.get((1L, 2L)).contains(10000L), s"subset pair missing: $fast")
+    assert(!m.contains((2L, 1L)), s"reverse direction leaked: $fast")
+    assert(m.get((3L, 4L)).contains(8000L),
+      s"0.8 boundary pair missing (>= must keep it): $fast")
   }
 
   test("prefix relation is strictly smaller than the full shingle relation (the point of the filter)") {
