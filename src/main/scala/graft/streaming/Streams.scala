@@ -514,6 +514,44 @@ object Streams {
   final case class ClosedSession(user: String, n_events: Long,
       total: Double, start: java.sql.Timestamp, end: java.sql.Timestamp)
 
+  /** Streaming heavy hitters with BOUNDED state: `shards` parallel
+    * Misra-Gries sketches maintained by the vanilla streaming-agg state
+    * store — no custom state code, the batch
+    * [[graft.functions.FreqSketchAggregator]] IS the streaming one
+    * (its buffer is the per-group aggregation state; mergeability is
+    * exactly what the PODS '12 merge provides).
+    *
+    * Why not `groupBy(key).count()`: its state grows with the DISTINCT
+    * key domain — unbounded on a web-scale token stream. Here state is
+    * ≤ `shards` rows of ≤ k counters each, independent of stream
+    * length and key cardinality.
+    *
+    * Guarantee carried to the stream: every occurrence of a key hashes
+    * to the SAME shard, so a key with global count > N/(k+1) has shard
+    * count > n_shard/(k+1) (n_shard ≤ N) and is guaranteed present in
+    * that shard's candidate list — the union over shards is a complete
+    * candidate superset at every micro-batch (no false negatives above
+    * threshold; false positives possible, the t8 two-pass recount is
+    * the exact-ifier).
+    *
+    * Run with output mode Update (emits changed shards per batch) or
+    * Complete. Sharding by `pmod(xxhash64(key), shards)` also spreads
+    * the sketch-merge work across tasks — a single global sketch would
+    * serialize the whole stream through one state row.
+    */
+  def frequentStream(keys: org.apache.spark.sql.Dataset[String],
+      k: Int = 1000, shards: Int = 8)
+      : DataFrame = {
+    import keys.sparkSession.implicits._
+    require(k > 0 && shards > 0)
+    val sketch = new graft.functions.FreqSketchAggregator(k).toColumn
+    keys
+      .groupByKey(key => math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(key), shards))
+      .agg(sketch.name("cands"))
+      .toDF("shard", "cands")
+  }
+
   /** T4: status polling (`describe_delivery_stream until ACTIVE`,
     * create_firehose_stream.py:51-67). Blocks until the query has
     * processed all currently-available input or `timeoutMs` elapses —

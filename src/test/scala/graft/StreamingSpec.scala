@@ -301,6 +301,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("frequentStream: bounded-state heavy hitters survive across batches with the MG guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val out = Streams.frequentStream(ms.toDS(), k = 3, shards = 2)
+    val q = out.writeStream.format("memory").queryName("freq_out")
+      .outputMode("complete").start()
+    try {
+      // batch 1: alpha is heavy (10 of 15)
+      ms.addData(Seq.fill(10)("alpha") ++ Seq("b1", "b2", "b3") ++
+        Seq.fill(2)("beta"): _*)
+      q.processAllAvailable()
+      // batch 2: NO alpha at all — a fresh per-batch sketch could not
+      // contain it; only carried state can
+      ms.addData(Seq.fill(8)("delta") ++ Seq("c1", "c2", "c3"): _*)
+      q.processAllAvailable()
+      val cands = spark.table("freq_out").collect()
+        .flatMap(_.getSeq[String](1)).toSet
+      // N = 26, k = 3: every key with total count > N/(k+1) = 6.5 is
+      // GUARANTEED present (alpha 10, delta 8) — alpha's presence also
+      // proves the sketch state carried across micro-batches
+      assert(cands.contains("alpha"), s"alpha lost across batches: $cands")
+      assert(cands.contains("delta"), s"delta missing: $cands")
+      // state is bounded by the shard count, NOT the key domain
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal <= 2,
+        s"state rows ${st.headOption.map(_.numRowsTotal)} exceed shard count")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]
