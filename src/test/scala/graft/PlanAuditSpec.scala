@@ -334,6 +334,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"output sort expected):\n$plan")
   }
 
+  test("d12 containment: no cartesian, bounded exchanges, asymmetric prefix is smaller than d10's") {
+    // the directed containment join must never go all-pairs either;
+    // its contained-side prefix is ~0.2|A| (vs d10's 0.4|A|), so the
+    // candidate join probe stays the smaller relation
+    val df = graft.text.SetSimilarity.d12Containment(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"d12 went all-pairs:\n$plan")
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 10, s"d12 exchange count grew to $n:\n$plan")
+  }
+
   test("eventsBetween pushes the ts bounds into the parquet scan (r5 verdict #2)") {
     // the plain events path converts the nanos-long ts first, so range
     // predicates evaluate post-scan; eventsBetween filters the RAW long —
