@@ -745,7 +745,30 @@ object Dedup {
     dropBoilerplateSpans(documents(s, d), span = 10, maxFreq = 2)
       .orderBy("doc_id")
 
+  /** d13: incremental corpus admission as an oracle-gated query — the
+    * [[admitIncrement]] daily-crawl workflow on a deterministic split:
+    * the newest fifth of the corpus (doc_id ≥ 4n/5; ids are 0-based
+    * dense) is "today's crawl", the rest the curated store. Output is
+    * the admitted doc ids: increment docs that near-duplicate neither
+    * a corpus doc (cross LSH probe — the corpus never self-joins) nor
+    * a lower-id increment doc. The sf0.01 corpus exercises BOTH drop
+    * legs (cross pairs like (44, 446) and intra pairs like (458, 462)
+    * straddle the cut). The DuckDB oracle rebuilds the identical band
+    * tables, cross/intra collision sets, and exact-Jaccard verify from
+    * the same parquet — the previously sbt-only incremental path is
+    * now hash-gated end to end.
+    */
+  def d13IncrementalAdmit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cut = 4L * docs.count() / 5L
+    val inc = docs.filter(col("doc_id") >= cut)
+    val corp = docs.filter(col("doc_id") < cut)
+    admitIncrement(corp, inc)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_admit" -> (d13IncrementalAdmit _),
     "d1_exact_dedup"      -> (d1ExactDedup _),
     "d2_minhash_lsh"      -> (d2MinhashLsh _),
     "d3_simhash"          -> (d3Simhash _),
@@ -776,10 +799,10 @@ object Dedup {
       |  FROM toks WHERE len(t) >= 3
       |)""".stripMargin
 
-  /** Same chain without the leading WITH, for splicing after caller
-    * CTEs (the composed pipeline oracle).
+  /** Band-table chain (through `bands`) — the LSH signature formula
+    * shared by the pair oracles and the d13 admission oracle.
     */
-  private[text] def candidateCtes(src: String): String =
+  private[text] def bandsCtes(src: String): String =
     shingledDuckFrom(src) + s""", hsh AS (
       |  SELECT doc_id, list_transform(s, x -> ${Hashing.h32Duck("x")}) AS hs
       |  FROM sh
@@ -792,7 +815,13 @@ object Dedup {
       |), bands AS (
       |  SELECT doc_id, b, md5(array_to_string(m[(4*b+1):(4*b+4)], ',')) AS bk
       |  FROM sig, range(4) tb(b)
-      |), pairs AS (
+      |)""".stripMargin
+
+  /** Same chain without the leading WITH, for splicing after caller
+    * CTEs (the composed pipeline oracle).
+    */
+  private[text] def candidateCtes(src: String): String =
+    bandsCtes(src) + s""", pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
@@ -816,7 +845,40 @@ object Dedup {
       |  SELECT id, min(r) AS component FROM reach GROUP BY id
       |)""".stripMargin
 
+  private val jacDuck =
+    """round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+      |      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "d13_incremental_admit" ->
+      ("WITH " + bandsCtes("documents") + s""", nn AS (
+        |  SELECT CAST(4 * count(*) // 5 AS BIGINT) AS cut FROM documents
+        |), crossp AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+        |  CROSS JOIN nn
+        |  WHERE a.doc_id >= nn.cut AND b.doc_id < nn.cut
+        |), intrap AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |  CROSS JOIN nn
+        |  WHERE a.doc_id >= nn.cut AND b.doc_id >= nn.cut
+        |), verc AS (
+        |  SELECT DISTINCT p.doc_a AS doc_id
+        |  FROM crossp p JOIN sh sa ON p.doc_a = sa.doc_id
+        |                JOIN sh sb ON p.doc_b = sb.doc_id
+        |  WHERE $jacDuck >= 0.8
+        |), veri AS (
+        |  SELECT DISTINCT p.doc_b AS doc_id
+        |  FROM intrap p JOIN sh sa ON p.doc_a = sa.doc_id
+        |                JOIN sh sb ON p.doc_b = sb.doc_id
+        |  WHERE $jacDuck >= 0.8
+        |)
+        |SELECT doc_id FROM documents CROSS JOIN nn
+        |WHERE doc_id >= nn.cut AND doc_id NOT IN (
+        |  SELECT doc_id FROM verc UNION SELECT doc_id FROM veri)
+        |ORDER BY doc_id""".stripMargin),
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |  md5(text) AS content_hash
