@@ -86,6 +86,33 @@ class SetSimilaritySpec extends AnyFunSuite {
       s"0.8 boundary pair missing (>= must keep it): $fast")
   }
 
+  test("property: fast == brute for BOTH joins on random small-vocab corpora (prefix + positional + length prunes lose nothing)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocab forces heavy shingle sharing — the adversarial regime
+    // for prefix pruning (high-df shingles, many near-boundary pairs)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = for {
+      len <- Gen.chooseNum(1, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    (0 until 6).foreach { round =>
+      val texts = (0 until 40 * 4).iterator
+        .flatMap(i => docGen.apply(Gen.Parameters.default,
+          Seed((round * 1000 + i).toLong)))
+        .take(40).toSeq
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fj = SetSimilarity.allPairs(docs).collect().toSeq
+      val bj = SetSimilarity.bruteExact(docs).collect().toSeq
+      assert(fj == bj, s"jaccard mismatch on round $round: $fj vs $bj")
+      val fc = SetSimilarity.containmentPairs(docs).collect().toSeq
+      val bc = SetSimilarity.bruteContainment(docs).collect().toSeq
+      assert(fc == bc, s"containment mismatch on round $round: $fc vs $bc")
+    }
+  }
+
   test("prefix relation is strictly smaller than the full shingle relation (the point of the filter)") {
     val ts = SetSimilarity.hashedSets(graft.lake.Tables.documents(spark, sf))
     val full = ts.select(col("doc_id"), explode(col("hs")).as("tok")).count()
