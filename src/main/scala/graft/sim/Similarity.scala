@@ -569,9 +569,41 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s11: index-quality report — recall@3 of the LSH fetch and the IVF
+    * index against the exact brute top-3 for the bounded query set, as
+    * integer basis points: (variant, hits, total, recall_bp). The
+    * recall every ANN deployment monitors, as a first-class query
+    * rather than a test-only number (the LlmPipelineSpec floors pin
+    * the minimums; this op reports the measured values — and the
+    * DuckDB oracle recomputes BOTH pipelines independently, so the
+    * report itself is hash-gated).
+    *
+    * Scale shape: each leg is its own index fetch (bounded queries,
+    * one corpus stream) plus a ≤ |Q|·k-row semi-join against the brute
+    * ranking; the report collapses to one row per variant. At 100 TB
+    * the brute leg is the expensive one — run on a sampled query set
+    * (it exists to measure the index, and recall estimates concentrate
+    * fast in |Q|).
+    */
+  def s11RecallReport(s: SparkSession, d: String): DataFrame = {
+    val brute = s1CosineTopk(s, d).filter(col("rank") <= 3)
+      .select("q_id", "n_id")
+    val tot = brute.agg(count(lit(1)).as("total"))
+    def leg(variant: String, idx: DataFrame): DataFrame =
+      brute.join(idx.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(tot)
+        .select(lit(variant).as("variant"), col("hits"), col("total"),
+          expr("hits * 10000 div total").as("recall_bp"))
+    leg("ivf", s4IvfTopk(s, d))
+      .unionByName(leg("lsh", lshTopK(s, d, 3)))
+      .orderBy("variant")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"      -> (s1CosineTopk _),
     "s10_hard_negatives"  -> (s10HardNegatives _),
+    "s11_recall_report"   -> (s11RecallReport _),
     "s2_ann_lsh"          -> (s2AnnLsh _),
     "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
     "s4_ivf_topk"         -> (s4IvfTopk _),
@@ -655,6 +687,70 @@ object Similarity {
          |SELECT q_id, q_id + 100 AS pos_id, n_id,
          |  round(cos_exact, 4) AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s11_recall_report" ->
+      s"""WITH $bucketTableDuck, brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosDuck("q.embedding", "c.embedding")} DESC,
+         |          c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 3
+         |), lshr AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_exact DESC, n_id) AS rank
+         |    FROM (
+         |      SELECT cand.q_id, cand.n_id,
+         |        ${cosDuck("e1.embedding", "e2.embedding")} AS cos_exact
+         |      FROM (
+         |        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |        FROM b q JOIN b c
+         |          ON q.tbl = c.tbl AND q.bk = c.bk AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < 10) cand
+         |      JOIN embeddings e1 ON cand.q_id = e1.vec_id
+         |      JOIN embeddings e2 ON cand.n_id = e2.vec_id))
+         |  WHERE rank <= 3
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 25 = 0
+         |), lists AS (
+         |  SELECT n_id, nv, cent_id FROM (
+         |    SELECT e.vec_id AS n_id, e.embedding AS nv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosDuck("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT q_id, qv, cent_id FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS qv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosDuck("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2
+         |), ivfr AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_exact DESC, n_id) AS rank
+         |    FROM (
+         |      SELECT p.q_id, l.n_id, ${cosDuck("p.qv", "l.nv")} AS cos_exact
+         |      FROM probes p JOIN lists l ON p.cent_id = l.cent_id
+         |      WHERE p.q_id <> l.n_id))
+         |  WHERE rank <= 3
+         |), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM brute),
+         |hl AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |       FROM lshr JOIN brute USING (q_id, n_id)),
+         |hi AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |       FROM ivfr JOIN brute USING (q_id, n_id))
+         |SELECT variant, hits, total,
+         |  CAST(hits * 10000 // total AS BIGINT) AS recall_bp FROM (
+         |  SELECT 'ivf' AS variant, hi.hits, tot.total FROM hi, tot
+         |  UNION ALL
+         |  SELECT 'lsh', hl.hits, tot.total FROM hl, tot)
+         |ORDER BY variant""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $bucketTableDuck, cand AS (
          |  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id
