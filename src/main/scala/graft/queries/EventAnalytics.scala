@@ -234,7 +234,45 @@ object EventAnalytics {
       .orderBy("user_id", "day")
   }
 
+  /** w14: gaps-and-islands — each user's LONGEST run of consecutive
+    * active days (the streak metric engagement dashboards ship). The
+    * classic island key: epoch-day − row_number is constant exactly
+    * across consecutive days, so islands fall out of one lag-free
+    * window plus a re-aggregation; integer arithmetic end to end.
+    *
+    * Scale shape: the log collapses to the distinct (user, day) grain
+    * first; repartition(user) then serves the ordering window, the
+    * island aggregation, AND the best-streak pick (hash on user
+    * clusters every finer grain — the w6/w13 shared-exchange rule), so
+    * the raw log shuffles once and the window inputs are grain-sized.
+    * Ties: the longest streak with the earliest start wins.
+    */
+  def w14Streaks(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .repartition(col("user_id"))
+      .dropDuplicates("user_id", "day")
+    val islands = ud
+      .withColumn("island",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(byDay))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"),
+        min("day").as("streak_start"), max("day").as("streak_end"))
+    val best = Window.partitionBy("user_id")
+      .orderBy(desc("len"), asc("streak_start"))
+    islands
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("len").as("best_streak"),
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+        date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_streaks"      -> (w14Streaks _),
     "w13_ewma"         -> (w13Ewma _),
     "w12_transitions"  -> (w12Transitions _),
     "t24_retention"    -> (t24Retention _),
@@ -245,6 +283,29 @@ object EventAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "w14_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    datediff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM ud),
+        |runs AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+        |    min(day) AS s, max(day) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len, s, e,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, s) AS rn
+        |  FROM runs)
+        |SELECT user_id, len AS best_streak,
+        |  strftime(s, '%Y-%m-%d') AS streak_start,
+        |  strftime(e, '%Y-%m-%d') AS streak_end
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "w13_ewma" ->
       """WITH g AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

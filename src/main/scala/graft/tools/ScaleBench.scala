@@ -56,7 +56,7 @@ object ScaleBench {
   val heavy: Seq[String] = Seq(
     "d2_minhash_lsh", "d5_components", "d6_transitive_dedup",
     "d9_substring_dedup", "d10_allpairs_jaccard", "d11_quality_survivor",
-    "d12_containment",
+    "d12_containment", "d13_incremental_admit",
     "s2_ann_lsh", "s3_embedding_neardup", "s6_semdedup", "s9_pq_topk",
     "t18_leakage_split", "pipe_docs_prep", "f_edit_distance")
 

@@ -56,6 +56,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(n == 2, s"expected 2 exchanges (user hash + output sort), got $n")
   }
 
+  test("w14: streaks match a hand computation and share one log exchange") {
+    val rows = EventAnalytics.w14Streaks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute per user from the raw grain
+    val grain = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val days = grain(r.getLong(0)).map(_._2).sortBy(_.toEpochDay)
+      var best = 1L; var cur = 1L; var bestStart = days.head; var curStart = days.head
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b.toEpochDay == a.toEpochDay + 1) cur += 1
+          else { cur = 1; curStart = b }
+          if (cur > best) { best = cur; bestStart = curStart }
+        case _ => ()
+      }
+      assert(r.getLong(1) == best,
+        s"user ${r.getLong(0)}: streak ${r.getLong(1)} != $best")
+      assert(r.getString(2) == bestStart.toString,
+        s"user ${r.getLong(0)}: start ${r.getString(2)} != $bestStart")
+    }
+    // repartition(user) serves grain dedup + both windows + island agg
+    val n = countShuffles(EventAnalytics.w14Streaks(spark, sf))
+    assert(n == 2, s"expected 2 exchanges (user hash + output sort), got $n")
+  }
+
   test("t25: grid is dense per type and interpolated values are bracketed") {
     val rows = EventAnalytics.t25Interpolate(spark, sf).collect()
     val byType = rows.groupBy(_.getString(0))
