@@ -514,9 +514,54 @@ object Warehouse {
       .orderBy("type_a", "type_b")
   }
 
+  /** Benford expected first-digit frequencies, log10(1 + 1/d) in ppm.
+    * Exact-integer constants (they sum to 1 000 000), shared verbatim
+    * with the DuckDB oracle — no transcendental evaluated at runtime.
+    */
+  private[graft] val BenfordPpm =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** v5: Benford first-digit profile of order totals — the classic
+    * fabricated-data / unit-drift screen a profiling pass runs over any
+    * organically-grown money column (multi-magnitude positive values):
+    * observed first-significant-digit shares against log10(1+1/d).
+    * A column that was uniformly generated, truncated, or re-scaled
+    * shows up as a flat or shifted profile (this synthetic corpus
+    * does — the test pins large deviations as in-band, not an error).
+    *
+    * Determinism: the digit comes from floor'd CENTS cast to a string
+    * (both engines floor the identical double and print bigints the
+    * same way — the t4 floor-not-round rule); shares are integer ppm
+    * via bigint floor division; the Benford expectations are shared
+    * integer literals, so no log10 is evaluated anywhere.
+    *
+    * Scale shape: one narrow projection + one partial-agg shuffle onto
+    * a NINE-row key domain, then a broadcast of the one-row total (the
+    * w11 re-aggregate rule — no window, no second scan). Scan-bound at
+    * any corpus size.
+    */
+  def v5Benford(s: SparkSession, d: String): DataFrame = {
+    val arr = s"array(${BenfordPpm.mkString("L, ")}L)"
+    val digits = orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice * CAST(100 AS DOUBLE))" +
+          " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        expr(s"element_at($arr, digit)").as("expected_ppm"),
+        expr(s"abs(n * 1000000 div total - element_at($arr, digit))")
+          .as("abs_dev_ppm"))
+      .orderBy("digit")
+  }
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v5_benford"   -> (v5Benford _),
     "l1_scd2"      -> (l1Scd2 _),
     "l3_incremental_agg" -> (l3IncrementalAgg _),
     "l4_incremental_distinct" -> (l4IncrementalDistinct _),
@@ -529,6 +574,24 @@ object Warehouse {
     "v4_kanonymity" -> (v4KAnonymity _))
 
   def oracles: Map[String, String] = Map(
+    "v5_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * CAST(100 AS DOUBLE))
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |e(digit, expected_ppm) AS (VALUES
+        |  (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757))
+        |SELECT c.digit, c.n,
+        |  CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs(c.n * 1000000 // t.total - e.expected_ppm) AS BIGINT)
+        |    AS abs_dev_ppm
+        |FROM c JOIN e ON c.digit = e.digit CROSS JOIN t
+        |ORDER BY c.digit""".stripMargin,
     "v4_kanonymity" ->
       """WITH r AS (
         |  SELECT c_custkey,

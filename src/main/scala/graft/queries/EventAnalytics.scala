@@ -271,7 +271,43 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** w15: day-of-week seasonal baseline — each (event_type, day)'s
+    * traffic as a share of that type's AVERAGE for the same weekday,
+    * in floor'd basis points (10000 = exactly on-baseline). The
+    * deseasonalized anomaly view every ops dashboard ships: a Monday
+    * spike only flags if it beats typical Mondays, not the weekend dip.
+    *
+    * Weekday is `epoch_day % 7` — pure integer arithmetic, identical
+    * in both engines, no locale/week-start calendar semantics (Spark
+    * `dayofweek` is Sunday=1, DuckDB's is Sunday=0; the modulus
+    * sidesteps the off-by-one entirely). The ratio is
+    * `n * 10000 * dn div tn` (observed over mean = n·dn/tn) — all
+    * bigint, no double division anywhere.
+    *
+    * Scale shape: the log collapses to the (type, day) grain in ONE
+    * shuffle with map-side partials (grain ≤ |types|·|days| — tiny);
+    * the weekday baseline is a window over that GRAIN (the w12
+    * post-agg-window pattern — windowing the raw log would be the w11
+    * anti-pattern, but this window's input is grain-sized by
+    * construction). A broadcast-join formulation was measured to scan
+    * and grain-aggregate the log TWICE (no exchange reuse across the
+    * agg's two consumers) — the window form reads the log once.
+    */
+  def w15DowBaseline(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("n"),
+        expr("n * 10000 * count(*) over (partition by event_type, dow)" +
+          " div sum(n) over (partition by event_type, dow)").as("dev_bp"))
+      .orderBy("event_type", "day")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_dow_baseline" -> (w15DowBaseline _),
     "w14_streaks"      -> (w14Streaks _),
     "w13_ewma"         -> (w13Ewma _),
     "w12_transitions"  -> (w12Transitions _),
@@ -283,6 +319,25 @@ object EventAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "w15_dow_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dowd AS (
+        |  SELECT event_type, day, n,
+        |    CAST(datediff('day', DATE '1970-01-01', day) % 7 AS INTEGER)
+        |      AS dow
+        |  FROM daily),
+        |base AS (
+        |  SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS dn
+        |  FROM dowd GROUP BY 1, 2)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.dow,
+        |  d.n, CAST(d.n * 10000 * b.dn // b.tn AS BIGINT) AS dev_bp
+        |FROM dowd d JOIN base b
+        |  ON d.event_type = b.event_type AND d.dow = b.dow
+        |ORDER BY d.event_type, day""".stripMargin,
     "w14_streaks" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

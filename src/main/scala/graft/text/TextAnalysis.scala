@@ -431,7 +431,41 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** t28: adjacent symbol-pair counts — the inner loop of BPE
+    * tokenizer training. Each merge iteration of BPE is exactly this
+    * query over the current symbol sequence: count within-word
+    * adjacent character pairs corpus-wide, take the most frequent as
+    * the next merge. Run here at the character level (iteration 0) on
+    * lowercased whitespace words; the top-30 table is the
+    * merge-candidate ranking.
+    *
+    * Explode hygiene (t3's rule): explode the cheap index sequence,
+    * then build the 2-char substring AFTER the generator — exploding a
+    * transform-built array makes constraint inference evaluate the
+    * whole array twice per row. The `length >= 2` guard must precede
+    * the sequence: Spark's `sequence(1, 0)` is the DESCENDING [1, 0],
+    * not empty.
+    *
+    * Scale shape: the explode fans out ~|corpus chars| rows, but the
+    * aggregate is map-side partial over a tiny key domain (alphabet²),
+    * so the exchange carries ≤ |pairs|·|tasks| rows and the top-30 is
+    * TakeOrderedAndProject — no global sort, no second pass. Positions
+    * are code points in both engines (ASCII-safe; astral-plane corpora
+    * would need a grapheme tokenizer upstream).
+    */
+  def t28BpePairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(1, length(w)-1)")).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(30)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_bpe_pairs"    -> (t28BpePairs _),
     "t1_lang_profile"  -> (t1LangProfile _),
     "t2_token_stats"   -> (t2TokenStats _),
     "t3_top_ngrams"    -> (t3TopNgrams _),
@@ -469,6 +503,17 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
 
   def oracles: Map[String, String] = Map(
+    "t28_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT w, unnest(range(1, length(w))) AS i
+        |  FROM w WHERE length(w) >= 2),
+        |b AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair FROM p)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "t13_repetition" ->
       """SELECT doc_id,
         |  CAST(len(t)-2 AS INTEGER) AS n_grams,

@@ -84,6 +84,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(n == 2, s"expected 2 exchanges (user hash + output sort), got $n")
   }
 
+  test("w15: dev_bp matches a hand recompute from the (type, day) grain") {
+    val rows = EventAnalytics.w15DowBaseline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recompute: daily counts -> per-(type, epoch_day%7)
+    // totals -> floor'd basis points
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def dow(d: java.time.LocalDate): Int = (((d.toEpochDay % 7) + 7) % 7).toInt
+    val byTypeDow = daily.groupBy(t => (t._1, dow(t._2)))
+    val expect = daily.map { case (t, day, n) =>
+      val g = byTypeDow((t, dow(day)))
+      val tn = g.map(_._3).sum
+      ((t, day.toString), (dow(day), n, n * 10000L * g.length / tn))
+    }.toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (d, n, dev) = expect((r.getString(0), r.getString(1)))
+      assert(r.getInt(2) == d && r.getLong(3) == n && r.getLong(4) == dev,
+        s"${r.getString(0)} ${r.getString(1)}: got " +
+          s"(${r.getInt(2)}, ${r.getLong(3)}, ${r.getLong(4)}), " +
+          s"want ($d, $n, $dev)")
+    }
+    // one log-grain agg + the grain-sized baseline window + the output
+    // sort — the log is scanned once and never windowed
+    val df = EventAnalytics.w15DowBaseline(spark, sf)
+    assert(countShuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"w15 should not join:\n$plan")
+  }
+
   test("t25: grid is dense per type and interpolated values are bracketed") {
     val rows = EventAnalytics.t25Interpolate(spark, sf).collect()
     val byType = rows.groupBy(_.getString(0))

@@ -20,6 +20,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t28: pair counts equal a plain-Scala recompute of within-word char bigrams") {
+    val got = TextAnalysis.t28BpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val texts = graft.lake.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      // mirror the query exactly: single-space split keeping empties,
+      // ASCII-safe lowercase, within-word adjacent 2-char windows
+      t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        .filter(_.length >= 2).foreach { w =>
+          w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+        }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+  }
+
   test("minhash LSH finds the planted near-duplicates with high Jaccard") {
     val jac = Dedup.d4NgramJaccard(spark, sf).collect()
     assert(jac.nonEmpty, "no candidate pair passed the 0.8 Jaccard verify")

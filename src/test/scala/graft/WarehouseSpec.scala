@@ -11,6 +11,30 @@ import graft.ops.Warehouse
 class WarehouseSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("v5 Benford: digit domain, exact expectation literals, and share arithmetic are consistent") {
+    val rows = Warehouse.v5Benford(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the shared integer expectations are exactly a probability measure
+    assert(Warehouse.BenfordPpm.sum == 1000000L)
+    val digits = rows.map(_.getInt(0))
+    assert(digits.distinct.length == digits.length)
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    rows.foreach { r =>
+      assert(r.getLong(3) == Warehouse.BenfordPpm(r.getInt(0) - 1),
+        s"digit ${r.getInt(0)} expectation")
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)),
+        s"digit ${r.getInt(0)} abs_dev")
+    }
+    // counts partition the filtered rows; floor'd shares sum to 1e6
+    // minus less than one ppm per present digit
+    val total = graft.lake.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 0).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      s"share_ppm sum $shareSum")
+  }
+
   test("l1 SCD2: intervals chain per key — each valid_to equals the next valid_from, one open row per user") {
     val scd = Warehouse.l1Scd2(spark, sf).cache()
     try {
