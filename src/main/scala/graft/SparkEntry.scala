@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{B3Queries, CoreQueries, EventAnalytics, FunctionQueries}
+import graft.queries.{B3Queries, CoreQueries, EventAnalytics, FunctionQueries, Graph}
 import graft.text.{Bm25, Dedup, Normalize, Pipelines, Redaction, SetSimilarity, TextAnalysis}
 import graft.sim.{Hybrid, KMeans, ProductQuantization, Similarity}
 import graft.streaming.StreamQueries
@@ -26,7 +26,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
-      EventAnalytics.queries ++ graft.lake.ZOrder.queries ++
+      EventAnalytics.queries ++ Graph.queries ++ graft.lake.ZOrder.queries ++
       Dedup.queries ++ SetSimilarity.queries ++ Bm25.queries ++ TextAnalysis.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
       KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
-      EventAnalytics.oracles ++ graft.lake.ZOrder.oracles ++
+      EventAnalytics.oracles ++ Graph.oracles ++ graft.lake.ZOrder.oracles ++
       Dedup.oracles ++ SetSimilarity.oracles ++ Bm25.oracles ++ TextAnalysis.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
       KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles ++

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+
+/** Iterative graph analytics — the numeric fixed-point family next to
+  * the boolean one (Dedup.connectedComponents' min-label propagation):
+  * damped PageRank over the customer↔supplier transaction graph.
+  *
+  * Cross-engine determinism: ranks are integer PPM carried as bigint;
+  * each edge contribution floors ONCE (`rank·85·w div (100·W(u))`) and
+  * integer sums are order-independent, so a fixed iteration count gives
+  * bit-identical vectors in any engine — the DuckDB oracle mirrors the
+  * recurrence as chained (unrolled) CTEs, one per iteration, because
+  * standard SQL forbids aggregation in a recursive member.
+  */
+object Graph {
+
+  /** Damping factor 85/100 and the teleport mass 15% of 1e6 ppm, as
+    * integers — shared verbatim with the oracle.
+    */
+  private val Damp = 85L
+  private val Iterations = 5
+
+  /** g1: PageRank (Brin & Page 1998) on the bipartite order graph —
+    * nodes are active customers (id 2c) and suppliers (id 2s+1), one
+    * symmetric weighted edge per trading pair (weight = lineitem
+    * count). Symmetrization kills dangling nodes (every node has
+    * out-edges), so no leaked-mass correction term is needed; entities
+    * with no orders are simply not in the graph. The rank surfaces the
+    * centrality skew a uniform degree count misses: a supplier serving
+    * many LOW-degree customers outranks one serving the same number of
+    * promiscuous hubs.
+    *
+    * Fixed point: r₀ = 1e6 div N; rᵢ₊₁(v) = 150000 div N +
+    * Σ_{u→v} floor(rᵢ(u)·85·w(u,v) / (100·W(u))). Five iterations
+    * (spectral gap ≥ damping ⇒ geometric convergence; the spec pins
+    * iteration-5 exactly against a plain-Scala reference, so the count
+    * is a contract, not a tuning knob).
+    *
+    * Scale shape (100 TB): the edge list aggregates out of the
+    * lineitem⋈orders join ONCE (fact-sized shuffle) and is persisted;
+    * each iteration is one join of the node-sized rank vector against
+    * the edges plus one dst-keyed partial aggregation — cost per
+    * iteration is |edges| shuffled on a key, never fact-rescanned. At
+    * cluster scale the edges would be bucketed on src so the per-round
+    * join is exchange-free (lake/Bucketing pattern); rank lineage is
+    * truncated per round with the CC materializer. N comes from one
+    * node-count aggregate (the bitsFor "know n" step).
+    */
+  def g1Pagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"))
+      .join(orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck")), "ok")
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
+    val edges = e0.select((col("ck") * 2).cast("long").as("src"),
+        (col("sk") * 2 + 1).cast("long").as("dst"), col("w"))
+      .unionByName(e0.select((col("sk") * 2 + 1).cast("long").as("src"),
+        (col("ck") * 2).cast("long").as("dst"), col("w")))
+    val outW = edges.groupBy("src").agg(sum("w").as("wout"))
+    val ew = edges.join(outW, "src").localCheckpoint()
+    val n = ew.select("src").distinct().count()
+    var rank = outW.select(col("src").as("node"),
+      lit(1000000L / n).as("rank"))
+    (1 to Iterations).foreach { _ =>
+      rank = ew.join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"rank * $Damp * w div (100 * wout)")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(150000L / n) + col("m")).as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("entity_key"),
+        col("rank").as("rank_ppm"))
+      .orderBy(desc("rank_ppm"), asc("node_type"), asc("entity_key"))
+      .limit(100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank" -> (g1Pagerank _))
+
+  def oracles: Map[String, String] = Map(
+    "g1_pagerank" -> {
+      val iter = (1 to Iterations).map { i =>
+        s"""r$i AS (
+           |  SELECT ew.dst AS node,
+           |    CAST(150000 // n + sum(r.rank * 85 * ew.w // (100 * ew.wout))
+           |      AS BIGINT) AS rank
+           |  FROM ew JOIN r${i - 1} r ON ew.src = r.node CROSS JOIN nn
+           |  GROUP BY ew.dst, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT o_custkey AS ck, l_suppkey AS sk,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst, w FROM e0
+         |  UNION ALL
+         |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst, w FROM e0),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+         |       FROM edges GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.wout
+         |       FROM edges e JOIN ow o USING (src)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ow),
+         |r0 AS (SELECT src AS node, CAST(1000000 // n AS BIGINT) AS rank
+         |       FROM ow CROSS JOIN nn),
+         |$iter
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  CAST(node // 2 AS BIGINT) AS entity_key,
+         |  rank AS rank_ppm
+         |FROM r$Iterations
+         |ORDER BY rank_ppm DESC, node_type, entity_key
+         |LIMIT 100""".stripMargin
+    })
+}

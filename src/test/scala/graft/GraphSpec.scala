@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Graph
+import graft.lake.Tables
+
+/** g1 PageRank: the DuckDB oracle pins cross-engine values; this spec
+  * pins the recurrence itself against an independent plain-Scala
+  * implementation (exact integer equality — both floor once per edge
+  * per iteration), and the physical shape.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("g1: iteration-5 ranks equal a plain-Scala PageRank, bit for bit") {
+    val got = Graph.g1Pagerank(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    assert(got.nonEmpty)
+
+    // independent reference from the raw tables
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val om = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairW = li.flatMap { case (ok, sk) => om.get(ok).map(ck => (ck, sk)) }
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val edges = pairW.toSeq.flatMap { case ((ck, sk), w) =>
+      Seq((ck * 2, sk * 2 + 1, w), (sk * 2 + 1, ck * 2, w))
+    }
+    val wout = edges.groupBy(_._1).map { case (s0, es) => (s0, es.map(_._3).sum) }
+    val n = wout.size.toLong
+    var rank: Map[Long, Long] = wout.map { case (u, _) => (u, 1000000L / n) }
+    (1 to 5).foreach { _ =>
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (u, v, w) =>
+        in(v) = in.getOrElse(v, 0L) + rank(u) * 85L * w / (100L * wout(u))
+      }
+      rank = in.map { case (v, m) => (v, 150000L / n + m) }.toMap
+    }
+    val want = rank.toSeq.map { case (node, r) =>
+      ((if (node % 2 == 0) "customer" else "supplier", node / 2), r)
+    }.sortBy { case ((t, k), r) => (-r, t, k) }.take(100)
+    assert(got.toSeq == want,
+      s"first mismatch: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("g1: no cartesian joins; edge relation is reused across iterations") {
+    val df = Graph.g1Pagerank(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in g1:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in g1:\n$plan")
+    // each iteration consumes the localCheckpoint'd edge RDD scan, not a
+    // re-derivation from the fact tables: the final plan reads no parquet
+    assert(!plan.contains("FileScan parquet"),
+      s"iteration plan re-reads the fact tables:\n$plan")
+  }
+}
