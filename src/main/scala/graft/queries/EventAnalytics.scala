@@ -135,6 +135,74 @@ object EventAnalytics {
       .orderBy("event_type", "event_id")
   }
 
+  /** o11: robust outliers via median absolute deviation — o9's moment
+    * z-score breaks on the very outliers it hunts (one extreme value
+    * drags mean AND std); the MAD flag `|x − med| > 3·MAD` (≈ 2σ under
+    * normality via the 1.4826 consistency factor, which the integer
+    * form absorbs into the threshold) survives up to 50% contamination.
+    *
+    * Integer exactness (the ×2 trick): medians interpolate (a+b)/2,
+    * which is fractional on even counts — but the median of 2·vc is
+    * (2a+2b)/2 = a+b, ALWAYS integral, and 2·median(|2vc − med2|) is
+    * likewise integral, so both engines cast exactly-integral doubles
+    * to bigint and every comparison is pure integer: the flag is
+    * `2·|2vc − med2| > 3·mad4`. No float ordering anywhere.
+    *
+    * Scale shape: exact medians are not algebraic, so this is
+    * honestly TWO aggregation passes over the log plus the filter pass
+    * (o9's moment form does one — that is the robustness trade);
+    * each per-type median is a partial-aggregable count-digest, both
+    * stat relations are |types|-sized broadcasts, and every pass is
+    * scan-bound. The approx swap (`approx_percentile`) drops a pass
+    * once tolerance is acceptable — the a6/v1 documented pattern.
+    */
+  def o11MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("event_id"), col("event_type"),
+      expr("cast(floor(value * 100) as bigint)").as("vc"))
+    val med = base.groupBy("event_type")
+      .agg(expr("cast(percentile(2 * vc, 0.5) as bigint)").as("med2"))
+    val withMed = base.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("cast(2 * percentile(abs(2 * vc - med2), 0.5) as bigint)")
+        .as("mad4"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(expr("2 * abs(2 * vc - med2) > 3 * mad4"))
+      .select(col("event_id"), col("event_type"), col("vc").as("value_c"),
+        col("med2"), col("mad4"),
+        expr("2 * abs(2 * vc - med2)").as("dev4"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** w16: trailing-7-day rolling DISTINCT count — engagement breadth
+    * (how many event types did each user touch this week), the window
+    * Spark has no native aggregate for (`count(distinct) over` is
+    * unsupported): `collect_set` over a RANGE frame, sized after. The
+    * set state is bounded by |event types|, so the workaround is safe
+    * exactly when the distinct domain inside a frame is small — the
+    * caveat the scaladoc exists to state.
+    *
+    * Scale shape: the log collapses once to the (user, day, type)
+    * grain; the range window runs per user over grain rows (≤ types ×
+    * days each), and the final dedup to (user, day) reuses grain-sized
+    * relations. The raw log is scanned once.
+    */
+  def w16RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val grain = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .withColumn("ed",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("user_id").orderBy(col("ed"))
+      .rangeBetween(-6, 0)
+    grain
+      .withColumn("n_types_7d",
+        size(collect_set(col("event_type")).over(w)).cast("long"))
+      .dropDuplicates("user_id", "day")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_types_7d"))
+      .orderBy("user_id", "day")
+  }
+
   /** w10: sliding-window aggregation — 2-hour windows sliding by 1 hour
     * (each event lands in exactly two windows), the batch form of the
     * streaming hop-window agg. Spark's `window()` generator keeps this
@@ -307,6 +375,8 @@ object EventAnalytics {
       .orderBy("event_type", "day")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o11_mad_outliers" -> (o11MadOutliers _),
+    "w16_rolling_distinct" -> (w16RollingDistinct _),
     "w15_dow_baseline" -> (w15DowBaseline _),
     "w14_streaks"      -> (w14Streaks _),
     "w13_ewma"         -> (w13Ewma _),
@@ -319,6 +389,34 @@ object EventAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "o11_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type, CAST(median(2 * vc) AS BIGINT) AS med2
+        |      FROM b GROUP BY 1),
+        |j AS (SELECT b.event_id, b.event_type, b.vc, m.med2
+        |      FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |         CAST(2 * median(abs(2 * vc - med2)) AS BIGINT) AS mad4
+        |       FROM j GROUP BY 1)
+        |SELECT j.event_id, j.event_type, j.vc AS value_c, j.med2,
+        |  md.mad4, CAST(2 * abs(2 * j.vc - j.med2) AS BIGINT) AS dev4
+        |FROM j JOIN md USING (event_type)
+        |WHERE 2 * abs(2 * j.vc - j.med2) > 3 * md.mad4
+        |ORDER BY j.event_type, j.event_id""".stripMargin,
+    "w16_rolling_distinct" ->
+      """WITH g AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+        |  FROM events),
+        |d AS (SELECT DISTINCT user_id, day FROM g)
+        |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT g.event_type) AS BIGINT) AS n_types_7d
+        |FROM d JOIN g ON d.user_id = g.user_id
+        |  AND g.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.user_id, d.day
+        |ORDER BY d.user_id, day""".stripMargin,
     "w15_dow_baseline" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

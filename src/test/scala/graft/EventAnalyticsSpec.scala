@@ -116,6 +116,54 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"w15 should not join:\n$plan")
   }
 
+  test("o11: MAD outlier set equals a plain-Scala exact-median recompute") {
+    val got = EventAnalytics.o11MadOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("vc")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact interpolated median of 2x-scaled longs is always integral
+    def med2x(xs: Seq[Long]): Long = {
+      val s0 = xs.map(_ * 2).sorted
+      if (s0.length % 2 == 1) s0(s0.length / 2)
+      else (s0(s0.length / 2 - 1) + s0(s0.length / 2)) / 2
+    }
+    val want = raw.groupBy(_._2).flatMap { case (t, rs) =>
+      val m2 = med2x(rs.map(_._3).toSeq)
+      // mad4 = 2 * median(|2vc - med2|): interpolate on the 2x scale
+      val devs = rs.map(r => math.abs(2 * r._3 - m2)).toSeq
+      val m4 = med2x(devs) // = 2 * median(devs)
+      rs.filter(r => 2 * math.abs(2 * r._3 - m2) > 3 * m4)
+        .map(r => (r._1, t, r._3, m2, m4, 2 * math.abs(2 * r._3 - m2)))
+        .toSeq
+    }.toSet
+    assert(got == want,
+      s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(want.nonEmpty, "no outlier at this tier — test is vacuous")
+  }
+
+  test("w16: rolling distinct matches a windowed recount of the grain") {
+    val rows = EventAnalytics.w16RollingDistinct(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val grain = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val byUser = grain.groupBy(_._1)
+    val want = grain.map { case (u, day, _) => (u, day) }.distinct.map {
+      case (u, day) =>
+        val n = byUser(u).filter { case (_, d2, _) =>
+          val diff = day.toEpochDay - d2.toEpochDay
+          diff >= 0 && diff <= 6
+        }.map(_._3).distinct.length.toLong
+        ((u, day.toString), n)
+    }.toMap
+    assert(rows == want)
+    assert(want.values.exists(_ > 1), "never more than one type in a week?")
+  }
+
   test("t25: grid is dense per type and interpolated values are bracketed") {
     val rows = EventAnalytics.t25Interpolate(spark, sf).collect()
     val byType = rows.groupBy(_.getString(0))
