@@ -58,7 +58,8 @@ object ScaleBench {
     "d9_substring_dedup", "d10_allpairs_jaccard", "d11_quality_survivor",
     "d12_containment", "d13_incremental_admit",
     "s2_ann_lsh", "s3_embedding_neardup", "s6_semdedup", "s9_pq_topk",
-    "t18_leakage_split", "pipe_docs_prep", "f_edit_distance")
+    "t18_leakage_split", "pipe_docs_prep", "f_edit_distance",
+    "g1_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
