@@ -22,30 +22,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * truncate to microsecond TimestampType with INTEGER division (`div`) —
-    * `/ 1000` is double division and at epoch-nanos magnitude (~1.8e18,
-    * ulp 256 ns) the rounded double can differ from truncation by 1 µs
-    * (ADVICE r1). `ts div 1000` matches DuckDB's truncation exactly.
+  /** `events.parquet`'s `ts` column has shipped in THREE real-world parquet
+    * encodings across testdata regenerations, so the reader dispatches on
+    * the scanned Spark type instead of assuming one (the encoding is an
+    * upstream writer's choice, not ours — same drift class as the
+    * reference's two inconsistent timestamp encodings,
+    * src/bitoin_coin_gecko_api.py:50-53 vs src/scrapping_b3.py:113):
+    *
+    *  - `LongType` — parquet TIMESTAMP(NANOS) read with `nanosAsLong`
+    *    (Spark refuses NANOS by default, PARQUET_TYPE_ILLEGAL). Truncate
+    *    to µs with INTEGER division (`ts div 1000`): `/ 1000` is double
+    *    division and at epoch-nanos magnitude (~1.8e18, ulp 256 ns) the
+    *    rounded double can differ from truncation by 1 µs (ADVICE r1).
+    *  - `TimestampNTZType` — parquet TIMESTAMP(isAdjustedToUTC=false,
+    *    MICROS). Cast to TimestampType: under the pinned UTC session TZ
+    *    (all our session builders set it) the cast reinterprets the same
+    *    micros value — identity, proven by `EventsEncodingSpec`.
+    *  - `TimestampType` — parquet TIMESTAMP(isAdjustedToUTC=true, MICROS),
+    *    passthrough.
     *
     * `nanosAsLong` is pre-set by all of our session builders
     * (Verify/Bench/TestSpark); the set here is a defensive idempotent
     * fallback for driver-owned sessions that call SparkEntry.queries
-    * directly — without it the read throws, so it is required, not a
-    * convenience.
+    * directly — without it a NANOS-encoded file fails to read at all.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   /** `events` with a `[from, until)` time filter applied to the RAW
-    * nanos-long `ts` column BEFORE the timestamp conversion, so the
+    * scanned `ts` column BEFORE any timestamp conversion, so the
     * predicate reaches the parquet scan — `PushedFilters: GreaterThanOrEqual/
     * LessThan(ts)` plus row-group min/max pruning. Filtering the plain
     * `events` path compares a DERIVED column and evaluates post-scan: a
@@ -54,6 +67,10 @@ object Tables {
     * ETL_glue_pregao_B3.json:164). At 100 TB with date-partitioned or
     * time-sorted event logs, this is the difference between scanning a
     * day and scanning a month.
+    *
+    * Same three-way encoding dispatch as `events` (see its scaladoc); each
+    * branch filters in the scanned column's own type — nanos-long literals
+    * for NANOS files, NTZ literals for NTZ files — then converts.
     *
     * Bounds are UTC `yyyy-MM-dd HH:mm:ss` strings, from-inclusive /
     * until-exclusive. For WHOLE-SECOND bounds the raw-nanos filter admits
@@ -71,12 +88,19 @@ object Tables {
       inst.getEpochSecond * 1000000000L + inst.getNano
     }
     import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(untilUtc))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else // already-µs reader (driver-owned session without nanosAsLong)
-      raw.filter(col("ts") >= lit(fromUtc).cast("timestamp") &&
-        col("ts") < lit(untilUtc).cast("timestamp"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(untilUtc))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.filter(col("ts") >= lit(fromUtc).cast(TimestampNTZType) &&
+            col("ts") < lit(untilUtc).cast(TimestampNTZType))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.filter(col("ts") >= lit(fromUtc).cast("timestamp") &&
+          col("ts") < lit(untilUtc).cast("timestamp"))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

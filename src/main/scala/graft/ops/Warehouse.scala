@@ -24,8 +24,10 @@ import graft.lake.Tables._
   *     rows out instead of failing the load.
   *
   * Cross-engine determinism: timestamps surface as epoch-MICROSECOND
-  * bigints (`unix_micros` ≡ DuckDB `epoch_us`, both truncating the
-  * parquet nanos), money/value doubles as floor'd fixed-point bigints,
+  * bigints (`unix_micros` ≡ DuckDB `epoch_us`; `Tables.events` already
+  * normalized whatever encoding the file shipped with — nanos-long, NTZ
+  * or LTZ micros — to µs TimestampType), money/value doubles as floor'd
+  * fixed-point bigints,
   * and every window order carries `event_id` as a total tiebreaker.
   */
 object Warehouse {

@@ -387,7 +387,7 @@ object CoreQueries {
     // one-day analysis window: over the full month every user converts
     // (degenerate); day one gives the real funnel shape
     // (78 / 37 / 16 / 3 at sf0.01). The window goes through
-    // Tables.eventsBetween so the bounds hit the RAW nanos-long ts and
+    // Tables.eventsBetween so the bounds hit the RAW scanned ts and
     // reach the parquet scan (PushedFilters + row-group pruning) instead
     // of evaluating post-conversion (r5 verdict #2); the testdata starts
     // 2024-01-01, so [01-01, 01-02) selects exactly the old `< 01-02` set.
