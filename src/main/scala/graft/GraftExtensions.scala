@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
       NormalizeExpression.make))
     ext.injectFunction((
+      FunctionIdentifier("graft_del_variants"),
+      new ExpressionInfo(
+        classOf[graft.functions.DeletionVariants].getName,
+        "graft_del_variants"),
+      graft.functions.DeletionVariantsFn.make))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(
         classOf[graft.functions.BloomMightContain].getName,

@@ -104,20 +104,95 @@ object FunctionQueries {
         parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
       .orderBy("doc_id")
 
-  /** Fuzzy record linkage: block on an exact key, verify with edit
-    * distance — the structured-data twin of the d4 n-gram verify.
-    * Names within distance ≤ 2 inside the same nation block are
-    * candidate duplicate identities.
+  /** Fuzzy record linkage: names within edit distance ≤ 2 inside the
+    * same nation are candidate duplicate identities — the
+    * structured-data twin of the d4 n-gram verify.
     *
-    * Scale shape: the self-join shuffles BOTH sides once on the
-    * blocking key and compares only within blocks — never all-pairs.
-    * Block size bounds the quadratic term, so the blocking key is the
-    * scale knob (at 100 TB block on (nation, name-prefix) or an LSH
-    * bucket when nation blocks grow too fat; the plan is unchanged).
-    * `levenshtein` is a codegen'd built-in in BOTH engines with the
-    * same unit-cost semantics, so pairs hash-match exactly.
+    * The shipped plan is a FastSS deletion-neighborhood join (Bocek,
+    * Hunt, Stiller 2007, "Fast Similarity Search in Large
+    * Dictionaries"): each name expands to its ≤2-deletion variants
+    * (1 + L + L·(L−1)/2 short strings), candidates are pairs sharing
+    * ANY variant within the nation, survivors verified exactly with
+    * `graft_lev`. Completeness is the deletion-alignment argument: an
+    * optimal ≤2-edit alignment deletes each edited position from its
+    * own side — ≤2 deletions per side — and what remains is a COMMON
+    * variant, so every true pair collides (property-tested against
+    * random insert/delete/substitute mutations in
+    * BoundedLevenshteinSpec, and result-identical to
+    * [[fEditDistanceBlocked]] on testdata).
+    *
+    * Scale shape — why not block-and-verify: the retired
+    * [[fEditDistanceBlocked]] form compares all pairs inside a
+    * (nation) block, and block population grows linearly with the
+    * table → in-block pairs grow QUADRATICALLY (the one measured
+    * superlinear family of r7: 10× wall exponent 1.26). Segment or
+    * prefix blocking (PassJoin-style) does not help THIS corpus: the
+    * shared `Customer#…` prefix makes two of three segments constant,
+    * reproducing the quadratic block. Deletion variants of id-like
+    * names stay diverse, so bucket population — and with it candidate
+    * volume — grows ~linearly: the variant explode is a fixed ~170×
+    * constant per row (L=18), the price that buys the exponent. Short
+    * keys only (names/codes); for document-length strings this family
+    * hands off to the d2 MinHash path.
+    *
+    * `graft_lev` = bounded levenshtein with common-prefix/suffix
+    * stripping + banded DP (functions/BoundedLevenshtein.scala): −1
+    * past the threshold, the TRUE distance inside it — survivor rows
+    * and dist values identical to the plain `levenshtein` the DuckDB
+    * oracle runs.
     */
-  def fEditDistance(s: SparkSession, d: String): DataFrame = {
+  def fEditDistance(s: SparkSession, d: String): DataFrame =
+    fastSsPairs(s, customer(s, d).select(
+        col("c_custkey").as("key"), col("c_nationkey").as("blk"),
+        col("c_name").as("nm")))
+      .orderBy("a_key", "b_key")
+
+  /** FastSS τ=2 edit-distance self-join over (key, blk, nm) rows — the
+    * deletion-variant candidate generation + exact `graft_lev` verify
+    * described on [[fEditDistance]], factored so the completeness
+    * property test can drive it with adversarial random mutations
+    * (inserts/deletes SHIFT later positions; the corpus's uniform-length
+    * names never exercise that).
+    */
+  private[graft] def fastSsPairs(s: SparkSession, c: DataFrame): DataFrame = {
+    graft.functions.BoundedLevenshteinFn.ensureRegistered(s)
+    graft.functions.DeletionVariantsFn.ensureRegistered(s)
+    // graft_del_variants = native kernel emitting the distinct ≤2-deletion
+    // variants (functions/DeletionVariants.scala); the nested-transform
+    // HOF formulation it replaced was CodegenFallback and 4× the query
+    def variantSide(prefix: String): DataFrame =
+      c.select(col("key").as(s"${prefix}_key"), col("blk"), col("nm"))
+        .select(col(s"${prefix}_key"), col("blk"),
+          col("nm").as(s"${prefix}_name"),
+          explode(expr("graft_del_variants(nm)")).as("vr"))
+    // the candidate dedup exchange carries KEYS ONLY (16 bytes/row) —
+    // names rejoin by key afterwards, so neither the wide
+    // (a_name, b_name) payload (46 MB at sf0.1) nor a per-collision
+    // graft_lev re-check reaches an exchange; each distinct pair is
+    // verified exactly once
+    val cand = variantSide("a")
+      .join(variantSide("b"), Seq("blk", "vr"))
+      .filter(col("a_key") < col("b_key"))
+      .select("a_key", "b_key")
+      .dropDuplicates("a_key", "b_key")
+    val names = c.select(col("key"), col("nm"))
+    cand
+      .join(names.select(col("key").as("a_key"), col("nm").as("a_name")),
+        Seq("a_key"))
+      .join(names.select(col("key").as("b_key"), col("nm").as("b_name")),
+        Seq("b_key"))
+      .select(col("a_key"), col("b_key"),
+        expr("graft_lev(a_name, b_name, 2)").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** The coarse block-and-verify form FastSS replaced: every in-block
+    * pair compared. Kept as the COMPLETENESS BASELINE the equivalence
+    * spec checks [[fEditDistance]] against — the same role the brute
+    * scan plays for the ANN index — never the shape to run at scale
+    * (in-block pairs grow quadratically; measured 10× exponent 1.26).
+    */
+  private[graft] def fEditDistanceBlocked(s: SparkSession, d: String): DataFrame = {
     graft.functions.BoundedLevenshteinFn.ensureRegistered(s)
     val c = customer(s, d).select(
       col("c_custkey"), col("c_nationkey"), col("c_name"))
@@ -127,12 +202,6 @@ object FunctionQueries {
       col("c_nationkey").as("nk"), col("c_name").as("b_name"))
     a.join(b, Seq("nk"))
       .filter(col("a_key") < col("b_key"))
-      // graft_lev = bounded levenshtein with common-prefix/suffix
-      // stripping + banded DP (functions/BoundedLevenshtein.scala):
-      // −1 past the threshold, the TRUE distance inside it — survivor
-      // rows and dist values identical to the plain form the oracle
-      // runs, at ~3.5× the throughput of the built-in kernel on
-      // linkage-shaped names (tools/LevDiag measurements in scaladoc).
       .select(col("a_key"), col("b_key"),
         expr("graft_lev(a_name, b_name, 2)").as("dist"))
       .filter(col("dist") >= 0)

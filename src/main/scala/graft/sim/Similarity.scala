@@ -349,11 +349,28 @@ object Similarity {
     * extra rename projection would make the two exchange subtrees
     * canonically different and defeat ReuseExchange.
     */
+  /** The LSH bucket index, computed ONCE per (session, corpus dir) and
+    * persisted — every consumer (s2/s3/s9 bucket joins, the s10
+    * hard-negative fetch, the s11 recall report, MMR candidates) probes
+    * the SAME cached relation instead of re-deriving 8×bits hyperplane
+    * dot products per query. This is the local analogue of the
+    * production shape where the index is a persisted TABLE written once
+    * per corpus build and probed by every retrieval query; rebuilding it
+    * per query was the whole s10 bench regression adjudicated in r7
+    * (#3). Entries are (vec_id, tbl, bk) ints — O(N·Tables) narrow rows,
+    * MEMORY_AND_DISK so an executor-memory shortfall spills instead of
+    * recomputing. Keyed by session too: a DataFrame is bound to the
+    * session that analyzed it, and test suites run several.
+    */
+  private val bucketIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
   private def bucketTable(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)))))
-          .as(Seq("tbl", "bk")))
+    bucketIndexCache.computeIfAbsent((s, d), _ =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)))))
+            .as(Seq("tbl", "bk")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** (vec_id, embedding, nrm) — per-vector norm computed ONCE instead
     * of twice per scored pair (same double as the per-pair form: same

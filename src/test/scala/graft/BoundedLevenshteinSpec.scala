@@ -85,6 +85,58 @@ class BoundedLevenshteinSpec extends AnyFunSuite {
     assert(msgs(e).contains("non-null"))
   }
 
+  test("property: FastSS candidate generation is COMPLETE under random indel/sub mutations") {
+    // the deletion-alignment completeness argument says every pair within
+    // edit distance 2 shares a <=2-deletion variant; uniform-length corpus
+    // names never exercise the indel-SHIFT cases, so build an adversarial
+    // corpus: random base strings over a tiny alphabet plus copies mutated
+    // by 0-3 random inserts/deletes/substitutions, then check the FastSS
+    // join finds EXACTLY the pairs the brute all-pairs scan finds
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val strGen = for {
+      n <- Gen.choose(3, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val editGen = Gen.choose(0, 2).flatMap {
+      case 0 => for { // substitute
+        p <- Gen.choose(0, 100); ch <- Gen.oneOf('a', 'b', 'c')
+      } yield (s: String) =>
+        if (s.isEmpty) s
+        else s.updated(p % s.length, ch)
+      case 1 => Gen.choose(0, 100).map(p => (s: String) => // delete
+        if (s.isEmpty) s
+        else s.patch(p % s.length, Nil, 1))
+      case _ => for { // insert
+        p <- Gen.choose(0, 100); ch <- Gen.oneOf('a', 'b', 'c')
+      } yield (s: String) => s.patch(p % (s.length + 1), Seq(ch), 0)
+    }
+    val corpusGen = for {
+      bases <- Gen.listOfN(12, strGen)
+      mutants <- Gen.sequence[List[String], String](bases.map { b =>
+        for { k <- Gen.choose(0, 3); es <- Gen.listOfN(k, editGen) }
+          yield es.foldLeft(b)((acc, e) => e(acc))
+      })
+    } yield (bases ++ mutants).zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+    val params = Gen.Parameters.default
+    (1 to 25).foreach { round =>
+      val rows = corpusGen(params, Seed(round.toLong)).get
+      import spark.implicits._
+      val df = rows.toDF("key", "nm")
+        .withColumn(
+          "blk", org.apache.spark.sql.functions.lit(0)) // one block: worst case
+      val got = graft.queries.FunctionQueries.fastSsPairs(spark, df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ka, sa) <- rows; (kb, sb) <- rows if ka < kb
+        d = sparkLev(sa, sb, 2) if d >= 0
+      } yield (ka, kb, d)).toSet
+      assert(got == want,
+        s"round $round: FastSS=${got.size} brute=${want.size}; " +
+          s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("f_edit_distance with graft_lev equals the plain built-in form row for row") {
     import graft.lake.Tables
     val c = Tables.customer(spark, sf).select(
