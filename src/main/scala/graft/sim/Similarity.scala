@@ -314,6 +314,27 @@ object Similarity {
     math.min(BaseBits + extra, MaxBits)
   }
 
+  /** Ladder smoothing (r7 stretch): [[bitsFor]] only widens on corpus
+    * DOUBLINGS, so between doublings expected occupancy — and with it
+    * candidate volume — oscillates by up to 2×, which is exactly the
+    * s2/s3 100× exponent wobble (1.08/1.21 measured on the bit-ladder's
+    * rounding). Instead of one global width, the first `extraTablesFor`
+    * of the 8 tables carry ONE extra bit: linear interpolation of the
+    * fractional doubling 8·(k−2^⌊log2 k⌋)/2^⌊log2 k⌋ in pure integer
+    * arithmetic, mirrored verbatim in the DuckDB params CTE. extra = 0
+    * whenever k is an exact power of two — in particular at every
+    * oracle-gated tier (k ≤ 1 there), where seeds and buckets are
+    * bit-identical to the flat ladder.
+    */
+  private[graft] def extraTablesFor(n: Long): Int = {
+    val k = n / BaseN
+    if (k <= 1L || bitsFor(n) >= MaxBits) 0
+    else {
+      val p2 = java.lang.Long.highestOneBit(k)
+      math.min(7L, (8L * (k - p2)) / p2).toInt
+    }
+  }
+
   /** Corpus row count, cached per directory: one metadata-only parquet
     * count action the first time a corpus is indexed — the same "know n
     * before sizing the hash family" step any real ANN index build does.
@@ -324,16 +345,22 @@ object Similarity {
     corpusCount.computeIfAbsent(d, _ => embeddings(s, d).count()).longValue
 
   /** array<int> of the row's bucket in each table, at `bits` width. */
-  private def bucketsSql(bits: Int): String = {
+  private def bucketsSql(bits: Int, extra: Int): String = {
     def dot(p: Int) = {
       val plane = (0 until Dims)
         .map(j => s"${Hashing.h32Host(s"${p}_$j") / 2147483648.0 - 1.0}D")
         .mkString("array(", ", ", ")")
       s"graft_dot(embedding, $plane)"
     }
+    // table t's width and hyperplane offset under the smoothed ladder:
+    // the first `extra` tables carry one more bit; offsets pack widths
+    // head to tail, so with extra = 0 every seed index equals the flat
+    // ladder's t*bits + b (oracle-tier bit-compatibility)
     val tables = (0 until Tables).map { t =>
-      (0 until bits)
-        .map(b => s"IF(${dot(t * bits + b)} > 0, ${1 << b}, 0)")
+      val w = bits + (if (t < extra) 1 else 0)
+      val off = t * bits + math.min(t, extra)
+      (0 until w)
+        .map(b => s"IF(${dot(off + b)} > 0, ${1 << b}, 0)")
         .mkString("(", " + ", ")")
     }
     tables.mkString(
@@ -368,7 +395,8 @@ object Similarity {
     bucketIndexCache.computeIfAbsent((s, d), _ =>
       embeddings(s, d)
         .select(col("vec_id"),
-          posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)))))
+          posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)),
+              extraTablesFor(embeddingCount(s, d)))))
             .as(Seq("tbl", "bk")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
