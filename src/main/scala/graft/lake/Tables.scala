@@ -35,9 +35,16 @@ object Tables {
     *    division and at epoch-nanos magnitude (~1.8e18, ulp 256 ns) the
     *    rounded double can differ from truncation by 1 µs (ADVICE r1).
     *  - `TimestampNTZType` — parquet TIMESTAMP(isAdjustedToUTC=false,
-    *    MICROS). Cast to TimestampType: under the pinned UTC session TZ
-    *    (all our session builders set it) the cast reinterprets the same
-    *    micros value — identity, proven by `EventsEncodingSpec`.
+    *    MICROS). The lake's NTZ wall clocks ARE UTC instants, so the
+    *    NTZ→LTZ conversion must not depend on the session TZ: a plain
+    *    `cast("timestamp")` reinterprets the wall clock in the SESSION
+    *    zone — identity under our pinned-UTC builders but silently
+    *    shifted in a foreign session (ADVICE r8). [[ntzToUtcInstant]]
+    *    instead reinterprets via `convert_timezone('UTC', sessionTZ, ·)`
+    *    before the cast: identity when the session is UTC, and the
+    *    correct UTC instant under any other zone. `EventsEncodingSpec`
+    *    pins both (UTC identity + a São-Paulo session reading the same
+    *    instants).
     *  - `TimestampType` — parquet TIMESTAMP(isAdjustedToUTC=true, MICROS),
     *    passthrough.
     *
@@ -46,6 +53,19 @@ object Tables {
     * fallback for driver-owned sessions that call SparkEntry.queries
     * directly — without it a NANOS-encoded file fails to read at all.
     */
+  /** UTC-instant interpretation of an NTZ column, independent of the
+    * session timezone (see `events` scaladoc). The session TZ is read at
+    * PLAN time — the only way to defeat this is changing the TZ between
+    * building the DataFrame and executing it, which also breaks every
+    * built-in string↔timestamp expression in the plan.
+    */
+  private def ntzToUtcInstant(s: SparkSession,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{convert_timezone, lit}
+    val sessionTz = s.conf.get("spark.sql.session.timeZone")
+    convert_timezone(lit("UTC"), lit(sessionTz), c).cast("timestamp")
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
@@ -53,7 +73,7 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => raw.withColumn("ts", ntzToUtcInstant(s, col("ts")))
       case _                => raw
     }
   }
@@ -73,10 +93,14 @@ object Tables {
     * for NANOS files, NTZ literals for NTZ files — then converts.
     *
     * Bounds are UTC `yyyy-MM-dd HH:mm:ss` strings, from-inclusive /
-    * until-exclusive. For WHOLE-SECOND bounds the raw-nanos filter admits
-    * exactly the rows the converted-µs filter would (truncation can't
-    * cross a whole-second boundary), so swapping it in never changes a
-    * result — only the scan.
+    * until-exclusive, and every branch builds its bound literals
+    * TZ-independently: epoch nanos/micros computed in Scala at explicit
+    * UTC offset for the LongType and TimestampType branches, a pure
+    * wall-clock string→NTZ parse for the NTZ branch (ADVICE r8 — the
+    * previous `lit(str).cast("timestamp")` parsed in the session zone).
+    * For WHOLE-SECOND bounds the raw-nanos filter admits exactly the rows
+    * the converted-µs filter would (truncation can't cross a whole-second
+    * boundary), so swapping it in never changes a result — only the scan.
     */
   def eventsBetween(s: SparkSession, d: String,
                     fromUtc: String, untilUtc: String): DataFrame = {
@@ -96,10 +120,10 @@ object Tables {
       case TimestampNTZType =>
         raw.filter(col("ts") >= lit(fromUtc).cast(TimestampNTZType) &&
             col("ts") < lit(untilUtc).cast(TimestampNTZType))
-          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts", ntzToUtcInstant(s, col("ts")))
       case _ =>
-        raw.filter(col("ts") >= lit(fromUtc).cast("timestamp") &&
-          col("ts") < lit(untilUtc).cast("timestamp"))
+        raw.filter(col("ts") >= timestamp_micros(lit(nanos(fromUtc) / 1000L)) &&
+          col("ts") < timestamp_micros(lit(nanos(untilUtc) / 1000L)))
     }
   }
 

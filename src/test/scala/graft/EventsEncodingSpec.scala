@@ -34,7 +34,18 @@ class EventsEncodingSpec extends AnyFunSuite {
     "j5_asof_join", "j6_range_join", "l1_scd2", "l2_cdc_apply",
     "o7_latest_per_key", "w4_sessionize", "w8_forward_fill", "w9_funnel")
 
-  /** sf0.001 with `events.parquet` re-encoded; all other tables symlinked. */
+  /** sf0.001 with `events.parquet` re-encoded; all other tables symlinked.
+    *
+    * Fidelity note (ADVICE r8): the "nanos" fixture is a plain INT64
+    * column, which is what a TIMESTAMP(NANOS) file PRESENTS AS once
+    * `nanosAsLong` is active — it exercises the LongType dispatch branch
+    * and the `div 1000` truncation, but not the annotated-NANOS read
+    * itself (PARQUET_TYPE_ILLEGAL avoidance). Spark's parquet writer
+    * cannot emit an annotated TIMESTAMP(NANOS) column (its outputTimestampType
+    * options are INT96/MICROS/MILLIS), so that last step is only
+    * exercisable against driver-generated files; the driver's sf tiers
+    * have shipped genuine NANOS files and the oracle gate covers them.
+    */
   private lazy val fixtures: Map[String, String] = {
     val canon = graft.lake.Tables.events(spark, sf) // ts: TimestampType (UTC)
     val variants = Map(
@@ -74,6 +85,35 @@ class EventsEncodingSpec extends AnyFunSuite {
       assert(byEnc("ltz") == byEnc("nanos"),
         s"$name: LTZ-micros result differs from nanos-long result")
     }
+  }
+
+  /** ADVICE r8: the NTZ→LTZ conversion and the bound literals must not
+    * depend on the session timezone — a foreign (driver-owned) session
+    * running with its host zone must read the same UTC instants the
+    * pinned-UTC sessions do. Epoch micros are the TZ-independent
+    * representation compared here; São Paulo (UTC-3, with a DST history)
+    * is the reference's own locale.
+    */
+  test("a non-UTC session reads the same UTC instants on every encoding") {
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    def micros(dir: String): Seq[Long] =
+      graft.lake.Tables.events(spark, dir)
+        .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+    def boundedCount(dir: String): Long =
+      graft.lake.Tables.eventsBetween(spark, dir,
+        "2024-01-01 00:00:00", "2024-03-01 00:00:00").count()
+    val truthMicros = fixtures.map { case (enc, dir) => enc -> micros(dir) }
+    val truthCounts = fixtures.map { case (enc, dir) => enc -> boundedCount(dir) }
+    try {
+      spark.conf.set(tzKey, "America/Sao_Paulo")
+      fixtures.foreach { case (enc, dir) =>
+        assert(micros(dir) == truthMicros(enc),
+          s"$enc: São-Paulo session shifted the read instants")
+        assert(boundedCount(dir) == truthCounts(enc),
+          s"$enc: São-Paulo session shifted the eventsBetween bounds")
+      }
+    } finally spark.conf.set(tzKey, orig)
   }
 
   test("eventsBetween pushes ts bounds to the scan on every encoding") {
