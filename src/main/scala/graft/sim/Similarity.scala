@@ -338,11 +338,18 @@ object Similarity {
   /** Corpus row count, cached per directory: one metadata-only parquet
     * count action the first time a corpus is indexed — the same "know n
     * before sizing the hash family" step any real ANN index build does.
+    * Signature-keyed like [[bucketIndexCache]]: a regenerated corpus
+    * re-counts (n sizes the hash family — a stale n is a stale index).
     */
   private val corpusCount =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embeddingCount(s: SparkSession, d: String): Long =
-    corpusCount.computeIfAbsent(d, _ => embeddings(s, d).count()).longValue
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def embeddingCount(s: SparkSession, d: String): Long = {
+    val path = s"$d/embeddings.parquet"
+    val sig = graft.lake.CorpusIndexCache.signature(path)
+    corpusCount.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, embeddings(s, d).count()))._2
+  }
 
   /** array<int> of the row's bucket in each table, at `bits` width. */
   private def bucketsSql(bits: Int, extra: Int): String = {
@@ -387,18 +394,19 @@ object Similarity {
     * (#3). Entries are (vec_id, tbl, bk) ints — O(N·Tables) narrow rows,
     * MEMORY_AND_DISK so an executor-memory shortfall spills instead of
     * recomputing. Keyed by session too: a DataFrame is bound to the
-    * session that analyzed it, and test suites run several.
+    * session that analyzed it, and test suites run several. Lifecycle
+    * (staleness on corpus rewrite, stopped-session retention) is owned
+    * by [[graft.lake.CorpusIndexCache]]; `ColdIndexSpec` pins it.
     */
-  private val bucketIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private def bucketTable(s: SparkSession, d: String): DataFrame =
-    bucketIndexCache.computeIfAbsent((s, d), _ =>
+  private[graft] val bucketIndexCache = new graft.lake.CorpusIndexCache
+  private[graft] def bucketTable(s: SparkSession, d: String): DataFrame =
+    bucketIndexCache.get(s, s"$d/embeddings.parquet") {
       embeddings(s, d)
         .select(col("vec_id"),
           posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)),
               extraTablesFor(embeddingCount(s, d)))))
             .as(Seq("tbl", "bk")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** (vec_id, embedding, nrm) — per-vector norm computed ONCE instead
     * of twice per scored pair (same double as the per-pair form: same
@@ -666,15 +674,24 @@ object Similarity {
   private[sim] def cosDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
 
-  /** Per-table bucket, mirroring [[bucketsSql]]: hyperplane index
-    * p = tbl*bits + b, hashed exactly like the Spark literals. `bits`
-    * is a column (from the `params` CTE below) so the oracle derives
-    * the SAME corpus-size-adaptive width as [[bitsFor]].
+  /** Per-table bucket, mirroring [[bucketsSql]] under the SMOOTHED
+    * ladder: table `tbl`'s width is `bits + 1` for the first `extra`
+    * tables, and its hyperplane offset packs widths head to tail
+    * (`tbl*bits + LEAST(tbl, extra)`), hashed exactly like the Spark
+    * literals. With `extra = 0` — every oracle-gated tier — this
+    * reduces term-for-term to the flat ladder (`range(bits)`, index
+    * `tbl*bits + b`), so oracle outputs are bit-identical to the
+    * pre-smoothing CTE. `bits`/`extra` are columns from the `params`
+    * CTE below, so the oracle derives the SAME corpus-size-adaptive
+    * family as [[bitsFor]]/[[extraTablesFor]]. Cross-engine agreement
+    * at a tier where extra > 0 is pinned by `LadderSmoothingSpec`
+    * (Spark) + `scripts/check_ladder.py` (DuckDB, k = 10 → extra = 2).
     */
   private val bucketDuck: String = {
     val hp = Hashing.h32Duck(
-      "CAST(tbl*bits + b AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
-    s"""CAST(list_sum(list_transform(range(bits), b ->
+      "CAST(tbl*bits + LEAST(tbl, extra) + b AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+    s"""CAST(list_sum(list_transform(
+       |  range(bits + CASE WHEN tbl < extra THEN 1 ELSE 0 END), b ->
        |  CASE WHEN list_reduce(list_transform(range(len(embedding)),
        |         j -> CAST(embedding[j+1] AS DOUBLE)
        |              * (($hp / 2147483648.0) - 1.0)),
@@ -682,15 +699,21 @@ object Similarity {
        |       THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
   }
 
-  /** `bits(n) = 4 + max(0, floor(log2(n // 2000)))` capped at 20 — the
-    * integer-only twin of [[bitsFor]] (`//` is DuckDB integer division;
-    * `length(bin(k)) - 1` is floor(log2 k) for k ≥ 1).
+  /** `bits(n) = 4 + max(0, floor(log2(n // 2000)))` capped at 20, and
+    * `extra(n) = min(7, (8·(k − 2^⌊log2 k⌋)) // 2^⌊log2 k⌋)` (0 at or
+    * beyond the cap) — the integer-only twins of [[bitsFor]] /
+    * [[extraTablesFor]] (`//` is DuckDB integer division;
+    * `length(bin(k)) - 1` is floor(log2 k) for k ≥ 1, so
+    * `1 << (length(bin(k)) - 1)` is the highest power of two ≤ k).
     */
-  private val bucketTableDuck: String =
+  private[graft] val bucketTableDuck: String =
     s"""params AS (
-       |  SELECT LEAST(20, 4 + CASE WHEN cnt // 2000 <= 1 THEN 0
-       |    ELSE length(bin(cnt // 2000)) - 1 END) AS bits
-       |  FROM (SELECT count(*) AS cnt FROM embeddings)
+       |  SELECT LEAST(20, 4 + CASE WHEN k <= 1 THEN 0
+       |      ELSE length(bin(k)) - 1 END) AS bits,
+       |    CASE WHEN k <= 1 OR 4 + length(bin(k)) - 1 >= 20 THEN 0
+       |      ELSE LEAST(7, (8 * (k - (1 << (length(bin(k)) - 1))))
+       |                    // (1 << (length(bin(k)) - 1))) END AS extra
+       |  FROM (SELECT count(*) // 2000 AS k FROM embeddings)
        |), b AS (
        |  SELECT vec_id, embedding, tbl, $bucketDuck AS bk
        |  FROM embeddings, range(8) tt(tbl), params

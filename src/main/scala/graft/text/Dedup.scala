@@ -768,14 +768,15 @@ object Dedup {
     // probed by every admission call, exactly as a production pipeline
     // persists it between daily crawls (r7 verdict #4: rebuilding the
     // index per call is what the bench kept flagging on s10)
-    val cb = corpusBandIndexCache.computeIfAbsent((s, d), _ =>
-      bandIndex(corp).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = corpusBandIndexCache.get(s, s"$d/documents.parquet")(
+      bandIndex(corp))
     admitIncrement(corp, inc, corpusBands = Some(cb))
       .select(col("doc_id")).orderBy("doc_id")
   }
-  private val corpusBandIndexCache = new java.util.concurrent
-    .ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Lifecycle (staleness on corpus rewrite, stopped-session retention)
+    * owned by [[graft.lake.CorpusIndexCache]]; `ColdIndexSpec` pins it.
+    */
+  private[graft] val corpusBandIndexCache = new graft.lake.CorpusIndexCache
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_incremental_admit" -> (d13IncrementalAdmit _),

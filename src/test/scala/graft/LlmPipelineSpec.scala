@@ -345,6 +345,25 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ladder smoothing: first extraTablesFor tables carry one extra bit; zero at oracle tiers and exact doublings") {
+    // integer twin of the DuckDB params CTE: extra =
+    // min(7, (8·(k − 2^⌊log2 k⌋)) // 2^⌊log2 k⌋), 0 at k ≤ 1 or the cap.
+    // Cross-engine bucket-set equality at an extra > 0 tier is checked by
+    // tools/DumpBuckets + scripts/check_ladder.py (the oracle tiers all
+    // sit at extra = 0, so the driver gate alone never exercises it).
+    val expected = Seq(
+      0L -> 0, 2000L -> 0, 3999L -> 0, // oracle tiers: k <= 1
+      4000L -> 0,                      // k = 2, exact doubling
+      6000L -> 4,                      // k = 3: (8*(3-2))//2 = 4
+      20000L -> 2,                     // the 10x tier: k = 10, (8*2)//8 = 2
+      2000L * 15 -> 7,                 // k = 15: (8*7)//8 = 7, at the clamp
+      2000L * 16 -> 0,                 // k = 16, exact power of two
+      2000L * (1L << 16) -> 0)         // MaxBits cap: smoothing disabled
+    expected.foreach { case (n, e) =>
+      assert(Similarity.extraTablesFor(n) === e, s"extraTablesFor($n)")
+    }
+  }
+
   test("ANN recall@3 vs the exact baseline: LSH and IVF both find real neighbors") {
     def recallAt(dir: String): (Double, Double) = {
       val exact = Similarity.s1CosineTopk(spark, dir).collect()
