@@ -27,17 +27,22 @@ import graft.lake.Tables._
   * Joining prefixes on shingle therefore finds every qualifying pair;
   * exact full-set verification removes the prefix false positives.
   *
-  * Scale shape (100 TB): the candidate join is on PREFIX shingles
-  * only — a doc's prefix holds its RAREST shingles, so boilerplate
-  * shingles shared by millions of docs almost never reach a prefix and
-  * the per-shingle fan-out is self-limiting (Σ prefix-df², with
-  * prefix-df ≪ df for common shingles). Three shuffles: shingle df
-  * (map-side partial count), per-doc ordering window (doc_id),
-  * candidate equi-join (shingle); verification joins only candidate
-  * pair ids back to the shingle arrays (d4's bounded-verify pattern).
-  * The knob is τ — higher τ ⇒ shorter prefixes ⇒ smaller join; a
-  * degenerate corpus where most docs truly match degrades toward the
-  * n² output that ANY complete algorithm must emit on it.
+  * Scale shape (100 TB): exact-duplicate groups contract to one
+  * representative FIRST ([[groupedSets]] — one set-keyed group-by), so
+  * candidate volume is bounded by the distinct-set corpus; then the
+  * candidate join is on PREFIX shingles only — a doc's prefix holds
+  * its RAREST shingles, so boilerplate shingles shared by millions of
+  * docs almost never reach a prefix and the per-shingle fan-out is
+  * self-limiting (Σ prefix-df², with prefix-df ≪ df for common
+  * shingles). Four shuffles: set group-by, shingle df (map-side
+  * partial count), per-doc ordering window (doc_id), candidate
+  * equi-join (shingle); verification joins only candidate pair ids
+  * back to the shingle arrays (d4's bounded-verify pattern), and
+  * group expansion is output-sized. The knob is τ — higher τ ⇒
+  * shorter prefixes ⇒ smaller join; a degenerate corpus where most
+  * docs truly match (beyond exact/clone duplication, which contracts)
+  * degrades toward the n² output that ANY complete algorithm must
+  * emit on it.
   *
   * Determinism: (df, shingle-hash) is a total order (numeric
   * tie-break), so prefixes are unique per doc and the result is a pure
@@ -71,6 +76,39 @@ object SetSimilarity {
     shingleSets(docs).select(col("doc_id"),
       transform(col("sh"), x => xxhash64(x)).as("hs"))
 
+  /** Exact-duplicate GROUP CONTRACTION (r8 verdict "What's wrong #3"):
+    * the one measured superlinearity in the dedup family was d10/d12's
+    * 100× shuffle-byte exponent (1.53/1.62), adjudicated as clone
+    * densification — docs with IDENTICAL shingle sets (exact dupes, or
+    * the scale corpus's 26-apart rotation clones) all carry the same
+    * prefix tokens, so a clone cluster of size g contributes g² rows to
+    * every one of its prefix tokens' candidate joins. Contracting each
+    * identical-set group to ONE representative before the prefix
+    * pipeline bounds candidate volume by the DISTINCT-set corpus size;
+    * pairs re-expand afterwards at output cost only:
+    *   - within a group, every pair is Jaccard 10000 bp (identical
+    *     sets) — emitted directly;
+    *   - across groups, every member pair scores exactly what the
+    *     representative pair scored (same sets ⇒ same intersection /
+    *     union) — the rep-level verified score is copied.
+    * Completeness is unchanged: a qualifying pair is either same-group
+    * (emitted by the within leg) or lands on a qualifying rep pair the
+    * prefix argument already finds. This is the production posture for
+    * crawl corpora, where exact duplicates dominate the mass a dedup
+    * pass sees — a cap-with-repair scheme cannot bound candidates below
+    * the true output, which group contraction reaches.
+    *
+    * The group key is the SORTED hash array itself (order-invariant,
+    * collision-free — grouping on a 64-bit digest of it could merge two
+    * genuinely different sets and emit wrong pairs; the array is the
+    * same width the verify join already shuffles). (ghs, rep doc_id,
+    * sorted member list) per distinct set.
+    */
+  private[graft] def groupedSets(hs: DataFrame): DataFrame =
+    hs.groupBy(array_sort(col("hs")).as("hs"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+
   /** The τ=0.6 prefix relation over the HASHED shingle frame:
     * (doc_id, tok, rn, n) restricted to each doc's rarest
     * |S| − ceil(0.6|S|) + 1 shingles under the global (df, hash)
@@ -98,8 +136,8 @@ object SetSimilarity {
     * tie modes differ (the repo-wide integer-bp convention).
     */
   private def verified(cand: DataFrame, ts: DataFrame,
-      setCol: String): DataFrame =
-    cand
+      setCol: String, sorted: Boolean = true): DataFrame = {
+    val v = cand
       .join(ts.select(col("doc_id"), col(setCol).as("xa")),
         col("doc_a") === col("doc_id")).drop("doc_id")
       .join(ts.select(col("doc_id"), col(setCol).as("xb")),
@@ -109,7 +147,8 @@ object SetSimilarity {
         "inter * 10000L div (size(xa) + size(xb) - inter)"))
       .filter(col("jac_bp") >= TauBp)
       .select("doc_a", "doc_b", "jac_bp")
-      .orderBy("doc_a", "doc_b")
+    if (sorted) v.orderBy("doc_a", "doc_b") else v
+  }
 
   /** d10: every pair with shingle Jaccard ≥ 0.6 — (doc_a, doc_b,
     * jac_bp), exact and complete (no LSH miss rate).
@@ -145,7 +184,8 @@ object SetSimilarity {
     */
   def allPairs(docs: DataFrame,
       materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val hs = materialize(hashedSets(docs))
+    val grouped = materialize(groupedSets(hashedSets(docs)))
+    val hs = grouped.select(col("doc_id"), col("hs"))
     val pref = prefixes(hs)
     val a = pref.select(col("doc_id").as("da"), col("tok"),
       col("rn").as("ra"), col("n").as("na"))
@@ -156,7 +196,24 @@ object SetSimilarity {
         "1 + least(na - ra, nb - rb) >= (3 * (na + nb) + 7) div 8"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
-    verified(cand, hs, "hs")
+    val repPairs = verified(cand, hs, "hs", sorted = false)
+    // expansion (output-sized): cross-group member pairs inherit the
+    // rep score; within-group pairs are identical sets, 10000 bp
+    val mem = grouped.select(col("doc_id").as("rep"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("members").as("ma")), "doc_a")
+      .join(mem.select(col("rep").as("doc_b"), col("members").as("mb")), "doc_b")
+      .select(col("jac_bp"), explode(col("ma")).as("x"), col("mb"))
+      .select(col("jac_bp"), col("x"), explode(col("mb")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jac_bp"))
+    val within = grouped.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        lit(10000L).as("jac_bp"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   /** The brute exact form (full shingle self-join) — the completeness
@@ -207,7 +264,8 @@ object SetSimilarity {
     */
   def containmentPairs(docs: DataFrame,
       materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val hs = materialize(hashedSets(docs))
+    val grouped = materialize(groupedSets(hashedSets(docs)))
+    val hs = grouped.select(col("doc_id"), col("hs"))
     val tok = hs.select(col("doc_id"), size(col("hs")).as("n"),
       explode(col("hs")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -225,7 +283,7 @@ object SetSimilarity {
         "1 + least(na - ra, nb - rb) >= (4 * na + 4) div 5"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(hs.select(col("doc_id"), col("hs").as("xa")),
         col("doc_a") === col("doc_id")).drop("doc_id")
       .join(hs.select(col("doc_id"), col("hs").as("xb")),
@@ -234,7 +292,24 @@ object SetSimilarity {
       .withColumn("cont_bp", expr("inter * 10000L div size(xa)"))
       .filter(col("cont_bp") >= TauCBp)
       .select("doc_a", "doc_b", "cont_bp")
-      .orderBy("doc_a", "doc_b")
+    // expansion ([[groupedSets]]): containment is ORDERED, so cross
+    // pairs expand directionally (every x∈Ga contained in every y∈Gb
+    // at the rep score) and within-group pairs are both-direction
+    // 10000 bp (identical sets contain each other)
+    val mem = grouped.select(col("doc_id").as("rep"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("members").as("ma")), "doc_a")
+      .join(mem.select(col("rep").as("doc_b"), col("members").as("mb")), "doc_b")
+      .select(col("cont_bp"), explode(col("ma")).as("x"), col("mb"))
+      .select(col("cont_bp"), col("x"), explode(col("mb")).as("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), col("cont_bp"))
+    val within = grouped.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        lit(10000L).as("cont_bp"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   /** Brute containment over the string universe — d12's completeness

@@ -113,6 +113,32 @@ class SetSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("clone clusters contract to one representative; expansion is complete on both joins") {
+    import spark.implicits._
+    // 3 clusters x 8 exact clones — the r8 degeneracy shape (the 100x
+    // scale corpus's 26-apart rotation clones; any crawl's exact-dup
+    // mass). Clusters 1 and 2 overlap at exactly tau (inter 3 / union
+    // 5 = 0.6), so cross-group expansion is exercised alongside the
+    // all-pairs within-group legs.
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "omega psi chi tau nu mu")
+    val docs = (0 until 24).map { i =>
+      (i.toLong, base(i % 3)) // interleaved ids: reps are NOT contiguous
+    }.toDF("doc_id", "text")
+    assert(SetSimilarity.groupedSets(SetSimilarity.hashedSets(docs))
+      .count() == 3, "8 clones per set must contract to one row each")
+    val fast = SetSimilarity.allPairs(docs).collect().toSeq
+    val brute = SetSimilarity.bruteExact(docs).collect().toSeq
+    assert(fast == brute)
+    // 3 groups x C(8,2) within-pairs + 8x8 cross pairs of groups 0/1
+    assert(fast.size == 3 * 28 + 64, s"got ${fast.size}")
+    val fc = SetSimilarity.containmentPairs(docs).collect().toSeq
+    val bc = SetSimilarity.bruteContainment(docs).collect().toSeq
+    assert(fc == bc)
+  }
+
   test("prefix relation is strictly smaller than the full shingle relation (the point of the filter)") {
     val ts = SetSimilarity.hashedSets(graft.lake.Tables.documents(spark, sf))
     val full = ts.select(col("doc_id"), explode(col("hs")).as("tok")).count()
