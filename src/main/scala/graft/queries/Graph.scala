@@ -49,7 +49,14 @@ object Graph {
     * truncated per round with the CC materializer. N comes from one
     * node-count aggregate (the bitsFor "know n" step).
     */
-  def g1Pagerank(s: SparkSession, d: String): DataFrame = {
+  def g1Pagerank(s: SparkSession, d: String): DataFrame =
+    pagerank(edgesWithOut(s, d).localCheckpoint())
+
+  /** The weighted edge relation with per-src out-weight attached —
+    * the persist-once artifact both forms iterate over (fact-sized
+    * shuffle paid exactly once; never fact-rescanned).
+    */
+  private[graft] def edgesWithOut(s: SparkSession, d: String): DataFrame = {
     val e0 = lineitem(s, d).select(col("l_orderkey").as("ok"),
         col("l_suppkey").as("sk"))
       .join(orders(s, d).select(col("o_orderkey").as("ok"),
@@ -60,17 +67,32 @@ object Graph {
       .unionByName(e0.select((col("sk") * 2 + 1).cast("long").as("src"),
         (col("ck") * 2).cast("long").as("dst"), col("w")))
     val outW = edges.groupBy("src").agg(sum("w").as("wout"))
-    val ew = edges.join(outW, "src").localCheckpoint()
+    edges.join(outW, "src")
+  }
+
+  /** One PageRank round — the relation a GraphSpec/BucketedG1Spec plan
+    * assertion sees: edge⋈rank on src, dst-keyed partial agg, teleport
+    * add. Exposed so specs can audit ONE iteration's physical plan
+    * (exchange count, scan count) rather than the 5-round composite.
+    */
+  private[graft] def iterationStep(ew: DataFrame, rank: DataFrame,
+      n: Long): DataFrame =
+    ew.join(rank.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst"))
+      .agg(sum(expr(s"rank * $Damp * w div (100 * wout)")).as("m"))
+      .select(col("dst").as("node"),
+        (lit(150000L / n) + col("m")).as("rank"))
+
+  /** Five rounds + final shaping over any materialized `ew`. rank₀
+    * derives from ew's distinct src (NOT the pre-materialization outW
+    * aggregate, whose lineage would rescan the fact tables once more).
+    */
+  private def pagerank(ew: DataFrame): DataFrame = {
     val n = ew.select("src").distinct().count()
-    var rank = outW.select(col("src").as("node"),
-      lit(1000000L / n).as("rank"))
+    var rank = ew.select("src").distinct()
+      .select(col("src").as("node"), lit(1000000L / n).as("rank"))
     (1 to Iterations).foreach { _ =>
-      rank = ew.join(rank.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst"))
-        .agg(sum(expr(s"rank * $Damp * w div (100 * wout)")).as("m"))
-        .select(col("dst").as("node"),
-          (lit(150000L / n) + col("m")).as("rank"))
-        .localCheckpoint()
+      rank = iterationStep(ew, rank, n).localCheckpoint()
     }
     rank.select(
         when(col("node") % 2 === 0, lit("customer"))
@@ -79,6 +101,25 @@ object Graph {
         col("rank").as("rank_ppm"))
       .orderBy(desc("rank_ppm"), asc("node_type"), asc("entity_key"))
       .limit(100)
+  }
+
+  /** The scaladoc's named 100 TB shape, demonstrated (r8 verdict #6):
+    * edges persisted as a BUCKETED table on src (lake/Bucketing), so
+    * every iteration's edge⋈rank join consumes the bucket layout with
+    * NO Exchange on the edge side — per-round shuffle drops from
+    * |edges|+|rank| to |rank| only (the node-sized rank vector aligns
+    * to the buckets; the dst-keyed aggregation exchange is inherent —
+    * it re-keys). BucketedG1Spec asserts the plan (edge scan feeds the
+    * join with zero intervening Exchange, `Bucketed: true`) and
+    * tools/G1Bucketed measures the per-iteration shuffle-byte drop.
+    * Results are bit-identical to [[g1Pagerank]] (same iterate, same
+    * integer arithmetic — spec-pinned).
+    */
+  private[graft] def g1PagerankBucketed(s: SparkSession, d: String,
+      table: String = "graft_g1_edges", buckets: Int = 32): DataFrame = {
+    graft.lake.Bucketing.writeBucketed(edgesWithOut(s, d), table, "src",
+      buckets)
+    pagerank(s.table(table))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -61,6 +61,18 @@ object ScaleBench {
     "t18_leakage_split", "pipe_docs_prep", "f_edit_distance",
     "g1_pagerank")
 
+  /** The relational/event families (r8 verdict #1): the
+    * group-by-over-growing-fact shape of the reference's own workload.
+    * Scaled tiers for these need ScaleUp WITHOUT a table subset (the
+    * relational tables + the r9 events scaling). Pass via
+    * SPARK_GRAFT_QUERIES; results merge into the SCALE artifacts.
+    */
+  val relational: Seq[String] = Seq(
+    "g1_pagerank", "w2_running_sum", "w6_range_rolling", "j4_star_join",
+    "j8_bloom_join", "o7_latest_per_key", "l1_scd2", "l2_cdc_apply",
+    "l3_incremental_agg", "l4_incremental_distinct",
+    "l5_incremental_quantile", "l6_overlap_matrix")
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val scaled = if (args.length > 1) args(1) else "/tmp/graft_sf1"

@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   *     testdata's own pattern), so the name-linkage blocks of
   *     f_edit_distance grow 10× in population without gaining
   *     distance-0 clone pairs
-  *   - region/nation copy unchanged (fixed dims, TPC-H-style); events
-  *     copies byte-identical (no heavy-family query reads it, and a
-  *     nanos-long ts round-trip would drop the parquet timestamp
-  *     annotation)
+  *   - region/nation copy unchanged (fixed dims, TPC-H-style)
+  *   - events copies get disjoint event_id AND user_id spaces (user
+  *     stride = 1 + max id), ts untouched: the scaled log is a
+  *     `factor`×-busier site over the same wall-clock window, with
+  *     per-user event counts and densities preserved exactly — the
+  *     right shape for the window/warehouse families, which partition
+  *     by user. The ts column round-trips through whatever encoding
+  *     the source tier carries (NANOS-as-long int64, NTZ, or LTZ — it
+  *     is never touched); `Tables.events` dispatches on the scanned
+  *     type, so all three re-read correctly (r9; pre-r9 events was
+  *     copied byte-identical because no heavy query read it)
   *
   * Every transform is a pure projection of exact integer/byte work — no
   * float arithmetic, no shuffle — so the scaled corpus is bit-identical
@@ -87,8 +94,8 @@ object ScaleUp {
         to, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
-    // fixed dims + the nanos-ts table: byte-identical copies
-    Seq("region", "nation", "events").filter(only).foreach(copyRaw)
+    // fixed dims: byte-identical copies
+    Seq("region", "nation").filter(only).foreach(copyRaw)
 
     lazy val nCust = read("customer").count()
     lazy val nSupp = read("supplier").count()
@@ -115,6 +122,16 @@ object ScaleUp {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(c * nOrd))
         .withColumn("o_custkey", col("o_custkey") + lit(c * nCust))
     }, "orders")
+
+    if (only("events")) {
+      val ev = read("events")
+      val nEv = ev.count()
+      val uStride = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+      write(copies(ev, factor) { c => df =>
+        df.withColumn("event_id", col("event_id") + lit(c * nEv))
+          .withColumn("user_id", col("user_id") + lit(c * uStride))
+      }, "events")
+    }
 
     if (only("lineitem")) write(copies(read("lineitem"), factor) { c => df =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd))
