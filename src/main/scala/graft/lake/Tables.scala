@@ -20,8 +20,53 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** `orders.o_orderdate` / `lineitem.l_shipdate` ride on the same
+    * upstream-writer encoding lottery as `events.ts` (r8 verdict stretch:
+    * "orders/lineitem date columns ride on one encoding assumption").
+    * Today's testdata ships them as TIMESTAMP(isAdjustedToUTC=false,
+    * MICROS) — scanned `TimestampNTZType` — and every query + DuckDB
+    * oracle assumes that shape (`to_date`, `date_format`, NTZ-vs-literal
+    * comparisons). A regeneration could plausibly flip them to DATE,
+    * LTZ-micros, TIMESTAMP(NANOS) (the r7 events break), or a date
+    * string; [[datedTable]] normalizes each drift case back to the
+    * canonical UTC-wall-clock NTZ column, so the 60-odd consumers keep
+    * their semantics with zero per-query changes. The match arm for
+    * today's encoding is a PASSTHROUGH — no projection is added, plans
+    * and pushdown are bit-identical until drift actually happens.
+    * `DatedEncodingSpec` writes the same rows in all five shapes and
+    * runs the date-reading query family over each.
+    *
+    * Drifted encodings convert post-scan, which costs date-predicate
+    * pushdown on those (hypothetical) files; the at-scale remedy is an
+    * `eventsBetween`-style raw-typed filter, worth adding only if a
+    * tier actually ships drifted.
+    */
+  private def datedTable(s: SparkSession, d: String, name: String,
+      dateCol: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, name)
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{DateType, LongType, StringType,
+      TimestampNTZType, TimestampType}
+    raw.schema(dateCol).dataType match {
+      case TimestampNTZType => raw // today's encoding: untouched plan
+      case DateType =>
+        raw.withColumn(dateCol, col(dateCol).cast(TimestampNTZType))
+      case TimestampType =>
+        raw.withColumn(dateCol, ltzToUtcWallClock(dateCol))
+      case LongType => // TIMESTAMP(NANOS) under nanosAsLong, as events.ts shipped
+        raw.withColumn(dateCol, expr(microsToNtzSql(s"`$dateCol` div 1000")))
+      case StringType => // wall-clock parse, TZ-independent by definition
+        raw.withColumn(dateCol, col(dateCol).cast(TimestampNTZType))
+      case _ => raw
+    }
+  }
+
+  def orders(s: SparkSession, d: String): DataFrame =
+    datedTable(s, d, "orders", "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    datedTable(s, d, "lineitem", "l_shipdate")
   /** `events.parquet`'s `ts` column has shipped in THREE real-world parquet
     * encodings across testdata regenerations, so the reader dispatches on
     * the scanned Spark type instead of assuming one (the encoding is an
@@ -40,11 +85,11 @@ object Tables {
     *    `cast("timestamp")` reinterprets the wall clock in the SESSION
     *    zone — identity under our pinned-UTC builders but silently
     *    shifted in a foreign session (ADVICE r8). [[ntzToUtcInstant]]
-    *    instead reinterprets via `convert_timezone('UTC', sessionTZ, ·)`
-    *    before the cast: identity when the session is UTC, and the
-    *    correct UTC instant under any other zone. `EventsEncodingSpec`
-    *    pins both (UTC identity + a São-Paulo session reading the same
-    *    instants).
+    *    instead builds the instant by pure epoch-micros arithmetic —
+    *    no session zone in the expression at all (see the helper's
+    *    scaladoc for why the earlier convert_timezone form was subtly
+    *    DST-unsafe). `EventsEncodingSpec` pins both (UTC identity + a
+    *    São-Paulo session reading the same instants).
     *  - `TimestampType` — parquet TIMESTAMP(isAdjustedToUTC=true, MICROS),
     *    passthrough.
     *
@@ -53,18 +98,55 @@ object Tables {
     * fallback for driver-owned sessions that call SparkEntry.queries
     * directly — without it a NANOS-encoded file fails to read at all.
     */
-  /** UTC-instant interpretation of an NTZ column, independent of the
-    * session timezone (see `events` scaladoc). The session TZ is read at
-    * PLAN time — the only way to defeat this is changing the TZ between
-    * building the DataFrame and executing it, which also breaks every
-    * built-in string↔timestamp expression in the plan.
+  /** UTC↔wall-clock conversions, TZ-INDEPENDENT BY CONSTRUCTION: a UTC
+    * wall clock's micros-since-epoch equal the instant's epoch micros, so
+    * each direction is exact integer/calendar arithmetic with NO timezone
+    * database anywhere in the expression.
+    *
+    * Why not the obvious forms: NTZ↔LTZ `cast`, `convert_timezone`,
+    * `timestampadd`, and `timestampdiff` ALL route through the SESSION
+    * zone's calendar. Identity under a UTC session — but a foreign zone's
+    * DST spring-forward makes some wall clocks NONEXISTENT, and java.time
+    * resolves those by bumping +1h: a São-Paulo session shifted the
+    * 1996-10-06 / 1997-10-06 / 2000-10-08 order dates (midnight was
+    * exactly the skipped hour; caught by `DatedEncodingSpec`, including
+    * on the `timestampadd`-over-NTZ-epoch formulation). The events family
+    * never hit it only because Brazil abolished DST in 2019 and the
+    * events data is post-2024. Field extraction and `make_timestamp_ntz`
+    * on NTZ, by contrast, evaluate in fixed UTC — a calendar with no
+    * transitions — and date arithmetic is zone-free by type.
     */
-  private def ntzToUtcInstant(s: SparkSession,
-      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{convert_timezone, lit}
-    val sessionTz = s.conf.get("spark.sql.session.timeZone")
-    convert_timezone(lit("UTC"), lit(sessionTz), c).cast("timestamp")
+  private val UsPerDay = 86400000000L
+
+  /** SQL: epoch-micros bigint expression `us` → the NTZ wall clock that
+    * renders those micros in UTC. Floor-division via pmod so pre-1970
+    * instants stay correct.
+    */
+  private def microsToNtzSql(us: String): String = {
+    val rem = s"pmod(($us), $UsPerDay)"
+    val dd = s"date_add(date'1970-01-01', " +
+      s"cast(((($us) - $rem) div $UsPerDay) as int))"
+    s"make_timestamp_ntz(year($dd), month($dd), day($dd), " +
+      s"cast(($rem div 3600000000) as int), " +
+      s"cast((pmod($rem, 3600000000) div 60000000) as int), " +
+      s"cast(pmod($rem, 60000000) as decimal(16,6)) / 1000000)"
   }
+
+  /** SQL: NTZ column expression `c` (a UTC wall clock) → its epoch micros. */
+  private def ntzToMicrosSql(c: String): String =
+    s"((cast(datediff(cast(($c) as date), date'1970-01-01') as bigint) * 86400 " +
+      s"+ hour($c) * 3600 + minute($c) * 60) * 1000000 " +
+      s"+ cast(extract(SECOND from $c) * 1000000 as bigint))"
+
+  /** NTZ UTC-wall-clock column `name` → the LTZ instant it denotes. */
+  private def ntzToUtcInstant(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"timestamp_micros(${ntzToMicrosSql(s"`$name`")})")
+
+  /** LTZ instant column `name` → its UTC wall clock (NTZ). */
+  private def ltzToUtcWallClock(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      microsToNtzSql(s"unix_micros(`$name`)"))
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -73,7 +155,7 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", ntzToUtcInstant(s, col("ts")))
+      case TimestampNTZType => raw.withColumn("ts", ntzToUtcInstant("ts"))
       case _                => raw
     }
   }
@@ -120,7 +202,7 @@ object Tables {
       case TimestampNTZType =>
         raw.filter(col("ts") >= lit(fromUtc).cast(TimestampNTZType) &&
             col("ts") < lit(untilUtc).cast(TimestampNTZType))
-          .withColumn("ts", ntzToUtcInstant(s, col("ts")))
+          .withColumn("ts", ntzToUtcInstant("ts"))
       case _ =>
         raw.filter(col("ts") >= timestamp_micros(lit(nanos(fromUtc) / 1000L)) &&
           col("ts") < timestamp_micros(lit(nanos(untilUtc) / 1000L)))

@@ -467,7 +467,14 @@ object Warehouse {
       .groupBy("month").agg(expr("kll_merge_agg_bigint(sk, 800)").as("sk"))
     val est = merged.select(col("month"),
       expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("est"))
-    o.join(est, "month")
+    // est is months-count rows BY CONSTRUCTION (one per group) — broadcast
+    // explicitly rather than trusting AQE's stats through the sketch-agg
+    // exchange: at the 100× tier AQE planned this as a sort-merge join and
+    // shuffled the whole fact on `month` (489 MB, bexp 1.26 → the one
+    // relational-family shuffle flag in SCALE100); with the broadcast the
+    // fact-side groupBy partial-aggregates map-side and the exchange
+    // carries only (month, partial-counts) rows.
+    o.join(broadcast(est), "month")
       .groupBy("month")
       .agg(count(lit(1)).as("n_orders"),
         sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("n_le"))
