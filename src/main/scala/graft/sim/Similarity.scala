@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.lake.Tables._
@@ -378,10 +378,11 @@ object Similarity {
   /** (vec_id, tbl, bk) — one row per vector per hash table, IDS ONLY:
     * carrying the embedding array through the candidate join/dedup
     * shuffles moved ~1 GB at sf0.1; candidates travel as id pairs and
-    * the arrays join back for scoring (the oracle's shape too).
-    * Self-joins must alias THIS one frame (not rename columns): an
-    * extra rename projection would make the two exchange subtrees
-    * canonically different and defeat ReuseExchange.
+    * the vectors join back for scoring — as int8 first where an exact
+    * repair exists (s3's sound-bounded prefilter), floats only for
+    * survivors. Self-joins must alias THIS one frame (not rename
+    * columns): an extra rename projection would make the two exchange
+    * subtrees canonically different and defeat ReuseExchange.
     */
   /** The LSH bucket index, computed ONCE per (session, corpus dir) and
     * persisted — every consumer (s2/s3/s9 bucket joins, the s10
@@ -448,9 +449,74 @@ object Similarity {
   /** s2: LSH-bucketed approximate top-3 neighbors for EVERY vector —
     * the shape that survives 100× scale-up (bucket equi-join; exact
     * cosine only within buckets, each pair scored once).
+    *
+    * NOT quantize-pruned (measured negative, r9): unlike s3's stateless
+    * threshold, s2's lossless pruning needs a PER-QUERY margin —
+    * [[s2ScoredPruned]] windows the directed quantized stream for
+    * θ_q and joins it back, three passes over the candidate stream
+    * that measured sf1→sf10 base 4.4 → 8.4 s and bytes 13.3 → 33.6 GB
+    * (SCALE10TO100_S2Q.json) vs the float joins they replace. The
+    * pruned form is retained with its equivalence spec as the
+    * adjudicated variant, AnnCompare-style.
     */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame =
     rankTop3(s2Scored(s, d))
+
+  /** The int8-pruned scored-candidates VARIANT (not shipped — see
+    * [[s2AnnLsh]]'s adjudication): every candidate pair joins the
+    * narrow [[quantizedIndex]] (~80 B/row) instead of the float
+    * vectors; per query, θ_q = the 3rd-largest LOWER bound
+    * (cos_q − slack) over its candidates, and only candidates whose
+    * UPPER bound (cos_q + slack) reaches θ_q ship float vectors for
+    * exact scoring. Lossless by order-statistic domination: lb(y) ≤
+    * cos(y) pointwise ⇒ θ_q ≤ 3rd-best exact cos, and any true top-3
+    * member x has cos_q(x) + slack(x) ≥ cos(x) ≥ 3rd-best ≥ θ_q — so
+    * every pair at-or-above the 3rd-best exact cosine (ties included)
+    * survives and [[rankTop3]]'s row_number prefix is unchanged
+    * (QuantizedPrefilterSpec pins equivalence on real + planted
+    * corpora). Queries with < 3 candidates keep them all (θ_q null).
+    *
+    * Exact re-scoring runs per DIRECTION on the survivor set —
+    * `graft_dot(a,b)` and `graft_dot(b,a)` are bit-identical (same
+    * index-ascending fold, per-element products commute), so values
+    * match [[s2Scored]]'s score-once-explode-twice exactly.
+    */
+  private[graft] def s2ScoredPruned(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val qi = quantizedIndex(s, d)
+    val qscored = candidatePairs(s, d)
+      .join(qi.as("qa"), col("id_a") === col("qa.vec_id"))
+      .join(qi.as("qb"), col("id_b") === col("qb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        (expr("graft_dot(qa.qvec, qb.qvec)") * col("qa.qs") * col("qb.qs") /
+          (col("qa.nrm") * col("qb.nrm"))).as("cos_q"),
+        cosSlack(col("qa.qs"), col("qa.nrm"),
+          col("qb.qs"), col("qb.nrm")).as("slack"))
+    val directed = qscored
+      .select(explode(array(
+          struct(col("id_a").as("q_id"), col("id_b").as("n_id")),
+          struct(col("id_b").as("q_id"), col("id_a").as("n_id"))))
+        .as("p"), col("cos_q"), col("slack"))
+      .select(col("p.q_id"), col("p.n_id"), col("cos_q"), col("slack"),
+        (col("cos_q") - col("slack")).as("lb"))
+    val wLb = Window.partitionBy("q_id").orderBy(desc("lb"), asc("n_id"))
+    val theta = directed
+      .withColumn("rn", row_number().over(wLb))
+      .filter(col("rn") === 3)
+      .select(col("q_id"), col("lb").as("theta"))
+    val surv = directed.join(theta, Seq("q_id"), "left")
+      .filter(col("theta").isNull ||
+        col("cos_q") + col("slack") >= col("theta"))
+      .select("q_id", "n_id")
+    val e = normedEmbeddings(s, d)
+    surv
+      .join(e.as("eq"), col("q_id") === col("eq.vec_id"))
+      .join(e.as("en"), col("n_id") === col("en.vec_id"))
+      .withColumn("cos_exact",
+        expr(dotSql("eq.embedding", "en.embedding")) /
+          (col("eq.nrm") * col("en.nrm")))
+      .select(col("q_id"), col("n_id"), col("cos_exact"))
+  }
 
   /** s2's ranking contract — ONE place (AnnCompare ranks the dual
     * scored form through the same code, so a tie-break/rounding change
@@ -527,6 +593,57 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** LSH candidate id pairs (id_a < id_b), deduped across tables —
+    * shared by the s2 and s3 forms.
+    */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bt = bucketTable(s, d)
+    val a = bt.as("a")
+    val c = bt.as("c").hint("shuffle_hash") // ReuseExchange, see s2
+    a.join(c,
+        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
+          col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  private def s3Candidates(s: SparkSession, d: String): DataFrame =
+    candidatePairs(s, d)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+
+  /** Narrow int8 scoring index: (vec_id, qvec array<tinyint>, qs, nrm) —
+    * ~80 payload bytes/row vs the float index's ~280. `nrm` is the EXACT
+    * float norm (the quantized prefilter's bound needs it; the exact
+    * verify reuses it via [[normedEmbeddings]]'s identical expression).
+    * Cached per (session, corpus) like [[bucketTable]] — quantization's
+    * interpreted `transform` HOFs are a BUILD-time cost (in production
+    * this is a persisted corpus artifact written once per build), and
+    * the same lifecycle/staleness contract applies.
+    */
+  private[graft] val quantizedIndexCache = new graft.lake.CorpusIndexCache
+  private[sim] def quantizedIndex(s: SparkSession, d: String): DataFrame =
+    quantizedIndexCache.get(s, s"$d/embeddings.parquet") {
+      Quantization.quantizeInt8(embeddings(s, d))
+        .select(col("vec_id"), col("qvec"), col("qscale").as("qs"),
+          expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
+    }
+
+  /** Per-pair SOUND bound on |cos − cos_q| for symmetric-int8
+    * quantization, from per-vector stats only. With reconstruction
+    * rᵢ = s·qᵢ, per-element error ≤ s/2, dims D = 64:
+    *   |dot(a,b) − sₐsᵦ·dot(qₐ,qᵦ)|
+    *     ≤ ‖rₐ‖·(√D·sᵦ/2) + ‖rᵦ‖·(√D·sₐ/2) + D·sₐsᵦ/4     (Cauchy–Schwarz)
+    *     ≤ 4(sᵦ·‖a‖ + sₐ·‖b‖) + 48·sₐsᵦ                    (‖r‖ ≤ ‖v‖ + 4s)
+    * divided by ‖a‖‖b‖ for the cosine; +1e-9 absorbs the bound
+    * arithmetic's own double rounding (magnitudes ~1e-2, fp error
+    * ~1e-16). QuantizedPrefilterSpec property-tests the inequality on
+    * random and adversarial (spike/tiny-norm) vectors.
+    */
+  private def cosSlack(qsA: Column, nrmA: Column,
+      qsB: Column, nrmB: Column): Column =
+    (lit(4.0) * (qsB * nrmA + qsA * nrmB) + lit(48.0) * qsA * qsB) /
+      (nrmA * nrmB) + lit(1e-9)
+
   /** s3 / d5: embedding-cosine near-duplicate pairs — the fifth dedup
     * mode of the brief. Same bucketed candidate generation as s2, but
     * symmetric pairs (a < b) kept above a cosine threshold: the
@@ -535,19 +652,55 @@ object Similarity {
     * Threshold 0.30 is calibrated to this synthetic corpus (max pair
     * cosine 0.51, no planted embedding dups); real embedding dedup runs
     * the same plan at ~0.9+.
+    *
+    * Shipped shape (r9): the candidate pairs first join the INT8
+    * index and keep only pairs whose quantized cosine could possibly
+    * reach the threshold — `cos_q + slack ≥ τ − 5e-5` with [[cosSlack]]'s
+    * sound bound (the 5e-5 covers the output's round-to-4dp band, so a
+    * pair the exact form rounds UP to 0.3000 cannot be pre-dropped);
+    * only SURVIVORS join the float vectors for exact scoring. Output is
+    * therefore identical to the all-float [[s3EmbeddingNeardupExact]]
+    * (equivalence + bound-soundness spec-pinned), while the
+    * pair-granularity exchanges carry ~80-byte int8 rows instead of
+    * ~280-byte float vectors — the shuffle-bytes lever for the
+    * 13–16 GB ANN exchanges measured at the 100× tier. The quantized
+    * scoring itself stays whole-stage-codegen (`graft_dot`'s tinyint
+    * leg).
     */
   def s3EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
-    val bt = bucketTable(s, d)
-    val a = bt.as("a")
-    val c = bt.as("c").hint("shuffle_hash") // ReuseExchange, see s2
-    val cand = a.join(c,
-        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
-          col("a.vec_id") < col("c.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+    val qi = quantizedIndex(s, d)
+    val pre = s3Candidates(s, d)
+      .join(qi.as("qa"), col("vec_a") === col("qa.vec_id"))
+      .join(qi.as("qb"), col("vec_b") === col("qb.vec_id"))
+      .filter(
+        expr("graft_dot(qa.qvec, qb.qvec)") * col("qa.qs") * col("qb.qs") /
+          (col("qa.nrm") * col("qb.nrm")) +
+          cosSlack(col("qa.qs"), col("qa.nrm"), col("qb.qs"), col("qb.nrm"))
+          >= lit(0.29995))
+      .select("vec_a", "vec_b")
     val e = normedEmbeddings(s, d)
-    cand
+    pre
+      .join(e.as("eq"), col("vec_a") === col("eq.vec_id"))
+      .join(e.as("en"), col("vec_b") === col("en.vec_id"))
+      .withColumn("cos", round(
+        expr(dotSql("eq.embedding", "en.embedding")) /
+          (col("eq.nrm") * col("en.nrm")), 4))
+      .filter(col("cos") >= 0.30)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The retained all-float form of [[s3EmbeddingNeardup]]: candidates
+    * join the full float vectors directly. Output-identical by
+    * construction (the shipped form's prefilter is sound-bounded);
+    * kept as the equivalence baseline for QuantizedPrefilterSpec, the
+    * fEditDistanceBlocked pattern.
+    */
+  private[graft] def s3EmbeddingNeardupExact(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val e = normedEmbeddings(s, d)
+    s3Candidates(s, d)
       .join(e.as("eq"), col("vec_a") === col("eq.vec_id"))
       .join(e.as("en"), col("vec_b") === col("en.vec_id"))
       .withColumn("cos", round(
