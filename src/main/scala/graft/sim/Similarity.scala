@@ -409,6 +409,14 @@ object Similarity {
             .as(Seq("tbl", "bk")))
     }
 
+  /** Append `nrm` to a (vec_id, embedding) frame — the public form of
+    * [[normedEmbeddings]] for callers bringing their own frame (the
+    * streaming admission path); same fold, same double. The session
+    * must have graft_dot registered ([[VectorExpressions.ensureRegistered]]).
+    */
+  def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+
   /** (vec_id, embedding, nrm) — per-vector norm computed ONCE instead
     * of twice per scored pair (same double as the per-pair form: same
     * input, same fold).
@@ -448,7 +456,26 @@ object Similarity {
 
   /** s2: LSH-bucketed approximate top-3 neighbors for EVERY vector —
     * the shape that survives 100× scale-up (bucket equi-join; exact
-    * cosine only within buckets, each pair scored once).
+    * cosine only within buckets).
+    *
+    * Shipped shape (r9, score-in-join): the r9 skew re-diagnosis
+    * (tools/AnnSkewDiag) measured candidate-PAIR volume growing at the
+    * uniform-occupancy model's rate (×12.3 for the ×10 sf1→sf10 step;
+    * occupancy skew inflates Σc² by a roughly scale-CONSTANT ~1.4×) —
+    * the recorded byte superlinearity (bexp 1.62) was NOT pair growth
+    * but pair-GRAIN exchanges carrying vector payloads: once the
+    * corpus outgrows the broadcast threshold, the candidate stream is
+    * sort-merge-shuffled into the float index twice and drags the
+    * 280-byte embedding through the second exchange. This form removes
+    * every pair-grain exchange instead: the bucket index carries the
+    * float payload (LINEAR bytes, n·T rows), pairs are scored INSIDE
+    * the bucket self-join's output projection (same `graft_dot` fold,
+    * bit-identical doubles), and [[graft.functions.DistinctTopKAggregator]]
+    * collapses each map task's candidates to ≤ 3 distinct tuples per
+    * query BEFORE the only pair-derived shuffle — multi-table duplicate
+    * collisions dedup inside the aggregation (bit-identical scores), so
+    * the `dropDuplicates` exchange disappears too. Exchanges at pair
+    * grain: zero.
     *
     * NOT quantize-pruned (measured negative, r9): unlike s3's stateless
     * threshold, s2's lossless pruning needs a PER-QUERY margin —
@@ -458,9 +485,70 @@ object Similarity {
     * (SCALE10TO100_S2Q.json) vs the float joins they replace. The
     * pruned form is retained with its equivalence spec as the
     * adjudicated variant, AnnCompare-style.
+    *
+    * Output-identical to [[s2AnnLshJoined]] (spec-pinned): same dot
+    * fold, same tie-break, dedup by exact-duplicate tuples only.
     */
-  def s2AnnLsh(s: SparkSession, d: String): DataFrame =
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    import s.implicits._
+    val bi = floatBucketIndex(s, d)
+    val a = bi.as("a")
+    val c = bi.as("c").hint("shuffle_hash")
+    val directed = a.join(c,
+        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
+          col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"),
+        (expr(dotSql("a.embedding", "c.embedding")) /
+          (col("a.nrm") * col("c.nrm"))).as("cos_exact"))
+      .select(explode(array(
+          struct(col("id_a").as("q_id"), col("id_b").as("n_id")),
+          struct(col("id_b").as("q_id"), col("id_a").as("n_id"))))
+        .as("p"), col("cos_exact"))
+      .select(col("p.q_id"), col("cos_exact"), col("p.n_id"))
+    val topk = new graft.functions.DistinctTopKAggregator(3).toColumn
+    directed.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, cos, n) => (cos, n) }
+      .agg(topk.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("q_id"), col("item._2").as("n_id"),
+        round(col("item._1"), 4).as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The r8-shipped join-then-rank form of [[s2AnnLsh]]: id-only
+    * candidate pairs, `dropDuplicates`, two float-index joins, window
+    * rank. Retained as the fused form's equivalence baseline and
+    * AnnCompare variant — at the 100× tier its pair-grain exchanges
+    * are the measured bottleneck (SCALE10TO100_ANN.json bexp 1.62).
+    */
+  private[graft] def s2AnnLshJoined(s: SparkSession, d: String): DataFrame =
     rankTop3(s2Scored(s, d))
+
+  /** LSH bucket rows joined with the float scoring payload
+    * (vec_id, tbl, bk, embedding, nrm) — the self-join input of the
+    * fused s2, cached per (session, corpus) like [[bucketTable]] and
+    * persisted ALREADY HASH-PARTITIONED on (tbl, bk): InMemoryTableScan
+    * preserves the cached plan's outputPartitioning, so the fused
+    * self-join consumes the cache's layout directly and plans ZERO
+    * exchanges on either side (PlanAuditSpec pins it) — stronger than
+    * exchange reuse, which AQE declined to apply across the two
+    * payload-carrying subtrees (observed: independent ShuffleQueryStages
+    * over the same cache). Bytes shuffled for the index: n·T·~300 B
+    * ONCE at build, linear in the corpus; pair-grain exchanges: none.
+    * Production analogue: the scoring index persisted as a table
+    * bucketed by (tbl, bk) at corpus-build time.
+    */
+  private[graft] val floatBucketIndexCache = new graft.lake.CorpusIndexCache
+  private def floatBucketIndex(s: SparkSession, d: String): DataFrame =
+    floatBucketIndexCache.get(s, s"$d/embeddings.parquet") {
+      bucketTable(s, d).join(normedEmbeddings(s, d), "vec_id")
+        .repartition(col("tbl"), col("bk"))
+    }
+
 
   /** The int8-pruned scored-candidates VARIANT (not shipped — see
     * [[s2AnnLsh]]'s adjudication): every candidate pair joins the
@@ -653,21 +741,51 @@ object Similarity {
     * cosine 0.51, no planted embedding dups); real embedding dedup runs
     * the same plan at ~0.9+.
     *
-    * Shipped shape (r9): the candidate pairs first join the INT8
-    * index and keep only pairs whose quantized cosine could possibly
-    * reach the threshold — `cos_q + slack ≥ τ − 5e-5` with [[cosSlack]]'s
-    * sound bound (the 5e-5 covers the output's round-to-4dp band, so a
-    * pair the exact form rounds UP to 0.3000 cannot be pre-dropped);
-    * only SURVIVORS join the float vectors for exact scoring. Output is
-    * therefore identical to the all-float [[s3EmbeddingNeardupExact]]
-    * (equivalence + bound-soundness spec-pinned), while the
-    * pair-granularity exchanges carry ~80-byte int8 rows instead of
-    * ~280-byte float vectors — the shuffle-bytes lever for the
-    * 13–16 GB ANN exchanges measured at the 100× tier. The quantized
-    * scoring itself stays whole-stage-codegen (`graft_dot`'s tinyint
-    * leg).
+    * Shipped shape (r9, score-in-join): the EXACT cosine is computed
+    * inside the bucket self-join's output projection — the float
+    * payload rides [[floatBucketIndex]]'s pre-partitioned persisted
+    * index (LINEAR bytes, shared with s2), the threshold filters each
+    * in-bucket collision in the same codegen stage, and the only
+    * pair-grain exchange left is the `dropDuplicates` over SURVIVORS —
+    * i.e. output-sized, since the filter IS the output predicate. The
+    * per-duplicate recomputation of the dot (≤ 8 tables) is codegen
+    * noise next to the exchanges it removes.
+    *
+    * Adjudicated on the way here (r9, SCALE10TO100_S3Q/ANN_FUSED): the
+    * r9a two-stage form — int8 prefilter, then float verify joins —
+    * kept candidate-grain streams alive BECAUSE the prefilter is weak
+    * exactly where LSH puts it: bucket candidates cluster near the
+    * threshold cosine, so `cos_q + slack ≥ τ` passes most of them and
+    * the "survivor" verify join stayed candidate-sized (measured
+    * 4.7 GB shuffle at the sf10 tier, bexp 2.28, vs this form's
+    * output-sized dedup). The two-stage shape is the right one when
+    * the scoring payload CANNOT ride the bucket index (e.g. a separate
+    * re-rank model); it is retained as [[s3EmbeddingNeardupJoined]]
+    * with the sound-bound spec intact. Output identical to the
+    * all-float [[s3EmbeddingNeardupExact]] baseline (spec-pinned).
     */
   def s3EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val bi = floatBucketIndex(s, d)
+    val a = bi.as("a")
+    val c = bi.as("c").hint("shuffle_hash")
+    a.join(c,
+        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
+          col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
+        round(expr(dotSql("a.embedding", "c.embedding")) /
+          (col("a.nrm") * col("c.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.30)
+      .dropDuplicates("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The r9 interim join-then-prefilter form: id-only candidate pairs
+    * dedup'd at CANDIDATE grain, then two int8-index joins, then the
+    * sound-bounded prefilter. Retained as an AnnCompare variant — its
+    * pair-grain index joins are what the fused shipped form removes.
+    */
+  private[graft] def s3EmbeddingNeardupJoined(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     val qi = quantizedIndex(s, d)
     val pre = s3Candidates(s, d)
@@ -806,10 +924,96 @@ object Similarity {
       .orderBy("variant")
   }
 
+  /** Incremental embedding admission — [[graft.text.Dedup.admitIncrement]]'s
+    * vector twin: keep only the increment vectors that are embedding
+    * near-duplicates (cosine ≥ `minCosine`) of neither the EXISTING
+    * corpus nor a lower-id vector in the same increment. The corpus is
+    * immutable and NEVER self-joins: cross candidates come from
+    * broadcasting the (small) increment's bucket rows against the
+    * corpus bucket index — the persist-once artifact a production
+    * pipeline builds per corpus and probes per daily batch
+    * (`corpusIndex`; [[s12IncrementalAdmit]] memoizes it per
+    * (session, dir)). Per-increment cost is O(|increment| + collided
+    * buckets), independent of corpus size beyond the one index probe.
+    *
+    * The hash family is sized by the CORPUS count (`familyN`) — the
+    * index's own calibration, exactly like a persisted ANN index whose
+    * parameters were fixed at build time; increments hash with the
+    * same family or they probe the wrong buckets. Scoring is
+    * score-in-join on both legs (the s2/s3 r9 shape): exact cosine in
+    * the join projection, no pair-grain vector shuffles anywhere.
+    *
+    * Contracts: vec_ids disjoint across the frames; both carry
+    * (vec_id, embedding, nrm) as produced by [[normedEmbeddings]].
+    */
+  /** (vec_id, embedding, nrm, tbl, bk) bucket rows for a normed frame
+    * under the `familyN`-sized hash family — the payload-carrying index
+    * shape [[admitEmbeddingIncrement]] probes and
+    * [[graft.streaming.Streams.admitEmbeddingStream]] persists once per
+    * corpus. familyN is an explicit parameter (not the frame's count):
+    * a persisted index's hash family is fixed at BUILD time, and every
+    * later prober — increments, the admitted-so-far store — must hash
+    * with that same family or probe the wrong buckets.
+    */
+  def embeddingBucketIndex(df: DataFrame, familyN: Long): DataFrame =
+    df.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(expr(bucketsSql(bitsFor(familyN), extraTablesFor(familyN))))
+        .as(Seq("tbl", "bk")))
+
+  def admitEmbeddingIncrement(corpus: DataFrame, increment: DataFrame,
+      familyN: Long, minCosine: Double = 0.30,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    def buckets(df: DataFrame): DataFrame = embeddingBucketIndex(df, familyN)
+    val ci = corpusIndex.getOrElse(buckets(corpus))
+    val ib = buckets(increment)
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .filter(round(expr(dotSql("i.embedding", "c.embedding")) /
+        (col("i.nrm") * col("c.nrm")), 4) >= minCosine)
+      .select(col("i.vec_id").as("vec_id")).distinct()
+    val crossDrop = scored(
+      broadcast(ib.as("i")).join(ci.as("c"),
+        col("i.tbl") === col("c.tbl") && col("i.bk") === col("c.bk")))
+    val intraDrop = scored(
+      ib.as("i").join(ib.as("c"),
+        col("i.tbl") === col("c.tbl") && col("i.bk") === col("c.bk") &&
+          col("c.vec_id") < col("i.vec_id")))
+    increment.select("vec_id")
+      .join(crossDrop.unionByName(intraDrop).distinct(),
+        Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** s12: incremental embedding admission as an oracle-gated query —
+    * the newest fifth of the corpus (vec_id ≥ 4n/5; ids 0-based dense)
+    * is "today's batch", the rest the curated store. Output: admitted
+    * vec_ids. At sf0.01 / τ = 0.30 both drop legs fire (208 cross
+    * pairs, 21 intra pairs; 14 of 100 admitted). The corpus bucket
+    * index is built once per (session, dir) with the CORPUS-sized
+    * family and pre-partitioned on (tbl, bk) like [[floatBucketIndex]].
+    */
+  private[graft] val corpusBucketIndexCache = new graft.lake.CorpusIndexCache
+  def s12IncrementalAdmit(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val cut = 4L * embeddingCount(s, d) / 5L
+    val e = normedEmbeddings(s, d)
+    val bits = bitsFor(cut)
+    val extra = extraTablesFor(cut)
+    val ci = corpusBucketIndexCache.get(s, s"$d/embeddings.parquet") {
+      e.filter(col("vec_id") < cut)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          posexplode(expr(bucketsSql(bits, extra))).as(Seq("tbl", "bk")))
+        .repartition(col("tbl"), col("bk"))
+    }
+    admitEmbeddingIncrement(
+      e.filter(col("vec_id") < cut), e.filter(col("vec_id") >= cut),
+      familyN = cut, corpusIndex = Some(ci))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"      -> (s1CosineTopk _),
     "s10_hard_negatives"  -> (s10HardNegatives _),
     "s11_recall_report"   -> (s11RecallReport _),
+    "s12_incremental_admit" -> (s12IncrementalAdmit _),
     "s2_ann_lsh"          -> (s2AnnLsh _),
     "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
     "s4_ivf_topk"         -> (s4IvfTopk _),
@@ -873,6 +1077,44 @@ object Similarity {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "s12_incremental_admit" ->
+      s"""WITH nn AS (
+         |  SELECT CAST(4 * count(*) // 5 AS BIGINT) AS cut FROM embeddings
+         |), params AS (
+         |  SELECT LEAST(20, 4 + CASE WHEN k <= 1 THEN 0
+         |      ELSE length(bin(k)) - 1 END) AS bits,
+         |    CASE WHEN k <= 1 OR 4 + length(bin(k)) - 1 >= 20 THEN 0
+         |      ELSE LEAST(7, (8 * (k - (1 << (length(bin(k)) - 1))))
+         |                    // (1 << (length(bin(k)) - 1))) END AS extra
+         |  FROM (SELECT count(*) // 2000 AS k
+         |        FROM embeddings, nn WHERE vec_id < nn.cut)
+         |), b AS (
+         |  SELECT vec_id, embedding, tbl, $bucketDuck AS bk
+         |  FROM embeddings, range(8) tt(tbl), params
+         |), crossp AS (
+         |  SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ic
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bk = c.bk
+         |  CROSS JOIN nn WHERE a.vec_id >= nn.cut AND c.vec_id < nn.cut
+         |), intrap AS (
+         |  SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ic
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bk = c.bk
+         |    AND c.vec_id < a.vec_id
+         |  CROSS JOIN nn WHERE a.vec_id >= nn.cut AND c.vec_id >= nn.cut
+         |), dropped AS (
+         |  SELECT DISTINCT ia AS vec_id FROM crossp
+         |    JOIN embeddings e1 ON ia = e1.vec_id
+         |    JOIN embeddings e2 ON ic = e2.vec_id
+         |  WHERE round(${cosDuck("e1.embedding", "e2.embedding")}, 4) >= 0.30
+         |  UNION
+         |  SELECT DISTINCT ia FROM intrap
+         |    JOIN embeddings e1 ON ia = e1.vec_id
+         |    JOIN embeddings e2 ON ic = e2.vec_id
+         |  WHERE round(${cosDuck("e1.embedding", "e2.embedding")}, 4) >= 0.30
+         |)
+         |SELECT vec_id FROM embeddings CROSS JOIN nn
+         |WHERE vec_id >= nn.cut
+         |  AND vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
     "s1_cosine_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10

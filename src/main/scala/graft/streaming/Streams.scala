@@ -295,6 +295,83 @@ object Streams {
       }
   }
 
+  /** Streaming EMBEDDING admission — [[graft.sim.Similarity.admitEmbeddingIncrement]]
+    * as a continuously-running gate, the vector twin of [[admitStream]]:
+    * each micro-batch of (vec_id, embedding) candidates is
+    * near-dup-checked by exact cosine (score-in-join through the LSH
+    * bucket index) against the static curated corpus AND everything
+    * admitted in earlier batches, then appended to the admitted store.
+    * The batch-side admission logic is reused verbatim (foreachBatch),
+    * so streaming and nightly-batch admission cannot drift.
+    *
+    * Scale/robustness contracts (the [[admitStream]] set):
+    *   - The HASH FAMILY is sized by the static corpus ONCE
+    *     (`familyN` = corpus count at build) and every later frame —
+    *     increments, the admitted store — hashes with that family; a
+    *     per-batch re-size would silently probe the wrong buckets.
+    *   - The corpus bucket index is computed once and reused every
+    *     batch (pass a persisted [[graft.sim.Similarity.embeddingBucketIndex]]
+    *     via `corpusIndex` to skip even that); only the (small)
+    *     admitted-so-far store re-indexes per batch.
+    *   - Batch writes are IDEMPOTENT: each batch lands in its own
+    *     `batch_id=` partition via dynamic partition overwrite; a
+    *     replayed micro-batch overwrites itself, and the
+    *     admitted-so-far probe EXCLUDES the replaying batch's own
+    *     partition (a replay must not reject its vectors as dups of
+    *     its previous attempt). The read is SCHEMA-PINNED: an
+    *     all-rejected batch leaves a footerless directory an
+    *     inferring read would throw on.
+    *   - Cross-batch duplicates are rejected because the admitted
+    *     store is probed alongside the corpus.
+    */
+  def admitEmbeddingStream(vectors: DataFrame, corpus: DataFrame,
+      admittedPath: String, checkpoint: String, familyN: Long,
+      minCosine: Double = 0.30,
+      corpusIndex: Option[DataFrame] = None): DataStreamWriter[Row] = {
+    import graft.sim.Similarity
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val corpusNormed = Similarity.withNorm(corpus)
+    val staticIndex = corpusIndex
+      .getOrElse(Similarity.embeddingBucketIndex(corpusNormed, familyN))
+      .localCheckpoint()
+    val admittedSchema = corpus.schema
+      .add("batch_id", org.apache.spark.sql.types.LongType)
+    def admittedSoFar(bid: Long): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(admittedPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Some(spark.read.schema(admittedSchema).parquet(admittedPath)
+          .filter(col("batch_id") =!= bid)
+          .drop("batch_id").localCheckpoint())
+      else None
+    }
+    val corpusCols = corpus.columns.map(col).toIndexedSeq
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val inc = Similarity.withNorm(batch.select(corpusCols: _*))
+        val (against, index) = admittedSoFar(bid) match {
+          case Some(adm) =>
+            val admNormed = Similarity.withNorm(adm)
+            (corpusNormed.unionByName(admNormed),
+              staticIndex.unionByName(
+                Similarity.embeddingBucketIndex(admNormed, familyN)))
+          case None => (corpusNormed, staticIndex)
+        }
+        val admitted = Similarity.admitEmbeddingIncrement(
+          against, inc, familyN, minCosine, corpusIndex = Some(index))
+        batch.select(corpusCols: _*)
+          .join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(admittedPath)
+      }
+  }
+
   /** Stream-stream enrichment join (§2.9 extension): ticks joined to a
     * second stream of reference updates (the streaming twin of j1's
     * dim join — e.g. enriching a Firehose tick stream with a

@@ -72,6 +72,30 @@ class ColdIndexSpec extends AnyFunSuite {
       "bucket index served STALE vec_ids after the corpus was rewritten")
   }
 
+  test("the fused payload indexes (float/int8) rebuild on corpus rewrite too") {
+    // r9 score-in-join: s2/s3 self-join a SECOND cached relation (bucket
+    // rows + scoring payload); a stale one serves wrong neighbors even
+    // when the narrow bucket index is fresh, so it gets the same pin
+    val dir = freshDir("graft_cold_fused")
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def s2Ids() = Similarity.s2AnnLsh(spark, dir)
+      .select("q_id").distinct().collect().map(_.getLong(0)).toSet
+    def s3Ids() = Similarity.s3EmbeddingNeardup(spark, dir)
+      .select("vec_a").collect().map(_.getLong(0)).toSet
+    val warm2 = s2Ids(); val warm3 = s3Ids()
+    assert(warm2.nonEmpty && warm2.max < 100000L)
+
+    src.withColumn("vec_id", col("vec_id") + 100000L)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    assert(s2Ids().forall(_ >= 100000L),
+      "fused s2 served STALE vec_ids after the corpus was rewritten")
+    assert(warm3.isEmpty || s3Ids().forall(_ >= 100000L),
+      "fused s3 served STALE vec_ids after the corpus was rewritten")
+  }
+
   test("a regenerated documents corpus rebuilds the curated band index") {
     val dir = freshDir("graft_cold_doc")
     val src = spark.read.parquet(s"$sf/documents.parquet")

@@ -36,15 +36,16 @@ class EventsEncodingSpec extends AnyFunSuite {
 
   /** sf0.001 with `events.parquet` re-encoded; all other tables symlinked.
     *
-    * Fidelity note (ADVICE r8): the "nanos" fixture is a plain INT64
-    * column, which is what a TIMESTAMP(NANOS) file PRESENTS AS once
-    * `nanosAsLong` is active — it exercises the LongType dispatch branch
-    * and the `div 1000` truncation, but not the annotated-NANOS read
-    * itself (PARQUET_TYPE_ILLEGAL avoidance). Spark's parquet writer
-    * cannot emit an annotated TIMESTAMP(NANOS) column (its outputTimestampType
-    * options are INT96/MICROS/MILLIS), so that last step is only
-    * exercisable against driver-generated files; the driver's sf tiers
-    * have shipped genuine NANOS files and the oracle gate covers them.
+    * Four shapes (ADVICE r8 closed): Spark's own writer cannot emit an
+    * annotated TIMESTAMP(NANOS) column (outputTimestampType is
+    * INT96/MICROS/MILLIS only), so the "nanos" fixture — a plain INT64 of
+    * epoch nanos, what a NANOS file PRESENTS AS once `nanosAsLong` is
+    * active — is joined by "nanos_real": a genuine
+    * TIMESTAMP(isAdjustedToUTC=true, NANOS)-annotated file written with
+    * parquet-mr directly, exercising the actual annotated-NANOS read path
+    * (PARQUET_TYPE_ILLEGAL avoidance) that real driver-generated files
+    * hit. Its rows carry a NON-ZERO sub-microsecond remainder so the
+    * reader's `div 1000` truncation is load-bearing, not a no-op.
     */
   private lazy val fixtures: Map[String, String] = {
     val canon = graft.lake.Tables.events(spark, sf) // ts: TimestampType (UTC)
@@ -52,16 +53,67 @@ class EventsEncodingSpec extends AnyFunSuite {
       "nanos" -> canon.withColumn("ts", unix_micros(col("ts")) * 1000L),
       "ntz"   -> canon.withColumn("ts", col("ts").cast(TimestampNTZType)),
       "ltz"   -> canon)
-    variants.map { case (enc, df) =>
+    def freshDir(enc: String): String = {
       val dir = Files.createTempDirectory(s"graft_enc_$enc").toString
       new java.io.File(s"$sf").listFiles().foreach { t =>
         if (t.getName != "events.parquet")
           Files.createSymbolicLink(
             Paths.get(dir, t.getName), t.toPath.toAbsolutePath)
       }
+      dir
+    }
+    val written = variants.map { case (enc, df) =>
+      val dir = freshDir(enc)
       df.write.mode("overwrite").parquet(s"$dir/events.parquet")
       enc -> dir
     }
+    val realDir = freshDir("nanos_real")
+    writeAnnotatedNanos(canon, s"$realDir/events.parquet")
+    written + ("nanos_real" -> realDir)
+  }
+
+  /** Writes `events` with a genuine parquet TIMESTAMP(NANOS) `ts` via
+    * parquet-mr's example writer (driver-side; sf0.001 is ~thousands of
+    * rows). ts = epoch_micros·1000 + (event_id mod 1000): true nanosecond
+    * payload whose truncation back to micros must reproduce the canon.
+    */
+  private def writeAnnotatedNanos(canon: org.apache.spark.sql.DataFrame,
+      outDir: String): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    val schema = Types.buildMessage()
+      .optional(INT64).named("event_id")
+      .optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .optional(INT64).named("user_id")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .optional(DOUBLE).named("value")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    Files.createDirectories(Paths.get(outDir))
+    val out = HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$outDir/part-00000.parquet"),
+      spark.sparkContext.hadoopConfiguration)
+    val writer = ExampleParquetWriter.builder(out).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try {
+      canon.select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .collect().foreach { r =>
+          val g = gf.newGroup()
+          g.add("event_id", r.getLong(0))
+          g.add("ts", r.getLong(1) * 1000L + (r.getLong(0) % 1000L))
+          g.add("user_id", r.getLong(2))
+          if (!r.isNullAt(3)) g.add("event_type", r.getString(3))
+          if (!r.isNullAt(4)) g.add("value", r.getDouble(4))
+          if (!r.isNullAt(5)) g.add("props", r.getString(5))
+          writer.write(g)
+        }
+    } finally writer.close()
   }
 
   test("the three fixtures really carry three distinct scanned types") {
@@ -71,6 +123,26 @@ class EventsEncodingSpec extends AnyFunSuite {
     assert(scanned("nanos") == LongType, s"nanos fixture: ${scanned("nanos")}")
     assert(scanned("ntz") == TimestampNTZType, s"ntz fixture: ${scanned("ntz")}")
     assert(scanned("ltz") == TimestampType, s"ltz fixture: ${scanned("ltz")}")
+    assert(scanned("nanos_real") == LongType,
+      s"nanos_real fixture: ${scanned("nanos_real")}")
+  }
+
+  test("the nanos_real fixture footer really carries TIMESTAMP(NANOS)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val f = new java.io.File(s"${fixtures("nanos_real")}/events.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    val ann = try {
+      reader.getFooter.getFileMetaData.getSchema
+        .getType(Array("ts"): _*).asPrimitiveType.getLogicalTypeAnnotation
+    } finally reader.close()
+    assert(ann != null && ann.toString.contains("TIMESTAMP") &&
+      ann.toString.contains("NANOS"),
+      s"ts annotation is $ann, expected TIMESTAMP(NANOS) — the fixture " +
+        "no longer exercises the annotated-NANOS read path")
   }
 
   test("every event-time query returns identical rows on all three encodings") {
@@ -84,6 +156,8 @@ class EventsEncodingSpec extends AnyFunSuite {
         s"$name: NTZ-micros result differs from nanos-long result")
       assert(byEnc("ltz") == byEnc("nanos"),
         s"$name: LTZ-micros result differs from nanos-long result")
+      assert(byEnc("nanos_real") == byEnc("nanos"),
+        s"$name: annotated-NANOS result differs from nanos-long result")
     }
   }
 

@@ -14,8 +14,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("LSH self-joins reuse the signature exchange (compute once, not twice)") {
     Seq(
       "d2" -> Dedup.d2MinhashLsh(spark, sf),
-      "d3" -> Dedup.d3Simhash(spark, sf),
-      "s2" -> Similarity.s2AnnLsh(spark, sf)
+      "d3" -> Dedup.d3Simhash(spark, sf)
     ).foreach { case (name, df) =>
       df.collect() // AQE materializes stage reuse at runtime
       val plan = df.queryExecution.executedPlan.toString
@@ -26,6 +25,24 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
         s"$name self-join is not a shuffle join:\n$plan")
     }
+  }
+
+  test("fused s2 self-join consumes the pre-partitioned index: zero exchanges at pair grain") {
+    // r9 score-in-join restructure: the cached float bucket index is
+    // persisted hash-partitioned on (tbl, bk), so the self-join plans
+    // with NO exchange on either side — the only shuffles left are the
+    // distinct-top-k aggregation (≤3 rows per (task, query)) and the
+    // output sort. An exchange count above 3 means a pair-grain
+    // exchange crept back in.
+    val df = Similarity.s2AnnLsh(spark, sf)
+    df.collect() // materialize the final AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"s2 self-join is not a shuffle-consuming join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"s2 went all-pairs:\n$plan")
+    val n = TestSpark.countShuffles(df)
+    assert(n <= 3,
+      s"s2 exchange count grew to $n (topk agg + output sort expected):\n$plan")
   }
 
   test("j1 final AQE plan broadcasts the customer side at sf0.1 (r2 bench-regression adjudication)") {
@@ -272,13 +289,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = Similarity.s3EmbeddingNeardup(spark, sf)
     df.collect() // materialize the final AQE plan (reuse shows at runtime)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("reused"),
-      s"s3 does not reuse the bucket-table exchange:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"s3 went all-pairs:\n$plan")
+    // r9 fused form: the self-join consumes the pre-partitioned shared
+    // float index (zero exchanges on either side); survivors dedup +
+    // output sort are the only shuffles left
     val n = TestSpark.countShuffles(df)
-    assert(n <= 7, s"s3 exchange count grew to $n (bucket self-join + " +
-      s"pair dedup + two embedding joins + output sort expected):\n$plan")
+    assert(n <= 3, s"s3 exchange count grew to $n (survivor dedup + " +
+      s"output sort expected):\n$plan")
   }
 
   test("s9 PQ: zero-shuffle encode, broadcast LUT scan, bounded exchanges") {

@@ -133,6 +133,36 @@ class QuantizedPrefilterSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "no planted pair survived — fixture regression")
   }
 
+  test("fused score-in-join s2 == joined+window s2 (real + planted corpora)") {
+    // r9 restructure: the shipped s2 scores inside the bucket self-join
+    // and dedups multi-table duplicate collisions INSIDE the distinct-
+    // top-k partial aggregation; the r8 joined form dedups with a
+    // pair-grain exchange then window-ranks. Equal output is the whole
+    // contract (same fold, same tie-break, duplicates bit-identical).
+    Seq(sf, plantedDir).foreach { dir =>
+      val fused = Similarity.s2AnnLsh(spark, dir)
+        .collect().map(_.toString).sorted
+      val joined = Similarity.s2AnnLshJoined(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(fused.nonEmpty, s"$dir: fused s2 returned 0 rows")
+      assert(fused.toSeq == joined.toSeq,
+        s"$dir: fused s2 diverges from joined form " +
+          s"(${fused.size} vs ${joined.size} rows)")
+    }
+  }
+
+  test("fused s3 == joined-prefilter s3 (real + planted corpora)") {
+    Seq(sf, plantedDir).foreach { dir =>
+      val fused = Similarity.s3EmbeddingNeardup(spark, dir)
+        .collect().map(_.toString).sorted
+      val joined = Similarity.s3EmbeddingNeardupJoined(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(fused.toSeq == joined.toSeq,
+        s"$dir: fused s3 diverges from joined-prefilter form " +
+          s"(${fused.size} vs ${joined.size} rows)")
+    }
+  }
+
   test("pruned s2 variant top-3 == shipped s2 top-3 (real + planted corpora)") {
     // the pruned form is the ADJUDICATED variant (slower in exchanges,
     // SCALE10TO100_S2Q.json), retained with its losslessness proof live
