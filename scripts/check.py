@@ -48,6 +48,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         # <table>.parquet; the driver tiers are single files
         p = f"{sf_dir}/{t}.parquet"
         import os
+        if not os.path.exists(p):
+            # table-subset ScaleUp tiers (e.g. documents+embeddings only):
+            # skip — an oracle that needs the table fails loudly anyway
+            continue
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -177,13 +177,107 @@ object Multimodal {
   def mm3Query(s: SparkSession, d: String): DataFrame =
     mm3FrameSample(s, d).toDF().orderBy("media_id", "frame_idx")
 
+  final case class Pooled(media_id: Long, bin: Int, value: Long)
+
+  /** Bilinear resize of a decoded image to `bins`×`bins` — the real
+    * preprocessing step (java.awt software loops, deterministic in a
+    * headless JVM), then one gray value per ROW of the resized raster:
+    * the typed, bounded output a downstream vision encoder's
+    * normalize-and-batch stage consumes.
+    */
+  private[graft] def resizePooled(mediaId: Long,
+      img: java.awt.image.BufferedImage, bins: Int): Iterator[Pooled] = {
+    val out = new java.awt.image.BufferedImage(
+      bins, bins, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, bins, bins, null); ()
+    } finally g.dispose()
+    (0 until bins).iterator.map { row =>
+      var sum = 0L
+      var x = 0
+      while (x < bins) {
+        val rgb = out.getRGB(x, row)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      Pooled(mediaId, row, sum / (3L * bins))
+    }
+  }
+
+  /** The stub leg: average-pool the raw byte signal into `bins` bins —
+    * position p lands in bin p·bins/len (integer), value is the floor'd
+    * mean byte. Pure integer arithmetic, mirrored in the DuckDB oracle
+    * over `ord()` (ASCII payloads — the mm3 contract).
+    */
+  private[graft] def poolBytesStub(m: Media, bins: Int): Iterator[Pooled] = {
+    val len = m.payload.length
+    val sums = new Array[Long](bins)
+    val cnts = new Array[Long](bins)
+    var p = 0
+    while (p < len) {
+      val b = ((p.toLong * bins) / len).toInt
+      sums(b) += m.payload(p) & 0xff
+      cnts(b) += 1
+      p += 1
+    }
+    (0 until bins).iterator.filter(cnts(_) > 0)
+      .map(i => Pooled(m.media_id, i, sums(i) / cnts(i)))
+  }
+
+  /** mm4: batched resize/pooling — the "resize" stage of the
+    * image-preprocess pipeline, same batch-per-partition shape as mm3
+    * (decode+resize amortize per media item inside one task; rows out,
+    * nothing to the driver). Real images take the bilinear-resize leg
+    * (pinned in MultimodalSpec over PNG fixtures); opaque payloads the
+    * byte-pool stub (oracle-checked).
+    */
+  def thumbnail(media: Dataset[Media], bins: Int = 16,
+      parallelism: Int = 32): Dataset[Pooled] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          if (m.payload.isEmpty) Iterator.empty
+          else decodeImage(m.payload) match {
+            case Some(img) => resizePooled(m.media_id, img, bins)
+            case None => poolBytesStub(m, bins)
+          }
+        }
+      }
+  }
+
+  def mm4Query(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    thumbnail(mediaTable(s, d).select(col("media_id"), col("payload")).as[Media])
+      .toDF().orderBy("media_id", "bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta"    -> (mm1MediaMeta _),
     "mm2_fake_features" -> (mm2FakeFeatures _),
     "mm3_frame_sample"  -> (mm3Query _),
+    "mm4_thumbnail"     -> (mm4Query _),
   )
 
   def oracles: Map[String, String] = Map(
+    "mm4_thumbnail" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |pos AS (
+        |  SELECT media_id, len, unnest(range(len)) AS p, text FROM m),
+        |b AS (
+        |  SELECT media_id, CAST((p * 16) // len AS INTEGER) AS bin,
+        |         ord(substr(text, CAST(p AS INTEGER) + 1, 1)) AS v
+        |  FROM pos)
+        |SELECT media_id, bin, CAST(sum(v) // count(*) AS BIGINT) AS value
+        |FROM b GROUP BY 1, 2
+        |ORDER BY media_id, bin""".stripMargin,
     "mm3_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,

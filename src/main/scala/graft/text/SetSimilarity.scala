@@ -312,6 +312,41 @@ object SetSimilarity {
     cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
+  /** d12 candidate-efficiency counts for [[graft.tools.D12Diag]]
+    * (r9 residual adjudication): (distinct sets, rep-grain prefix
+    * candidates, verified rep pairs) on the SAME pipeline as
+    * [[containmentPairs]] up to (but excluding) the group expansion.
+    */
+  private[graft] def d12DiagCounts(docs: DataFrame): String = {
+    val grouped = groupedSets(hashedSets(docs)).localCheckpoint()
+    val hs = grouped.select(col("doc_id"), col("hs"))
+    val tok = hs.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
+    val ranked = tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(byRarity))
+    val prefA = ranked
+      .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id").as("da"), col("tok"),
+        col("rn").as("ra"), col("n").as("na"))
+    val fullB = ranked.select(col("doc_id").as("db"), col("tok"),
+      col("rn").as("rb"), col("n").as("nb"))
+    val cand = prefA.join(fullB, "tok")
+      .filter(expr("da <> db AND 5 * nb >= 4 * na AND " +
+        "1 + least(na - ra, nb - rb) >= (4 * na + 4) div 5"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      .distinct().localCheckpoint()
+    val verified = cand
+      .join(hs.select(col("doc_id"), col("hs").as("xa")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(hs.select(col("doc_id"), col("hs").as("xb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(expr("size(array_intersect(xa, xb)) * 10000L div size(xa)")
+        >= TauCBp)
+    s""""sets":${grouped.count()},"cand":${cand.count()},"verified":${verified.count()}"""
+  }
+
   /** Brute containment over the string universe — d12's completeness
     * oracle (mirrors the DuckDB SQL).
     */

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS plagiarism-detector algorithm): slide a
+  * window of `W` consecutive token-`K`-gram hashes over each document
+  * and keep the minimum hash of every window (rightmost position on
+  * ties, the paper's robust-winnowing rule). The selected hashes are
+  * the document's fingerprint set, with two properties the d7/d9/d10
+  * chunk/suffix/set pipelines do not give at once:
+  *
+  *   - GUARANTEE: any run of ≥ W + K − 1 identical consecutive tokens
+  *     shared by two documents yields at least one SHARED fingerprint
+  *     (the run contains a full common window; both documents select
+  *     that window's minimum — property-tested under random planting).
+  *   - DENSITY: expected fingerprints per document are 2/(W+1) of its
+  *     grams, corpus-size-independent — the index stays a fixed
+  *     fraction of the scan no matter how the corpus grows.
+  *
+  * Plan shape (the 100 TB lens): gram explode + hashing are scan-bound
+  * projections; ONE doc_id exchange serves both the window pass and
+  * the per-doc fingerprint distinct (grouping on (doc_id, h) is
+  * satisfied by doc_id partitioning); the pair join is a fingerprint
+  * equi-join — the d2 band-join shape, with candidate volume bounded
+  * by fingerprint bucket sizes rather than all pairs. Boilerplate
+  * fingerprints shared by millions of docs are the documented skew
+  * knob (same class as d10's prefix df — a df cap on the join key
+  * trades the guarantee for a bound; not applied here, where the
+  * guarantee is the point).
+  *
+  * Cross-engine determinism: gram hash is the portable md5 prefix
+  * (`conv(substr(md5,1,8),16,10)` == DuckDB `('0x'||…)::BIGINT`), and
+  * the min-hash-rightmost-tie selection is ONE integer window-min over
+  * `h·2³¹ + (2³¹−1−pos)` — minimizing that key minimizes (h, −pos)
+  * lexicographically, so both engines pick the identical gram with no
+  * struct/row comparison semantics in play (pos < 2³¹ bounds document
+  * length at 2 G grams). Reference: window-frame min mirrors
+  * `ROWS BETWEEN CURRENT ROW AND W−1 FOLLOWING`; only FULL windows
+  * select (pos ≤ n_grams − W), matching the paper's definition.
+  */
+object Winnowing {
+
+  private val K = 3       // tokens per gram (the d10 shingle universe)
+  private val W = 4       // grams per winnowing window; guarantee t = 6
+  private val PosRadix = 2147483648L // 2^31: key = h*2^31 + (2^31-1-pos)
+
+  /** (doc_id, pos, h): the selected fingerprints of every document —
+    * `pos` is the selected GRAM's position (0-based), `h` its portable
+    * 32-bit md5-prefix hash. Exposed for the spec's guarantee and
+    * tie-rule pins; [[t29WinnowingPairs]] drops pos and dedups.
+    */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= K + W - 1)
+      .select(col("doc_id"), (size(col("toks")) - (K - 1)).as("n_grams"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $K), i -> concat_ws(' ', slice(toks, i + 1, $K)))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_grams"), col("pos"),
+        expr("cast(conv(substr(md5(gram), 1, 8), 16, 10) as bigint)").as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, W - 1)
+    grams
+      .withColumn("wkey",
+        min(col("h") * PosRadix + (lit(PosRadix - 1) - col("pos"))).over(frame))
+      .filter(col("pos") <= col("n_grams") - W)
+      .select(col("doc_id"),
+        (lit(PosRadix - 1) - pmod(col("wkey"), lit(PosRadix))).as("pos"),
+        // `div`, not `/`: bigint `/` is DOUBLE division in Spark, and a
+        // 63-bit key rounds in the 53-bit mantissa (off-by-one hashes)
+        expr(s"wkey div ${PosRadix}L").as("h"))
+      .distinct()
+  }
+
+  /** t29: document pairs sharing ≥ 3 winnowing fingerprints, with the
+    * shared count — the candidate relation a MOSS-style overlap
+    * detector ranks. Output (doc_a, doc_b, shared).
+    */
+  def t29WinnowingPairs(s: SparkSession, d: String): DataFrame = {
+    // materialize the fingerprint relation ONCE: both self-join sides
+    // consume it, and Spark rebuilds the explode+window subtree per
+    // side otherwise (observed: no ReuseExchange across the aliased
+    // subtrees — the d10 shared-shingle lesson). Production persists
+    // this index next to the corpus, like the ANN bucket table.
+    val fp = fingerprints(documents(s, d))
+      .select("doc_id", "h").distinct().localCheckpoint()
+    val a = fp.as("a")
+    val b = fp.as("b").hint("shuffle_hash")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_winnowing" -> (t29WinnowingPairs _))
+
+  def oracles: Map[String, String] = Map(
+    "t29_winnowing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= ${K + W - 1}
+         |), pos_t AS (
+         |  SELECT doc_id, t, unnest(range(len(t) - ${K - 1})) AS pos FROM toks
+         |), grams AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    len(t) - ${K - 1} AS n_grams,
+         |    ('0x' || substr(md5(array_to_string(t[pos+1:pos+$K], ' ')), 1, 8))::BIGINT AS h
+         |  FROM pos_t
+         |), sel AS (
+         |  SELECT doc_id, pos, n_grams,
+         |    min(h * $PosRadix + ($PosRadix - 1 - pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wkey
+         |  FROM grams
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, wkey // $PosRadix AS h
+         |  FROM sel WHERE pos <= n_grams - $W
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}

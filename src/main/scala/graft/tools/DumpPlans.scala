@@ -29,7 +29,7 @@ object DumpPlans {
       "j4_star_join" -> "fact-fact shuffle join + bounded-dim broadcast; customer join left to AQE",
       "d2_minhash_lsh" -> "per-row native graft_minhash signature (scan -> project, zero pre-band exchanges), symmetric shuffle self-join, ReusedExchange",
       "d3_simhash" -> "per-row native graft_simhash signature — the former (doc_id, tok) token-stream exchange is gone; first shuffle is the 15-bit band join",
-      "s2_ann_lsh" -> "codegen'd graft_dot bucket projection, bucket equi-join, ReusedExchange",
+      "s2_ann_lsh" -> "fused score-in-join (r9): bucket self-join consumes the pre-partitioned persisted float index with ZERO exchanges on either side (InMemoryTableScan preserves the cache's (tbl, bk) partitioning), exact cosine scored in the join projection, DistinctTopKAggregator collapses candidates to <=3/query map-side — pair-grain exchanges: none",
       "pipe_docs_prep" -> "quality filter pruned into the scan, dedup stages chained in one plan",
       "w5_topk_aggregator" -> "partial-aggregable typed top-k (ObjectHashAggregate), no per-group sort",
       "w6_range_rolling" -> "repartition(l_suppkey) satisfies BOTH the daily agg's and the window's clustering — one hash exchange, no second shuffle (W6Compare: 1.30 s vs 1.73 s at sf0.1). Form is a parameter: mapSideCombine=true plans the two-exchange groupBy whose first shuffle carries combiner-reduced partials — flip when rows per (supplier, day) >~ 4 (sf0.1 density is ~1.5); both forms row-identical (PlanAuditSpec)",
@@ -42,7 +42,8 @@ object DumpPlans {
       "s5_kmeans_assign" -> "broadcast centroid frame, partial-aggregable min_by argmax (corpus never shuffles to assign), fixed-point explode->agg Lloyd update",
       "s8_hybrid_rrf" -> "two broadcast bounded-query rankers collapsed to <=20 id+rank rows/query BEFORE the fusion full-outer join",
       "w9_funnel" -> "three stacked running-max windows over ONE (user, ts) exchange — no per-step self-joins; day filter pushed to the RAW ts long (PushedFilters on the events scan)",
-      "s3_embedding_neardup" -> "LSH hyperplane buckets -> id-only candidate pairs (bucket self-join with ReusedExchange) -> exact cosine on candidates ONLY; corpus embeddings joined in per-side, never all-pairs (PlanAuditSpec bounds exchanges at 7)",
+      "s3_embedding_neardup" -> "fused score-in-join (r9): exact cosine + threshold filter inside the bucket self-join over the shared pre-partitioned float index; the only pair-grain exchange is the OUTPUT-sized survivor dropDuplicates (PlanAuditSpec pins the zero-exchange self-join)",
+      "t29_winnowing" -> "winnowing fingerprints: gram explode + packed-integer window min + per-doc distinct all inside ONE doc_id exchange (WinnowingSpec pins it at 1); fingerprint relation materialized once, pair stage is a fingerprint equi-join — the d2 band-join shape",
       "d6_transitive_dedup" -> "LSH candidates -> exact-Jaccard verify -> alternating large/small-star CC over the PAIR SET only (per-round localCheckpoint truncates lineage; the dump shows the post-fixpoint label anti-join — the iteration's plans are intentionally absent, each round is the same two window/distinct steps)",
       "l1_scd2" -> "SCD2 interval build: change-detect lag + validity lead planned under ONE user_id exchange (two Window nodes, one Sort, one Exchange before the output sort — WarehouseSpec bounds shuffles at 2)",
       "a14_equidepth" -> "equi-depth histogram: exact-percentile boundary agg collapses to ONE row, broadcast back (BroadcastNestedLoopJoin on a 1-row side = a constant), bucket as nine codegen'd when-terms + partial agg — NOT a global ntile window (which would sort all rows in one task)",

@@ -117,4 +117,57 @@ class MultimodalSpec extends AnyFunSuite {
       assert(vals.sameElements(vecs(id)))
     }
   }
+
+  test("mm4 thumbnail: real bilinear resize for images, byte pooling for opaque payloads") {
+    import spark.implicits._
+    def png(seed: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (seed * 1000003 + x * 131 + y * 31) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a FLAT gray image resizes to the same gray at any size: bilinear
+    // interpolation of a constant is that constant -> every bin = gray
+    def flat(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.Media(1L, flat(0x646464, 40, 24)),     // gray 100, non-square
+      Multimodal.Media(2L, png(7, 33, 17)),             // varied, odd dims
+      Multimodal.Media(3L, "ten bytes!".getBytes("UTF-8")),
+      Multimodal.Media(4L, Array.empty[Byte]))
+    val out = Multimodal.thumbnail(media.toDS(), bins = 16)
+      .collect().groupBy(_.media_id)
+    // image leg: 16 rows, flat image pools to its own gray everywhere
+    assert(out(1L).length == 16)
+    assert(out(1L).forall(_.value == 100L),
+      s"flat-gray resize drifted: ${out(1L).map(_.value).toSeq}")
+    // varied image: 16 bounded rows, not all equal (the raster is real)
+    assert(out(2L).length == 16 && out(2L).forall(p => p.value >= 0 && p.value <= 255))
+    assert(out(2L).map(_.value).distinct.length > 1)
+    // determinism: a second run produces identical pooled values
+    val again = Multimodal.thumbnail(media.toDS(), bins = 16)
+      .collect().groupBy(_.media_id)
+    assert(again(2L).sortBy(_.bin).map(_.value).toSeq ==
+      out(2L).sortBy(_.bin).map(_.value).toSeq)
+    // stub leg: 10 ASCII bytes over 16 bins -> 10 occupied bins, each the
+    // byte itself (bins with no positions are absent, single-byte bins exact)
+    val stub = out(3L).sortBy(_.bin)
+    assert(stub.length == 10)
+    val bytes = "ten bytes!".getBytes("UTF-8")
+    val wantBins = bytes.indices.map(p => (p * 16) / 10)
+    assert(stub.map(_.bin).toSeq == wantBins,
+      "stub bin assignment must be p*bins/len")
+    assert(stub.map(_.value).toSeq == bytes.map(b => (b & 0xff).toLong).toSeq)
+    // empty payloads emit nothing instead of dividing by zero
+    assert(!out.contains(4L))
+  }
 }

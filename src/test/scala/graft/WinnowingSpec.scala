@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Winnowing
+
+/** Winnowing fingerprints ([[Winnowing.fingerprints]], t29) — the
+  * oracle gate hash-checks the pair output at sf0.01; these pins
+  * cover the algorithmic contracts the output hash can't localize:
+  * the detection GUARANTEE (a shared run of ≥ W+K−1 = 6 tokens always
+  * yields a shared fingerprint), agreement with a plain-Scala
+  * reference implementation of the paper's rules (min hash per full
+  * window, rightmost tie), and the 2/(W+1) density law.
+  */
+class WinnowingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val K = 3
+  private val W = 4
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def fps(rows: Seq[(Long, String)]): Map[Long, Set[(Long, Long)]] =
+    Winnowing.fingerprints(docsDf(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, a) =>
+        (d, a.map(t => (t._2, t._3)).toSet)
+      }
+
+  /** The paper's selection, straight-line: hash every K-gram with the
+    * SAME portable md5 prefix, then for each full window of W grams
+    * keep (pos, hash) of the minimum hash, rightmost on ties.
+    */
+  private def reference(text: String): Set[(Long, Long)] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < K + W - 1) Set.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to toks.length - K).map { i =>
+        val g = toks.slice(i, i + K).mkString(" ")
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      (0 to hs.length - W).map { p =>
+        val win = (p until p + W).map(i => (hs(i), i))
+        val m = win.minBy { case (h, i) => (h, -i) }
+        (m._2.toLong, m._1)
+      }.toSet
+    }
+  }
+
+  test("matches the plain-Scala reference on random corpora") {
+    val rnd = new scala.util.Random(2903)
+    val vocab = ('a' to 'z').map(_.toString)
+    val rows = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(30) // includes sub-threshold docs
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = fps(rows)
+    rows.foreach { case (id, text) =>
+      val want = reference(text)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id (${text.length} chars): got ${got.getOrElse(id, Set.empty)} want $want")
+    }
+  }
+
+  test("guarantee: a shared 6-token run always yields a shared fingerprint hash") {
+    val rnd = new scala.util.Random(777)
+    val vocab = (0 until 200).map(i => s"w$i")
+    (1 to 30).foreach { trial =>
+      val run = Seq.fill(K + W - 1)(vocab(rnd.nextInt(vocab.size)))
+      def doc(): String = {
+        val pre = Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        val post = Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        (pre ++ run ++ post).mkString(" ")
+      }
+      val got = fps(Seq((1L, doc()), (2L, doc())))
+      val shared = got.getOrElse(1L, Set.empty).map(_._2)
+        .intersect(got.getOrElse(2L, Set.empty).map(_._2))
+      assert(shared.nonEmpty,
+        s"trial $trial: planted run '${run.mkString(" ")}' left no shared fingerprint")
+    }
+  }
+
+  test("rightmost tie rule: an all-identical-gram doc selects the latest position") {
+    // every gram identical -> every window is an all-ways tie -> each
+    // full window selects ITS OWN last gram (rightmost)
+    val text = Seq.fill(10)("same").mkString(" ") // 8 grams, 5 full windows
+    val got = fps(Seq((1L, text)))(1L)
+    // windows start at 0..4, each selecting pos start+W-1 = 3..7
+    assert(got.map(_._1) == Set(3L, 4L, 5L, 6L, 7L))
+    assert(got.map(_._2).size == 1, "identical grams must share one hash")
+  }
+
+  test("fingerprint pipeline costs ONE exchange (distinct reuses the window's doc_id partitioning)") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    assert(countShuffles(Winnowing.fingerprints(docs)) == 1,
+      "the (doc_id, h) distinct must not add an exchange after the doc_id window")
+  }
+
+  test("density: fingerprints per doc near the 2/(W+1) law on real documents") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val stats = Winnowing.fingerprints(docs)
+      .groupBy("doc_id").agg(countDistinct("h").as("nfp"))
+      .join(docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) - (K - 1)).as("n_grams")), "doc_id")
+      .agg(sum("nfp").as("fp"), sum("n_grams").as("grams"))
+      .head()
+    val density = stats.getLong(0).toDouble / stats.getLong(1)
+    assert(density > 0.25 && density < 0.55,
+      s"density $density outside the 2/(W+1)=0.4 band")
+  }
+}
