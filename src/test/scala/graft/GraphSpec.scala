@@ -47,6 +47,50 @@ class GraphSpec extends AnyFunSuite {
       s"first mismatch: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
   }
 
+  test("g2: per-part triangle counts equal brute enumeration on the real graph") {
+    val got = Graph.g2Triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "no triangles in the co-order graph fixture")
+
+    // brute reference: materialize the distinct edge set, enumerate all
+    // node triples via adjacency intersection
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c =>
+        if (c > b) { // a < b < c: each triangle once
+          Seq(a, b, c).foreach(x =>
+            triCount(x) = triCount.getOrElse(x, 0L) + 1L)
+        }
+      }
+    }
+    val want = triCount.toSeq.sortBy { case (p, t) => (-t, p) }.take(20)
+    assert(got.toSeq == want,
+      s"got ${got.toSeq.take(5)}... want ${want.take(5)}...")
+  }
+
+  test("g2: degree-ordered orientation — every edge points to the higher (deg, node) rank") {
+    // tiny planted graph exercised through the same public query path is
+    // impractical (it reads lineitem), so pin the invariant on the real
+    // graph's plan output instead: total triangles from the query equal
+    // the brute total (covered above); here assert no cartesian and no
+    // parquet rescan after the checkpointed orientation
+    val plan = Graph.g2Triangles(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in g2:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in g2:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"wedge/closing joins re-read the fact tables:\n$plan")
+  }
+
   test("g1: no cartesian joins; edge relation is reused across iterations") {
     val df = Graph.g1Pagerank(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
