@@ -49,6 +49,7 @@ object DumpPlans {
       "a14_equidepth" -> "equi-depth histogram: exact-percentile boundary agg collapses to ONE row, broadcast back (BroadcastNestedLoopJoin on a 1-row side = a constant), bucket as nine codegen'd when-terms + partial agg — NOT a global ntile window (which would sort all rows in one task)",
       "d9_substring_dedup" -> "global exact-substring dedup: chunk explode -> min_by survivor election on md5(chunk) (partial-aggregable) -> same-key join back (no broadcast of the corpus-sized survivor relation; PlanAuditSpec pins it with thresholds off) -> one per-doc rebuild agg",
       "s9_pq_topk" -> "product-quantization ANN: zero-shuffle literal-codebook encode, broadcast ADC LUT scan (corpus never shuffles to score), candidate agg + exact re-rank joins bounded (PlanAuditSpec caps exchanges at 6)",
+      "s13_ivfpq_topk" -> "IVF-PQ combined index: broadcast centroid assignment (corpus never shuffles to assign), residual encode as codegen'd graft_dot via linearity (no interpreted lambdas), broadcast probe rows carrying per-query LUT + dot(q,cent), ADC only inside the nprobe=2 lists, typed top-40 partial agg, exact re-rank tail",
       "t18_leakage_split" -> "leakage-safe split: inherits d5's CC over the LSH pair set (iteration plans intentionally absent — each round is the same two window/distinct steps); the dump shows the post-fixpoint component-coin join, one component-key shuffle, never a doc-pair cartesian",
       "d10_allpairs_jaccard" -> "exact AllPairs/PPJoin set-similarity: shingles hashed to longs, materialized ONCE across the four consuming branches (the nearDupPairs materializer dial), df-ascending prefix relation, prefix self-join with length + positional prunes (candidates 300k -> 69k at sf0.1), exact intersect on candidate ids only; 13.7 -> 1.6 s at sf0.1, bexp 0.99 at 10x (PlanAuditSpec bounds exchanges at 10)",
       "d12_containment" -> "directed set-containment join (|A.B|/|A| >= 0.8): asymmetric prefix filter — contained-side ~0.2|A| prefix probes the FULL container list (no tau|B| prune exists; length filter 5nb>=4na), positional bound at the first common shingle; exact intersect on candidate ids; completeness vs brute proven incl. the exact 0.8 boundary",

@@ -400,6 +400,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 IVF-PQ: recall matches IVF at sf0.01 (ADC fetch recovers the probed lists)") {
+    import graft.sim.ProductQuantization
+    def recallOf(df: org.apache.spark.sql.DataFrame, dir: String): Double = {
+      val exact = Similarity.s1CosineTopk(spark, dir).collect()
+        .filter(_.getInt(3) <= 3)
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val approx = df.collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.keys.toSeq.map { q =>
+        approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 3.0
+      }
+      rs.sum / rs.length
+    }
+    // s13's candidates come from the SAME nprobe=2 lists as s4; with
+    // Fetch=40 the ADC pass recovers everything the lists contain on the
+    // deterministic sf0.01 corpus (measured: s13 0.433 == s4 0.433; the
+    // tiny tier loses one neighbor to ADC approximation, 0.300 vs 0.333).
+    assert(recallOf(ProductQuantization.s13IvfPqTopk(spark, sf), sf) >= 0.25,
+      "IVF-PQ recall@3 collapsed at tiny tier")
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).exists()) {
+      val r13 = recallOf(ProductQuantization.s13IvfPqTopk(spark, sf001), sf001)
+      val r4 = recallOf(Similarity.s4IvfTopk(spark, sf001), sf001)
+      assert(r13 >= 0.43, s"IVF-PQ recall@3 at sf0.01 regressed: $r13 (was 0.433)")
+      assert(r13 >= r4 - 1e-9,
+        s"ADC fetch lost neighbors the probed lists contain: s13 $r13 < s4 $r4")
+    }
+  }
+
   test("s9 PQ: codes are in-range, recall@3 holds, and the floor is pinned at sf0.01") {
     import graft.sim.ProductQuantization
     // every code is a valid entry index (argmin never misses)
