@@ -80,14 +80,65 @@ object Winnowing {
   /** t29: document pairs sharing ≥ 3 winnowing fingerprints, with the
     * shared count — the candidate relation a MOSS-style overlap
     * detector ranks. Output (doc_a, doc_b, shared).
+    *
+    * Shipped shape contracts EXACT-DUPLICATE fingerprint sets before
+    * the pair join (the d10/d12 `groupedSets` lesson): docs with the
+    * identical sorted fingerprint array collapse to one representative
+    * — on a clone-heavy corpus (exactly what a crawl sees; the 100×
+    * rotation tier measured 5.5 GB of pair-join shuffle, bexp 1.21
+    * from this densification) a clone cluster of size g would put g
+    * copies of every fingerprint into its buckets and g² rows into
+    * each bucket's join. Pairs re-expand afterwards at OUTPUT cost:
+    * identical sets share every fingerprint (within-group shared =
+    * |set|), and a cross pair inherits its rep pair's count (same
+    * sets ⇒ same intersection). Output identical to the doc-grain
+    * form (spec-pinned incl. a clone-cluster fixture).
     */
-  def t29WinnowingPairs(s: SparkSession, d: String): DataFrame = {
-    // materialize the fingerprint relation ONCE: both self-join sides
-    // consume it, and Spark rebuilds the explode+window subtree per
-    // side otherwise (observed: no ReuseExchange across the aliased
-    // subtrees — the d10 shared-shingle lesson). Production persists
-    // this index next to the corpus, like the ANN bucket table.
-    val fp = fingerprints(documents(s, d))
+  def t29WinnowingPairs(s: SparkSession, d: String): DataFrame =
+    winnowingPairs(documents(s, d))
+
+  /** Corpus API for t29 — see [[t29WinnowingPairs]]. */
+  def winnowingPairs(docs: DataFrame): DataFrame = {
+    // the fingerprint relation is computed ONCE (both self-join sides
+    // consume it; observed no ReuseExchange across aliased subtrees —
+    // the d10 shared-shingle lesson). Production persists this index
+    // next to the corpus, like the ANN bucket table. The set-grouping
+    // agg reuses the fingerprint pipeline's doc_id partitioning.
+    val grouped = fingerprints(docs)
+      .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hs"))
+      .groupBy("hs").agg(min("doc_id").as("doc_id"),
+        sort_array(collect_list("doc_id")).as("members"))
+      .localCheckpoint()
+    val repFp = grouped.select(col("doc_id"), explode(col("hs")).as("h"))
+    val a = repFp.as("a")
+    val b = repFp.as("b").hint("shuffle_hash")
+    val repPairs = a.join(b,
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    val cross = repPairs
+      .join(grouped.select(col("doc_id").as("ra"), col("members").as("ma")), "ra")
+      .join(grouped.select(col("doc_id").as("rb"), col("members").as("mb")), "rb")
+      .select(col("shared"), explode(col("ma")).as("x"), col("mb"))
+      .select(col("shared"), col("x"), explode(col("mb")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("shared"))
+    val within = grouped
+      .filter(size(col("members")) >= 2 && size(col("hs")) >= 3)
+      .select(size(col("hs")).cast("long").as("shared"),
+        explode(col("members")).as("x"), col("members"))
+      .select(col("shared"), col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), col("shared"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
+  }
+
+  /** The doc-grain join-every-copy form — retained as the contraction's
+    * equivalence baseline (spec-pinned identical output).
+    */
+  private[graft] def winnowingPairsDocGrain(docs: DataFrame): DataFrame = {
+    val fp = fingerprints(docs)
       .select("doc_id", "h").distinct().localCheckpoint()
     val a = fp.as("a")
     val b = fp.as("b").hint("shuffle_hash")

@@ -96,6 +96,46 @@ class WinnowingSpec extends AnyFunSuite {
     assert(got.map(_._2).size == 1, "identical grams must share one hash")
   }
 
+  test("exact-duplicate contraction: shipped pairs == doc-grain pairs on the real corpus") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val fast = Winnowing.winnowingPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Winnowing.winnowingPairsDocGrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute,
+      s"contracted form diverged: only_fast=${(fast -- brute).take(3)} only_brute=${(brute -- fast).take(3)}")
+  }
+
+  test("clone-cluster fixture: contraction collapses identical docs, expansion restores every pair") {
+    // 3 distinct texts x 4 exact clones each, plus one unrelated doc —
+    // within-cluster pairs share ALL fingerprints, cross pairs whatever
+    // the reps share
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 50).map(i => s"t$i")
+    val texts = Seq.fill(3)(Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val rows = (for {
+      (t, g) <- texts.zipWithIndex
+      c <- 0 until 4
+    } yield (g * 10L + c, t)) :+
+      (99L, Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = docsDf(rows)
+    val fast = Winnowing.winnowingPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Winnowing.winnowingPairsDocGrain(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute)
+    // all 6 within-cluster pairs of each cluster present, sharing the
+    // full fingerprint set
+    texts.indices.foreach { g =>
+      val ids = (0 until 4).map(c => g * 10L + c)
+      val nfp = fps(Seq((ids.head, texts(g))))(ids.head).size.toLong
+      assert(nfp >= 3, "fixture cluster has too few fingerprints")
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        assert(fast.contains((ids(i), ids(j), nfp)),
+          s"missing clone pair (${ids(i)}, ${ids(j)}, $nfp)")
+    }
+  }
+
   test("fingerprint pipeline costs ONE exchange (distinct reuses the window's doc_id partitioning)") {
     val docs = graft.lake.Tables.documents(spark, sf)
     assert(countShuffles(Winnowing.fingerprints(docs)) == 1,
