@@ -202,7 +202,7 @@ object ProductQuantization {
     VectorExpressions.ensureRegistered(s)
     val cb = codebook(s, d)
     val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id") % 25 === 0)
+    val cents = e.filter(col("vec_id") % Similarity.centStride(s, d) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     import org.apache.spark.sql.expressions.Window
     // 1. coarse assignment (s4's exact-double argmax)
@@ -295,7 +295,9 @@ object ProductQuantization {
            |  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 490
            |), cents AS (
            |  SELECT vec_id AS cent_id, embedding AS ccv
-           |  FROM embeddings WHERE vec_id % 25 = 0
+           |  FROM embeddings,
+           |    (SELECT GREATEST(25, count(*) // 20) AS st FROM embeddings) p
+           |  WHERE vec_id % p.st = 0
            |), nrm AS (
            |  SELECT vec_id, sqrt(${dotDuck("embedding", "embedding")}) AS nrm
            |  FROM embeddings

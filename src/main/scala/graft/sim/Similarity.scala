@@ -351,6 +351,20 @@ object Similarity {
       else (sig, embeddings(s, d).count()))._2
   }
 
+  /** IVF centroid stride — corpus-adaptive like [[bitsFor]]: every
+    * `stride`-th vec_id is a coarse centroid, `max(25, n/20)` keeps
+    * nlists at the ~20 of the calibration tier as the corpus grows
+    * (the every-25th rule alone grows nlists LINEARLY in n, making the
+    * brute nearest-centroid assignment quadratic at scale). Bit-
+    * identical at every oracle tier (n ≤ 500 there ⇒ stride 25);
+    * derived from the same one-count both engines share (`GREATEST(25,
+    * count(*) // 20)` in the oracle CTEs — the bitsFor precedent).
+    * Real deployments train a FIXED k offline (k-means); a constant
+    * nlists with nprobe/nlists probe fraction is that posture.
+    */
+  private[sim] def centStride(s: SparkSession, d: String): Long =
+    math.max(25L, embeddingCount(s, d) / 20L)
+
   /** array<int> of the row's bucket in each table, at `bits` width. */
   private def bucketsSql(bits: Int, extra: Int): String = {
     def dot(p: Int) = {
@@ -858,7 +872,7 @@ object Similarity {
   def s4IvfTopk(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id") % 25 === 0)
+    val cents = e.filter(col("vec_id") % centStride(s, d) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     // inverted lists: nearest centroid per vector (exact-double argmax,
     // cent_id tiebreak)
@@ -1177,8 +1191,10 @@ object Similarity {
          |      JOIN embeddings e2 ON cand.n_id = e2.vec_id))
          |  WHERE rank <= 3
          |), cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-         |  WHERE vec_id % 25 = 0
+         |  SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings,
+         |    (SELECT GREATEST(25, count(*) // 20) AS st FROM embeddings) p
+         |  WHERE vec_id % p.st = 0
          |), lists AS (
          |  SELECT n_id, nv, cent_id FROM (
          |    SELECT e.vec_id AS n_id, e.embedding AS nv, c.cent_id,
@@ -1245,8 +1261,10 @@ object Similarity {
          |WHERE cos >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
     "s4_ivf_topk" ->
       s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-         |  WHERE vec_id % 25 = 0
+         |  SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings,
+         |    (SELECT GREATEST(25, count(*) // 20) AS st FROM embeddings) p
+         |  WHERE vec_id % p.st = 0
          |), lists AS (
          |  SELECT n_id, nv, cent_id FROM (
          |    SELECT e.vec_id AS n_id, e.embedding AS nv, c.cent_id,

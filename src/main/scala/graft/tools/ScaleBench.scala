@@ -59,7 +59,8 @@ object ScaleBench {
     "d12_containment", "d13_incremental_admit",
     "s2_ann_lsh", "s3_embedding_neardup", "s6_semdedup", "s9_pq_topk",
     "t18_leakage_split", "pipe_docs_prep", "f_edit_distance",
-    "g1_pagerank", "t29_winnowing", "s12_incremental_admit")
+    "g1_pagerank", "t29_winnowing", "s12_incremental_admit",
+    "s13_ivfpq_topk")
 
   /** The relational/event families (r8 verdict #1): the
     * group-by-over-growing-fact shape of the reference's own workload.
