@@ -78,7 +78,10 @@ object ProductQuantization {
       .collect() // bounded: Entries rows (a parameter, not data size)
     require(rows.length == Entries,
       s"pq codebook rule yielded ${rows.length} entries, want $Entries")
-    val cb = rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // element-type-agnostic: the upstream writer may ship float[] or
+    // double[] (the events.ts encoding-lottery class); graft_dot
+    // dispatches on the scanned type, and this collect must too
+    val cb = rows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(cb.forall(_.length == Dims),
       s"pq codebook expects $Dims-dim embeddings")
     cb
