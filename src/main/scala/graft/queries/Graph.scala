@@ -152,12 +152,19 @@ object Graph {
     * orientation and joins.
     */
   def g2Triangles(s: SparkSession, d: String): DataFrame = {
-    val op = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = op.as("x").join(op.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    // per-order pair generation: ONE order-key exchange (collect_set
+    // partials dedup map-side) + an in-array pair explode over the ≤7
+    // sorted parts — replaces the distinct + self-join form's three
+    // exchanges; the tiny interpreted lambdas run on 1 row per order,
+    // not per lineitem
+    val edges = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x as a, y as b))))"))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
       .distinct()
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
