@@ -1,0 +1,76 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk-persisted, bucketed-TABLE form of the per-corpus indexes
+  * (r9 verdict "What's missing #1"): [[CorpusIndexCache]]'s persist
+  * lives and dies with a session and cannot exceed cluster memory — at
+  * 100 TB the index must be a catalog TABLE, written bucketed on its
+  * join keys at corpus-build time, so a FRESH session's probes and
+  * bucket self-joins still consume the layout exchange-free off the
+  * scan (the [[Bucketing]] pattern already demonstrated for g1's
+  * edges).
+  *
+  * Staleness carries over the cache's contract: the table is stamped
+  * with the corpus content signature ([[CorpusIndexCache.signature]])
+  * as a table property at write time, and [[serve]] refuses a table
+  * whose stamp no longer matches the corpus — a rewritten corpus makes
+  * the table invisible (callers fall back to the session-cache build)
+  * rather than silently stale, the same correctness-over-perf posture
+  * as the cache's signature keying.
+  */
+object IndexTables {
+
+  private val SigProp = "graft.corpus.sig"
+
+  /** Deterministic catalog table name for the (prefix, corpus path)
+    * pair — path-hashed so distinct corpora never collide in the
+    * metastore.
+    */
+  def tableName(prefix: String, path: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    s"graft_${prefix}_$h"
+  }
+
+  /** Write `df` as the persisted index table for `path`, bucketed (and
+    * in-bucket sorted) on `bucketCols`, stamped with the corpus
+    * signature taken BEFORE the write (the index derives from the
+    * corpus as-read; a concurrent corpus rewrite makes the stamp
+    * mismatch, which is the safe direction). Returns the table name.
+    */
+  def persist(s: SparkSession, df: DataFrame, prefix: String, path: String,
+      bucketCols: Seq[String], buckets: Int = 32): String = {
+    val table = tableName(prefix, path)
+    val sig = CorpusIndexCache.signature(path)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SigProp' = '$sig')")
+    table
+  }
+
+  /** The persisted index table for (prefix, path), if present AND its
+    * signature stamp matches the corpus content right now. The check
+    * costs one metastore lookup plus the same O(files) listing the
+    * session cache's signature key already pays per access.
+    */
+  def serve(s: SparkSession, prefix: String, path: String): Option[DataFrame] = {
+    val table = tableName(prefix, path)
+    if (!s.catalog.tableExists(table)) None
+    else {
+      val stamp = s.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties.get(SigProp)
+      if (stamp.contains(CorpusIndexCache.signature(path))) Some(s.table(table))
+      else None
+    }
+  }
+
+  /** Drop the persisted table for (prefix, path), if any. */
+  def drop(s: SparkSession, prefix: String, path: String): Unit =
+    s.sql(s"DROP TABLE IF EXISTS ${tableName(prefix, path)}")
+}

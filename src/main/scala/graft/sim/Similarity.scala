@@ -794,6 +794,40 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** s3 residual-bexp adjudication counts (r10; the D12Diag template
+    * applied to the one scale flag the r9 verdict left on claimed
+    * evidence): for one tier, the row counts at each grain of the
+    * SHIPPED fused pipeline —
+    *
+    *   - `collisions`: in-bucket ordered pairs out of the self-join
+    *     (scored in-projection; never shuffled at this grain)
+    *   - `survivors`: rows PASSING the cos ≥ 0.30 filter, i.e. the
+    *     input of the only pair-grain exchange left (the survivor
+    *     `dropDuplicates`) — the relation whose growth IS the byte law
+    *   - `out_pairs`: distinct output pairs
+    *
+    * If `survivors` grows across tiers at an exponent ≥ the measured
+    * shuffle-byte exponent (1.31 at 100×, SCALE100_SELF.json), the
+    * residual is the answer set's own growth — output-law-bounded like
+    * d12 — and not filter or plan degradation. Counts share every
+    * expression with [[s3EmbeddingNeardup]] verbatim.
+    */
+  private[graft] def s3DiagCounts(s: SparkSession, d: String): String = {
+    VectorExpressions.ensureRegistered(s)
+    val bi = floatBucketIndex(s, d)
+    val a = bi.as("a")
+    val c = bi.as("c").hint("shuffle_hash")
+    val scored = a.join(c,
+        col("a.tbl") === col("c.tbl") && col("a.bk") === col("c.bk") &&
+          col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
+        round(expr(dotSql("a.embedding", "c.embedding")) /
+          (col("a.nrm") * col("c.nrm")), 4).as("cos"))
+    val survivors = scored.filter(col("cos") >= 0.30).localCheckpoint()
+    s""""collisions":${scored.count()},"survivors":${survivors.count()},""" +
+      s""""out_pairs":${survivors.dropDuplicates("vec_a", "vec_b").count()}"""
+  }
+
   /** The r9 interim join-then-prefilter form: id-only candidate pairs
     * dedup'd at CANDIDATE grain, then two int8-index joins, then the
     * sound-bounded prefilter. Retained as an AnnCompare variant — its
