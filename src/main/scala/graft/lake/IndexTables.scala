@@ -44,7 +44,14 @@ object IndexTables {
       bucketCols: Seq[String], buckets: Int = 32): String = {
     val table = tableName(prefix, path)
     val sig = CorpusIndexCache.signature(path)
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket keys first: bucketBy does NOT shuffle,
+    // so an unaligned input writes (write tasks × buckets) fragment
+    // files — measured 21 s vs 15 s on the sf1 cold s2 probe before
+    // this. Spark's bucket id is pmod(Murmur3, n), the same function
+    // hash-repartitioning uses, so each write task holds exactly one
+    // bucket's rows and the table lands as one sorted file per bucket.
+    df.repartition(buckets, bucketCols.map(df.col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)

@@ -558,10 +558,36 @@ object Similarity {
     */
   private[graft] val floatBucketIndexCache = new graft.lake.CorpusIndexCache
   private def floatBucketIndex(s: SparkSession, d: String): DataFrame =
-    floatBucketIndexCache.get(s, s"$d/embeddings.parquet") {
-      bucketTable(s, d).join(normedEmbeddings(s, d), "vec_id")
-        .repartition(col("tbl"), col("bk"))
-    }
+    graft.lake.IndexTables.serve(s, AnnTablePrefix, s"$d/embeddings.parquet")
+      .getOrElse(floatBucketIndexCache.get(s, s"$d/embeddings.parquet") {
+        bucketTable(s, d).join(normedEmbeddings(s, d), "vec_id")
+          .repartition(col("tbl"), col("bk"))
+      })
+
+  private val AnnTablePrefix = "annf"
+
+  /** Disk-persisted bucketed-TABLE form of [[floatBucketIndex]] (r9
+    * verdict "What's missing #1"): the session cache above dies with
+    * the session and cannot exceed cluster memory — the 100 TB form is
+    * this one, the scoring index written ONCE per corpus build as a
+    * catalog table bucketed on (tbl, bk) (the [[graft.lake.Bucketing]]
+    * pattern, g1-edges precedent). A FRESH session's fused s2/s3
+    * self-join then consumes the bucket layout straight off the
+    * table-backed scan — zero Exchange on either side, no rebuild, no
+    * memory residency requirement (BucketedAnnIndexSpec pins the plan
+    * and bit-identical outputs vs the cache-built form).
+    *
+    * Staleness inherits the cache's contract via the content-signature
+    * stamp ([[graft.lake.IndexTables]]): a rewritten corpus makes the
+    * table invisible and consumers fall back to the session-cache
+    * build. Returns the catalog table name.
+    */
+  def persistAnnIndex(s: SparkSession, d: String, buckets: Int = 32): String = {
+    VectorExpressions.ensureRegistered(s)
+    graft.lake.IndexTables.persist(s,
+      bucketTable(s, d).join(normedEmbeddings(s, d), "vec_id"),
+      AnnTablePrefix, s"$d/embeddings.parquet", Seq("tbl", "bk"), buckets)
+  }
 
 
   /** The int8-pruned scored-candidates VARIANT (not shipped — see
@@ -1040,18 +1066,45 @@ object Similarity {
     * family and pre-partitioned on (tbl, bk) like [[floatBucketIndex]].
     */
   private[graft] val corpusBucketIndexCache = new graft.lake.CorpusIndexCache
+
+  private val AdmTablePrefix = "adm"
+
+  /** s12's corpus admission index in its disk-persisted bucketed-table
+    * form — the [[persistAnnIndex]] lifecycle applied to the
+    * incremental-admission family: written once per corpus build,
+    * served signature-checked to any later session, so "persist-once"
+    * means once per CORPUS, not once per session. The streaming twin
+    * ([[graft.streaming.Streams.admitEmbeddingStream]]) takes the
+    * served table through its explicit `corpusIndex` parameter.
+    */
+  def persistAdmissionIndex(s: SparkSession, d: String,
+      buckets: Int = 32): String = {
+    VectorExpressions.ensureRegistered(s)
+    graft.lake.IndexTables.persist(s, s12CorpusIndexFrame(s, d),
+      AdmTablePrefix, s"$d/embeddings.parquet", Seq("tbl", "bk"), buckets)
+  }
+
+  /** The corpus-side (vec_id < 4n/5) admission index relation — one
+    * definition shared by the session-cache build and the persisted
+    * table, so the two forms cannot drift.
+    */
+  private def s12CorpusIndexFrame(s: SparkSession, d: String): DataFrame = {
+    val cut = 4L * embeddingCount(s, d) / 5L
+    normedEmbeddings(s, d).filter(col("vec_id") < cut)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(expr(bucketsSql(bitsFor(cut), extraTablesFor(cut))))
+          .as(Seq("tbl", "bk")))
+  }
+
   def s12IncrementalAdmit(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     val cut = 4L * embeddingCount(s, d) / 5L
     val e = normedEmbeddings(s, d)
-    val bits = bitsFor(cut)
-    val extra = extraTablesFor(cut)
-    val ci = corpusBucketIndexCache.get(s, s"$d/embeddings.parquet") {
-      e.filter(col("vec_id") < cut)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          posexplode(expr(bucketsSql(bits, extra))).as(Seq("tbl", "bk")))
-        .repartition(col("tbl"), col("bk"))
-    }
+    val ci = graft.lake.IndexTables
+      .serve(s, AdmTablePrefix, s"$d/embeddings.parquet")
+      .getOrElse(corpusBucketIndexCache.get(s, s"$d/embeddings.parquet") {
+        s12CorpusIndexFrame(s, d).repartition(col("tbl"), col("bk"))
+      })
     admitEmbeddingIncrement(
       e.filter(col("vec_id") < cut), e.filter(col("vec_id") >= cut),
       familyN = cut, corpusIndex = Some(ci))

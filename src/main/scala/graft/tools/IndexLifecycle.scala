@@ -33,6 +33,7 @@ object IndexLifecycle {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_lifecycle_wh")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,7 +65,28 @@ object IndexLifecycle {
       val breakeven =
         if (brute > warmS10) math.ceil(coldBucket / (brute - warmS10)).toInt
         else -1
-      f""""$d":{"cold_bucket_build":$coldBucket%.3f,"warm_s10":$warmS10%.3f,"brute_s1":$brute%.3f,"breakeven_probes":$breakeven,"cold_d13":$coldD13%.3f,"warm_d13":$warmD13%.3f}"""
+
+      // table-backed restart path (r10, verdict #2): cold-SESSION first
+      // probe with no persisted table (cache build + probe) vs with the
+      // bucketed index table present (scan-served, no build). Each
+      // newSession has an empty CorpusIndexCache — the restart analogue
+      // local mode can express. breakeven_restarts = table-write cost /
+      // per-restart saving: how many session restarts amortize
+      // persisting the index as a table.
+      graft.lake.IndexTables.drop(spark, "annf", s"$d/embeddings.parquet")
+      def s2In(sess: SparkSession): Unit =
+        graft.sim.Similarity.s2AnnLsh(sess, d)
+          .write.format("noop").mode("overwrite").save()
+      val coldNoTable = time(s2In(spark.newSession()))
+      val tableWrite = time(graft.sim.Similarity.persistAnnIndex(spark, d))
+      val coldTable = time(s2In(spark.newSession()))
+      graft.lake.IndexTables.drop(spark, "annf", s"$d/embeddings.parquet")
+      val restartBreakeven =
+        if (coldNoTable > coldTable)
+          math.ceil(tableWrite / (coldNoTable - coldTable)).toInt
+        else -1
+
+      f""""$d":{"cold_bucket_build":$coldBucket%.3f,"warm_s10":$warmS10%.3f,"brute_s1":$brute%.3f,"breakeven_probes":$breakeven,"cold_d13":$coldD13%.3f,"warm_d13":$warmD13%.3f,"s2_cold_session_no_table":$coldNoTable%.3f,"ann_table_write":$tableWrite%.3f,"s2_cold_session_table":$coldTable%.3f,"breakeven_restarts":$restartBreakeven}"""
     }
     println(rows.mkString("{\"metric\":\"index_lifecycle\",\"tiers\":{", ",", "}}"))
     spark.stop()
