@@ -150,8 +150,16 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    normalizeEventsTs(table(s, d, "events"))
+  }
+
+  /** The `ts`-encoding dispatch of [[events]] on a caller-provided
+    * frame — shared with STREAMING reads of the same table (a
+    * readStream scan carries the same three possible encodings), so the
+    * batch and stream paths cannot drift.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

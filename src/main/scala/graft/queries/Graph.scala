@@ -33,11 +33,22 @@ object Graph {
     * many LOW-degree customers outranks one serving the same number of
     * promiscuous hubs.
     *
-    * Fixed point: r₀ = 1e6 div N; rᵢ₊₁(v) = 150000 div N +
+    * Fixed point: r₀ = 1e6 (per node); rᵢ₊₁(v) = 150000 +
     * Σ_{u→v} floor(rᵢ(u)·85·w(u,v) / (100·W(u))). Five iterations
     * (spectral gap ≥ damping ⇒ geometric convergence; the spec pins
     * iteration-5 exactly against a plain-Scala reference, so the count
     * is a contract, not a tuning knob).
+    *
+    * MASS GRAIN (fixed in r10, found by tools/G1Invariant at the sf10
+    * tier): ranks are micro-units of a UNIFORM NODE's mass — r₀ =
+    * 1,000,000 each, total mass 1e6·N — not millionths of the whole
+    * graph. The original graph-PPM grain (r₀ = 1e6 div N) integer-
+    * UNDERFLOWS to zero the moment N exceeds a million nodes: the sf10
+    * tier (1.6 M nodes) ranked every node 0, and any production graph
+    * would too. Per-node grain conserves Σ ≈ 1e6·N at every size, the
+    * recurrence and plan are unchanged, and rank RATIOS (what PageRank
+    * means) are identical up to the floor rounding. `rank_ppm` reads as
+    * "millionths of a uniform node's rank".
     *
     * Scale shape (100 TB): the edge list aggregates out of the
     * lineitem⋈orders join ONCE (fact-sized shuffle) and is persisted;
@@ -75,24 +86,23 @@ object Graph {
     * add. Exposed so specs can audit ONE iteration's physical plan
     * (exchange count, scan count) rather than the 5-round composite.
     */
-  private[graft] def iterationStep(ew: DataFrame, rank: DataFrame,
-      n: Long): DataFrame =
+  private[graft] def iterationStep(ew: DataFrame,
+      rank: DataFrame): DataFrame =
     ew.join(rank.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst"))
       .agg(sum(expr(s"rank * $Damp * w div (100 * wout)")).as("m"))
       .select(col("dst").as("node"),
-        (lit(150000L / n) + col("m")).as("rank"))
+        (lit(150000L) + col("m")).as("rank"))
 
   /** Five rounds + final shaping over any materialized `ew`. rank₀
     * derives from ew's distinct src (NOT the pre-materialization outW
     * aggregate, whose lineage would rescan the fact tables once more).
     */
   private def pagerank(ew: DataFrame): DataFrame = {
-    val n = ew.select("src").distinct().count()
     var rank = ew.select("src").distinct()
-      .select(col("src").as("node"), lit(1000000L / n).as("rank"))
+      .select(col("src").as("node"), lit(1000000L).as("rank"))
     (1 to Iterations).foreach { _ =>
-      rank = iterationStep(ew, rank, n).localCheckpoint()
+      rank = iterationStep(ew, rank).localCheckpoint()
     }
     rank.select(
         when(col("node") % 2 === 0, lit("customer"))
@@ -151,13 +161,15 @@ object Graph {
     * Integer-only arithmetic; the DuckDB oracle runs the identical
     * orientation and joins.
     */
-  def g2Triangles(s: SparkSession, d: String): DataFrame = {
-    // per-order pair generation: ONE order-key exchange (collect_set
-    // partials dedup map-side) + an in-array pair explode over the ≤7
-    // sorted parts — replaces the distinct + self-join form's three
-    // exchanges; the tiny interpreted lambdas run on 1 row per order,
-    // not per lineitem
-    val edges = lineitem(s, d)
+  /** Distinct co-ordered part pairs (a < b) — the undirected edge set
+    * shared by g2 and g3. Per-order pair generation is ONE order-key
+    * exchange (collect_set partials dedup map-side) + an in-array pair
+    * explode over the ≤7 sorted parts — replaces the distinct +
+    * self-join form's three exchanges; the tiny interpreted lambdas run
+    * on 1 row per order, not per lineitem.
+    */
+  private[graft] def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(
@@ -166,6 +178,9 @@ object Graph {
         .as("p"))
       .select(col("p.a"), col("p.b"))
       .distinct()
+
+  def g2Triangles(s: SparkSession, d: String): DataFrame = {
+    val edges = coOrderEdges(s, d)
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -184,13 +199,22 @@ object Graph {
                    col("da").as("dd"))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.dd"))
       .localCheckpoint() // three consumers (two wedge legs + closer)
-    val wedges = fwd.as("f1").join(fwd.as("f2"),
+    // HASH joins, not sort-merge (r10, found at the 100x tier): the
+    // wedge stream is the superlinear relation (O(m^1.5) rows), and an
+    // SMJ closing join must SORT it — the sort spill of the scaled tier
+    // (~100x wedges) exhausted a 70 GB disk before any result. With
+    // shuffle_hash the build side is always the LINEAR fwd relation and
+    // wedges only stream: produced by the first join, exchanged once on
+    // the closing key, probed row-by-row — nothing wedge-sized is ever
+    // sorted or buffered. Same rows either way; the physical choice is
+    // what survives scale.
+    val wedges = fwd.as("f1").hint("shuffle_hash").join(fwd.as("f2"),
         col("f1.src") === col("f2.src") &&
           (col("f1.dd") < col("f2.dd") ||
            (col("f1.dd") === col("f2.dd") && col("f1.dst") < col("f2.dst"))))
       .select(col("f1.src").as("u"), col("f1.dst").as("v"),
         col("f2.dst").as("w"))
-    val tri = wedges.join(fwd.as("f3"),
+    val tri = wedges.join(fwd.as("f3").hint("shuffle_hash"),
         col("v") === col("f3.src") && col("w") === col("f3.dst"))
       .select("u", "v", "w")
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
@@ -199,11 +223,83 @@ object Graph {
       .limit(20)
   }
 
+  /** g3: multi-source BFS hop distances (delta/frontier form) over the
+    * co-ordered part graph — "how far is every part from the seed set",
+    * the reachability primitive behind recommendation radii, blast-
+    * radius analyses, and label propagation. Seeds are the 5 smallest
+    * part ids in the edge set (deterministic); output is the hop
+    * histogram (dist, n_parts, min/max part) for dist ≤ 4 — unreached
+    * parts simply don't appear.
+    *
+    * Algorithm: textbook DELTA BFS. Per round, only the FRONTIER (parts
+    * first reached last round) expands through the adjacency — an
+    * equi-join on the part key — and an anti-join against the settled
+    * set keeps just the newly reached parts. Settled/frontier are
+    * node-sized relations checkpointed per round (the g1 lineage
+    * materializer); re-expanding the whole settled set each round (the
+    * naive min-propagation form) would cost O(rounds · reached·degree)
+    * instead of each edge firing at most once per direction. At 100 TB
+    * the adjacency would be a bucketed table on `a` (lake/Bucketing,
+    * the g1-edges precedent) making every round's expansion
+    * exchange-free on the edge side.
+    *
+    * Integer-only; the DuckDB oracle runs a recursive CTE (UNION
+    * dedup semantics bound the recursion) and takes min(dist) per
+    * part — BFS layering and "first reached = min dist" agree.
+    */
+  private val MaxHops = 4
+  def g3BfsDistance(s: SparkSession, d: String): DataFrame = {
+    val edges = coOrderEdges(s, d)
+    // undirected adjacency: both directions of each a<b edge
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // expanded once per round; never re-derived
+    val seeds = adj.select(col("u").as("part")).distinct()
+      .orderBy("part").limit(5)
+    var settled = seeds.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled
+    (1 to MaxHops).foreach { i =>
+      val reached = adj.join(frontier.select(col("part").as("u")), "u")
+        .select(col("v").as("part")).distinct()
+      frontier = reached.join(settled.select("part"), Seq("part"), "left_anti")
+        .withColumn("dist", lit(i.toLong)).localCheckpoint()
+      settled = settled.unionByName(frontier).localCheckpoint()
+    }
+    settled.groupBy("dist")
+      .agg(count(lit(1)).as("n_parts"),
+        min("part").as("min_part"), max("part").as("max_part"))
+      .orderBy("dist")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> (g1Pagerank _),
-    "g2_triangles" -> (g2Triangles _))
+    "g2_triangles" -> (g2Triangles _),
+    "g3_bfs_distance" -> (g3BfsDistance _))
 
   def oracles: Map[String, String] = Map(
+    "g3_bfs_distance" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |), adj AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), seeds AS (
+        |  SELECT DISTINCT u AS part FROM adj ORDER BY 1 LIMIT 5
+        |), bfs(part, dist) AS (
+        |  SELECT part, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT adj.v AS part, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN adj ON adj.u = bfs.part
+        |  WHERE bfs.dist < 4
+        |), md AS (
+        |  SELECT part, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY 1
+        |)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(min(part) AS BIGINT) AS min_part,
+        |  CAST(max(part) AS BIGINT) AS max_part
+        |FROM md GROUP BY 1 ORDER BY dist""".stripMargin,
     "g2_triangles" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -240,10 +336,10 @@ object Graph {
       val iter = (1 to Iterations).map { i =>
         s"""r$i AS (
            |  SELECT ew.dst AS node,
-           |    CAST(150000 // n + sum(r.rank * 85 * ew.w // (100 * ew.wout))
+           |    CAST(150000 + sum(r.rank * 85 * ew.w // (100 * ew.wout))
            |      AS BIGINT) AS rank
-           |  FROM ew JOIN r${i - 1} r ON ew.src = r.node CROSS JOIN nn
-           |  GROUP BY ew.dst, nn.n)""".stripMargin
+           |  FROM ew JOIN r${i - 1} r ON ew.src = r.node
+           |  GROUP BY ew.dst)""".stripMargin
       }.mkString(",\n")
       s"""WITH e0 AS (
          |  SELECT o_custkey AS ck, l_suppkey AS sk,
@@ -258,9 +354,8 @@ object Graph {
          |       FROM edges GROUP BY 1),
          |ew AS (SELECT e.src, e.dst, e.w, o.wout
          |       FROM edges e JOIN ow o USING (src)),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ow),
-         |r0 AS (SELECT src AS node, CAST(1000000 // n AS BIGINT) AS rank
-         |       FROM ow CROSS JOIN nn),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
+         |       FROM ow),
          |$iter
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          |    AS node_type,

@@ -66,13 +66,12 @@ object G1Bucketed {
       Graph.edgesWithOut(spark, d), "g1_edges_bkt_tool", "src")
     val bktEw = spark.table("g1_edges_bkt_tool")
 
-    val n = plainEw.select("src").distinct().count()
     val rank0 = plainEw.select("src").distinct()
-      .select(col("src").as("node"), lit(1000000L / n).as("rank"))
+      .select(col("src").as("node"), lit(1000000L).as("rank"))
       .localCheckpoint()
 
     def round(ew: org.apache.spark.sql.DataFrame): Unit =
-      Graph.iterationStep(ew, rank0, n)
+      Graph.iterationStep(ew, rank0)
         .write.format("noop").mode("overwrite").save()
 
     round(plainEw); round(bktEw) // warmup both shapes

@@ -27,8 +27,9 @@ object ScaleBench {
 
   /** Accumulates shuffle bytes across completed stages. Spark delivers
     * stage events asynchronously, so reads go through [[quiesce]].
+    * Shared with [[StreamScale]] (same methodology on streaming runs).
     */
-  private final class ShuffleTally
+  private[tools] final class ShuffleTally
       extends org.apache.spark.scheduler.SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
@@ -46,9 +47,16 @@ object ScaleBench {
   /** Wait until no job is active, then give the listener bus a short
     * drain window — bounds the event bleed between measured runs.
     */
-  private def quiesce(spark: SparkSession): Unit = {
+  private[tools] def quiesce(spark: SparkSession): Unit = {
     val tracker = spark.sparkContext.statusTracker
     while (tracker.getActiveJobIds().nonEmpty) Thread.sleep(20)
+    // release prior runs' shuffle/checkpoint files NOW (outside any
+    // timer): the ContextCleaner deletes them only when their
+    // dependencies get GC'd, and a large measurement heap can go many
+    // runs between collections — at the 100x g2 tier the accumulated
+    // spill of 8 interleaved runs filled the disk before any single
+    // run's working set would have (r10).
+    System.gc()
     Thread.sleep(150)
   }
 
@@ -90,6 +98,7 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.cleaner.periodicGC.interval", "2min") // see quiesce
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -111,4 +111,24 @@ class BucketedAnnIndexSpec extends AnyFunSuite {
       IndexTables.drop(spark, "adm", path)
     }
   }
+
+  test("d13's corpus band index serves a fresh session from its persisted table") {
+    val dir = java.nio.file.Files.createTempDirectory("band_idx_corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val d = dir.toString
+    val path = s"$d/documents.parquet"
+    try {
+      val baseline = rows(graft.text.Dedup.d13IncrementalAdmit(spark, d))
+      assert(baseline.nonEmpty)
+      graft.text.Dedup.persistBandIndex(spark, d, buckets = 4)
+      val fresh = spark.newSession()
+      val builds0 = graft.text.Dedup.corpusBandIndexCache.builds.get()
+      assert(rows(graft.text.Dedup.d13IncrementalAdmit(fresh, d)) == baseline,
+        "table-backed d13 diverged from the cache-built form")
+      assert(graft.text.Dedup.corpusBandIndexCache.builds.get() == builds0,
+        "fresh session rebuilt the band index despite the table")
+    } finally IndexTables.drop(spark, "band", path)
+  }
 }

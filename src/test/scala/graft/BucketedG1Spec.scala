@@ -27,12 +27,11 @@ class BucketedG1Spec extends AnyFunSuite {
       Bucketing.writeBucketed(Graph.edgesWithOut(spark, sf),
         "g1_edges_bkt", "src", buckets = 8)
       val ew = spark.table("g1_edges_bkt")
-      val n = ew.select("src").distinct().count()
       val rank0 = ew.select("src").distinct()
-        .select(col("src").as("node"), lit(1000000L / n).as("rank"))
+        .select(col("src").as("node"), lit(1000000L).as("rank"))
         .localCheckpoint()
 
-      val bucketedStep = Graph.iterationStep(ew, rank0, n)
+      val bucketedStep = Graph.iterationStep(ew, rank0)
       val bucketedShuffles = countShuffles(bucketedStep)
       val plan = bucketedStep.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
@@ -42,7 +41,7 @@ class BucketedG1Spec extends AnyFunSuite {
           s"(want 2: rank align + dst agg):\n$plan")
 
       val plainEw = Graph.edgesWithOut(spark, sf).localCheckpoint()
-      val plainShuffles = countShuffles(Graph.iterationStep(plainEw, rank0, n))
+      val plainShuffles = countShuffles(Graph.iterationStep(plainEw, rank0))
       assert(plainShuffles == 3,
         s"plain iteration planned $plainShuffles exchanges (want 3)")
 

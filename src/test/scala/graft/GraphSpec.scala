@@ -32,13 +32,15 @@ class GraphSpec extends AnyFunSuite {
     }
     val wout = edges.groupBy(_._1).map { case (s0, es) => (s0, es.map(_._3).sum) }
     val n = wout.size.toLong
-    var rank: Map[Long, Long] = wout.map { case (u, _) => (u, 1000000L / n) }
+    // per-node mass grain (r10): r0 = 1e6 each — the graph-PPM grain
+    // (1e6 div n) underflows to zero above a million nodes
+    var rank: Map[Long, Long] = wout.map { case (u, _) => (u, 1000000L) }
     (1 to 5).foreach { _ =>
       val in = scala.collection.mutable.Map.empty[Long, Long]
       edges.foreach { case (u, v, w) =>
         in(v) = in.getOrElse(v, 0L) + rank(u) * 85L * w / (100L * wout(u))
       }
-      rank = in.map { case (v, m) => (v, 150000L / n + m) }.toMap
+      rank = in.map { case (v, m) => (v, 150000L + m) }.toMap
     }
     val want = rank.toSeq.map { case (node, r) =>
       ((if (node % 2 == 0) "customer" else "supplier", node / 2), r)
@@ -76,6 +78,33 @@ class GraphSpec extends AnyFunSuite {
     val want = triCount.toSeq.sortBy { case (p, t) => (-t, p) }.take(20)
     assert(got.toSeq == want,
       s"got ${got.toSeq.take(5)}... want ${want.take(5)}...")
+  }
+
+  test("g3: hop histogram equals a plain-Scala BFS on the real graph") {
+    val got = Graph.g3BfsDistance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Set[Long]] = op.groupBy(_._1).values.toSeq
+      .flatMap { ps =>
+        val parts: Seq[Long] = ps.map(_._2).distinct.toSeq
+        for { a <- parts; b <- parts if a != b } yield (a, b)
+      }.distinct.groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).toSet) }
+    val seeds = adj.keySet.toSeq.sorted.take(5)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    (1 to 4).foreach { i =>
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(p => dist(p) = i.toLong)
+    }
+    val want = dist.toSeq.groupBy(_._2).toSeq.map { case (d, ps) =>
+      (d, ps.size.toLong, ps.map(_._1).min, ps.map(_._1).max)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
   }
 
   test("g2: degree-ordered orientation — every edge points to the higher (deg, node) rank") {
