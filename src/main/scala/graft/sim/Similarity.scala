@@ -1110,11 +1110,35 @@ object Similarity {
       familyN = cut, corpusIndex = Some(ci))
   }
 
+  /** s14: index-backed RADIUS search — the ANN family's other query
+    * shape next to top-k: EVERY neighbor within a similarity radius
+    * (cos ≥ τ) of each query, not a fixed count. The retrieval shape
+    * for "give me everything semantically this close" — dedup
+    * candidates for a specific doc, near-duplicate audit of an
+    * incoming batch — where k-truncation would silently drop matches.
+    *
+    * Same scale story as s10's fetch: the bounded query set's bucket
+    * rows broadcast into the corpus index probe ([[lshScoredCandidates]]
+    * — the corpus streams once, no crossJoin), exact cosine per
+    * distinct collided pair in the join projection, then the radius
+    * filter. The DuckDB oracle re-derives the identical bucket family,
+    * so the approximate index IS the contract (both engines miss the
+    * same out-of-bucket pairs — the oracle pins the index semantics,
+    * not brute recall; s11 reports the recall gap as its own query).
+    */
+  def s14RadiusSearch(s: SparkSession, d: String): DataFrame =
+    lshScoredCandidates(s, d)
+      .withColumn("cos", round(col("cos_exact"), 4))
+      .filter(col("cos") >= 0.15)
+      .select("q_id", "n_id", "cos")
+      .orderBy("q_id", "n_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"      -> (s1CosineTopk _),
     "s10_hard_negatives"  -> (s10HardNegatives _),
     "s11_recall_report"   -> (s11RecallReport _),
     "s12_incremental_admit" -> (s12IncrementalAdmit _),
+    "s14_radius_search"   -> (s14RadiusSearch _),
     "s2_ann_lsh"          -> (s2AnnLsh _),
     "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
     "s4_ivf_topk"         -> (s4IvfTopk _),
@@ -1317,6 +1341,19 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'lsh', hl.hits, tot.total FROM hl, tot)
          |ORDER BY variant""".stripMargin,
+    "s14_radius_search" ->
+      s"""WITH $bucketTableDuck, cand AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM b a JOIN b c
+         |    ON a.tbl = c.tbl AND a.bk = c.bk AND a.vec_id <> c.vec_id
+         |  WHERE a.vec_id < 10
+         |), scored AS (
+         |  SELECT q_id, n_id,
+         |    round(${cosDuck("e1.embedding", "e2.embedding")}, 4) AS cos
+         |  FROM cand JOIN embeddings e1 ON q_id = e1.vec_id
+         |            JOIN embeddings e2 ON n_id = e2.vec_id)
+         |SELECT q_id, n_id, cos FROM scored
+         |WHERE cos >= 0.15 ORDER BY q_id, n_id""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $bucketTableDuck, cand AS (
          |  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id

@@ -107,6 +107,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"got ${got.toSeq} want $want")
   }
 
+  test("g4: bounded-hop cheapest costs equal a plain-Scala Bellman-Ford") {
+    val got = Graph.g4CheapestPath(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val w: Map[(Long, Long), Long] = op.groupBy(_._1).values.toSeq
+      .flatMap { ps =>
+        val parts: Seq[Long] = ps.map(_._2).distinct.sorted.toSeq
+        for { i <- parts.indices; j <- i + 1 until parts.length }
+          yield (parts(i), parts(j))
+      }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val adj: Seq[(Long, Long, Long)] = w.toSeq.flatMap { case ((a, b), n) =>
+      val c = 1000000L / n
+      Seq((a, b, c), (b, a, c))
+    }
+    val nodes = adj.map(_._1).distinct.sorted
+    val dist = scala.collection.mutable.Map(
+      nodes.take(5).map(_ -> 0L): _*)
+    (1 to 4).foreach { _ =>
+      val snapshot = dist.toMap
+      adj.foreach { case (u, v, c) =>
+        snapshot.get(u).foreach { du =>
+          if (!dist.contains(v) || du + c < dist(v)) dist(v) = du + c
+        }
+      }
+    }
+    val want = dist.toSeq.map { case (p, c) => (p, c) }
+      .sortBy { case (p, c) => (c, p) }.take(100)
+    assert(got.toSeq == want,
+      s"first mismatch: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+  }
+
   test("g2: degree-ordered orientation — every edge points to the higher (deg, node) rank") {
     // tiny planted graph exercised through the same public query path is
     // impractical (it reads lineitem), so pin the invariant on the real

@@ -644,4 +644,46 @@ class LlmPipelineSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 6, s"too many exchanges ($exchanges):\n$plan")
   }
+
+  test("s14 radius search: cosines exact, nothing outside the radius, recall vs brute radius pinned") {
+    val tau = 0.15
+    val got = Similarity.s14RadiusSearch(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+
+    // brute reference: same sequential-fold cosine in plain Scala
+    // (same operand order + double widening = the same doubles the
+    // graft_dot expression produces)
+    val vecs = graft.lake.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      q <- vecs.keys.toSeq if q < 10
+      n <- vecs.keys.toSeq if n != q
+      c = cos(vecs(q), vecs(n)) if math.rint(c * 10000) / 10000 >= tau
+    } yield ((q, n), c)).toMap
+
+    // every reported hit is inside the radius with the exact cosine
+    got.foreach { case (pair, c) =>
+      assert(c >= tau, s"$pair reported below the radius: $c")
+      val exact = brute.getOrElse(pair,
+        fail(s"$pair reported but its exact cosine is below the radius"))
+      assert(math.abs(c - exact) <= 5e-5, s"$pair cos $c vs exact $exact")
+    }
+    // deterministic corpus => the index's radius recall is a fixed
+    // number; pin a hard floor the way the topk recall floors are
+    val recall = got.keySet.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.30,
+      f"radius recall $recall%.3f under the pinned floor (|brute| = ${brute.size})")
+  }
 }
