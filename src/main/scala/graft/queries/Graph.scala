@@ -256,19 +256,33 @@ object Graph {
       .localCheckpoint() // expanded once per round; never re-derived
     val seeds = adj.select(col("u").as("part")).distinct()
       .orderBy("part").limit(5)
-    var settled = seeds.withColumn("dist", lit(0L)).localCheckpoint()
+    bfsDistances(adj, seeds, MaxHops)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_parts"),
+        min("part").as("min_part"), max("part").as("max_part"))
+      .orderBy("dist")
+  }
+
+  /** Library form of g3's core: minimum hop distance from `seeds`
+    * (column `part`) for every node reachable within `maxHops`, over an
+    * undirected adjacency `adj(u, v)` carrying BOTH directions of each
+    * edge. Delta BFS — see [[g3BfsDistance]] for the per-round plan
+    * shape. Output: (part, dist). Property-tested against a plain-Scala
+    * BFS on random graphs (GraphPropertySpec).
+    */
+  def bfsDistances(adj: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    var settled = seeds.select(col("part"))
+      .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = settled
-    (1 to MaxHops).foreach { i =>
+    (1 to maxHops).foreach { i =>
       val reached = adj.join(frontier.select(col("part").as("u")), "u")
         .select(col("v").as("part")).distinct()
       frontier = reached.join(settled.select("part"), Seq("part"), "left_anti")
         .withColumn("dist", lit(i.toLong)).localCheckpoint()
       settled = settled.unionByName(frontier).localCheckpoint()
     }
-    settled.groupBy("dist")
-      .agg(count(lit(1)).as("n_parts"),
-        min("part").as("min_part"), max("part").as("max_part"))
-      .orderBy("dist")
+    settled
   }
 
   /** g4: bounded-hop CHEAPEST paths (Bellman-Ford relaxation) from the
@@ -313,17 +327,32 @@ object Graph {
       .localCheckpoint()
     val seeds = adj.select(col("u").as("node")).distinct()
       .orderBy("node").limit(5)
-    var cost = seeds.withColumn("c", lit(0L)).localCheckpoint()
-    (1 to RelaxRounds).foreach { _ =>
+    cheapestPaths(adj, seeds, RelaxRounds)
+      .select(col("node").as("part"), col("c").as("cost"))
+      .orderBy(asc("cost"), asc("part"))
+      .limit(100)
+  }
+
+  /** Library form of g4's core: minimum path cost from `seeds` (column
+    * `node`) within `rounds` relaxation rounds, over a directed
+    * weighted adjacency `adj(u, v, cost)` (carry both directions for an
+    * undirected graph). Bounded-hop Bellman-Ford — see
+    * [[g4CheapestPath]] for the per-round plan shape. Output:
+    * (node, c). Property-tested against a plain-Scala Bellman-Ford on
+    * random graphs (GraphPropertySpec).
+    */
+  def cheapestPaths(adj: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var cost = seeds.select(col("node"))
+      .withColumn("c", lit(0L)).localCheckpoint()
+    (1 to rounds).foreach { _ =>
       val relaxed = adj.join(cost.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"), (col("c") + col("cost")).as("c"))
       cost = cost.unionByName(relaxed)
         .groupBy("node").agg(min("c").as("c"))
         .localCheckpoint()
     }
-    cost.select(col("node").as("part"), col("c").as("cost"))
-      .orderBy(asc("cost"), asc("part"))
-      .limit(100)
+    cost
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -56,13 +56,39 @@ object StreamQueries {
         col("n_events"))
       .orderBy("user_id", "sess_start")
 
+  /** Hopping-window twin of st1 ([[Streams.hopAgg]], 2 h windows
+    * sliding by 1 h — every event lands in exactly two windows) on
+    * batch input, promoting the previously sbt-only hop path to a
+    * hash-gated oracle query (the d13 precedent). Same decimal-sum and
+    * string-encoded-start determinism as st1; the DuckDB oracle
+    * generates each event's two member windows explicitly
+    * (time_bucket − k·slide, k ∈ {0, 1}) — both engines align windows
+    * to the epoch, so the starts agree exactly.
+    */
+  def st4HopAgg(s: SparkSession, d: String): DataFrame =
+    Streams.hopAgg(events(s, d), "ts", "value",
+        size = "2 hours", slide = "1 hour", stream = false)
+      .withColumn("window_start",
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_agg" -> (st1TumblingAgg _),
     "st2_tick_json"    -> (st2TickJson _),
     "st3_session_agg"  -> (st3SessionAgg _),
+    "st4_hop_agg"      -> (st4HopAgg _),
   )
 
   def oracles: Map[String, String] = Map(
+    "st4_hop_agg" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour' AS ws,
+        |    value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
     "st1_tumbling_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  CAST(count(*) AS BIGINT) AS n_ticks,

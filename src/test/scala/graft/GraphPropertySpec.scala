@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Graph
+
+/** Property checks for the graph library APIs: on randomized graphs,
+  * [[Graph.bfsDistances]] and [[Graph.cheapestPaths]] must agree with
+  * independent plain-Scala references (JoinPropertySpec's style — raw
+  * ScalaCheck generators, fixed seeds, one Spark job per case). The
+  * real-corpus GraphSpec mirrors pin g3/g4 end to end; these pin the
+  * CORE on shapes the co-order graph can't produce — disconnected
+  * components, self-contained cliques, skewed weights, seed sets that
+  * aren't the smallest ids.
+  */
+class GraphPropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n * 4).iterator
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+      .take(n).toSeq
+
+  /** (undirected edges with weights, seed nodes) over ≤ 12 nodes. */
+  private val graphGen: Gen[(Seq[(Long, Long, Long)], Seq[Long])] = for {
+    n <- Gen.choose(2, 12)
+    pairs = for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong)
+    kept <- Gen.sequence[Seq[Option[((Long, Long), Long)]], Option[((Long, Long), Long)]](
+      pairs.map { p =>
+        for {
+          keep <- Gen.prob(0.35)
+          w <- Gen.choose(1L, 9L)
+        } yield if (keep) Some((p, w)) else None
+      })
+    edges = kept.flatten.map { case ((a, b), w) => (a, b, w) }
+    nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    if nodes.nonEmpty
+    k <- Gen.choose(1, math.min(3, nodes.size))
+    seeds <- Gen.pick(k, nodes)
+  } yield (edges, seeds.toSeq)
+
+  test("bfsDistances equals a plain-Scala BFS on random graphs") {
+    samples(graphGen, 6, seed = 4242L).zipWithIndex.foreach {
+      case ((edges, seeds), i) =>
+        val hops = 3
+        val adjDf = edges.flatMap { case (a, b, _) => Seq((a, b), (b, a)) }
+          .toDF("u", "v")
+        val got = Graph.bfsDistances(adjDf, seeds.toDF("part"), hops)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+        val adj = edges.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+        val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+        var frontier = seeds.toSet
+        (1 to hops).foreach { h =>
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty))
+            .filterNot(dist.contains)
+          frontier.foreach(p => dist(p) = h.toLong)
+        }
+        assert(got == dist.toMap, s"case $i: edges=$edges seeds=$seeds")
+    }
+  }
+
+  test("cheapestPaths equals a plain-Scala bounded Bellman-Ford on random graphs") {
+    samples(graphGen, 6, seed = 77L).zipWithIndex.foreach {
+      case ((edges, seeds), i) =>
+        val rounds = 3
+        val adjDf = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+          .toDF("u", "v", "cost")
+        val got = Graph.cheapestPaths(adjDf, seeds.toDF("node"), rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+        val dirAdj = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val cost = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+        (1 to rounds).foreach { _ =>
+          val snap = cost.toMap
+          dirAdj.foreach { case (u, v, w) =>
+            snap.get(u).foreach { cu =>
+              if (!cost.contains(v) || cu + w < cost(v)) cost(v) = cu + w
+            }
+          }
+        }
+        assert(got == cost.toMap, s"case $i: edges=$edges seeds=$seeds")
+    }
+  }
+}
