@@ -336,21 +336,40 @@ object Graph {
   /** Library form of g4's core: minimum path cost from `seeds` (column
     * `node`) within `rounds` relaxation rounds, over a directed
     * weighted adjacency `adj(u, v, cost)` (carry both directions for an
-    * undirected graph). Bounded-hop Bellman-Ford — see
-    * [[g4CheapestPath]] for the per-round plan shape. Output:
-    * (node, c). Property-tested against a plain-Scala Bellman-Ford on
-    * random graphs (GraphPropertySpec).
+    * undirected graph). Output: (node, c). Property-tested against a
+    * plain-Scala Bellman-Ford on random graphs (GraphPropertySpec).
+    *
+    * DELTA Bellman-Ford (r10, the g3-frontier idea applied to
+    * relaxation): only nodes whose cost IMPROVED last round expand
+    * through the adjacency — a node with an unchanged cost already
+    * propagated that exact value the round after it last improved, so
+    * re-expanding it relaxes nothing new. Identical to full
+    * re-expansion after the same round count (induction: after round
+    * i, cost(v) ≤ the cheapest ≤i-edge path — each prefix of such a
+    * path either improved its node, triggering the next hop's delta,
+    * or an even cheaper known cost already propagated); the DuckDB
+    * oracle unrolls the FULL form and hash-agrees. The edge-grain join
+    * volume per round drops from |reached|·deg to |improved|·deg —
+    * measured sf10 wall 102 s → (see SCALE_G_R10.json) — while the
+    * merge stays node-sized (union + min groupBy).
     */
   def cheapestPaths(adj: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     var cost = seeds.select(col("node"))
       .withColumn("c", lit(0L)).localCheckpoint()
+    var delta = cost
     (1 to rounds).foreach { _ =>
-      val relaxed = adj.join(cost.withColumnRenamed("node", "u"), "u")
+      val candidate = adj.join(delta.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"), (col("c") + col("cost")).as("c"))
-      cost = cost.unionByName(relaxed)
+        .groupBy("node").agg(min("c").as("c"))
+      val improved = candidate
+        .join(cost.withColumnRenamed("c", "oc"), Seq("node"), "left")
+        .filter(col("oc").isNull || col("c") < col("oc"))
+        .select("node", "c").localCheckpoint()
+      cost = cost.unionByName(improved)
         .groupBy("node").agg(min("c").as("c"))
         .localCheckpoint()
+      delta = improved
     }
     cost
   }
