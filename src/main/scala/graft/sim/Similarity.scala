@@ -557,12 +557,22 @@ object Similarity {
     * bucketed by (tbl, bk) at corpus-build time.
     */
   private[graft] val floatBucketIndexCache = new graft.lake.CorpusIndexCache
-  private def floatBucketIndex(s: SparkSession, d: String): DataFrame =
-    graft.lake.IndexTables.serve(s, AnnTablePrefix, s"$d/embeddings.parquet")
-      .getOrElse(floatBucketIndexCache.get(s, s"$d/embeddings.parquet") {
+  private def floatBucketIndex(s: SparkSession, d: String): DataFrame = {
+    // With a persisted table present, the session-cache BUILD becomes
+    // the bucketed table scan (no hyperplane compute, no repartition —
+    // InMemoryTableScan preserves the bucketed scan's partitioning, so
+    // the self-join stays exchange-free): first probe reads the table
+    // once, every later probe reads memory. Serving the raw scan
+    // instead re-decoded the parquet on EVERY query (r10, measured at
+    // the sf10 tier). No table → the from-scratch build as before.
+    val path = s"$d/embeddings.parquet"
+    floatBucketIndexCache.get(s, path) {
+      graft.lake.IndexTables.serve(s, AnnTablePrefix, path).getOrElse {
         bucketTable(s, d).join(normedEmbeddings(s, d), "vec_id")
           .repartition(col("tbl"), col("bk"))
-      })
+      }
+    }
+  }
 
   private val AnnTablePrefix = "annf"
 
@@ -1100,11 +1110,13 @@ object Similarity {
     VectorExpressions.ensureRegistered(s)
     val cut = 4L * embeddingCount(s, d) / 5L
     val e = normedEmbeddings(s, d)
-    val ci = graft.lake.IndexTables
-      .serve(s, AdmTablePrefix, s"$d/embeddings.parquet")
-      .getOrElse(corpusBucketIndexCache.get(s, s"$d/embeddings.parquet") {
-        s12CorpusIndexFrame(s, d).repartition(col("tbl"), col("bk"))
-      })
+    val path = s"$d/embeddings.parquet"
+    // table-served scans go THROUGH the session cache (scan once,
+    // memory after) — the floatBucketIndex policy
+    val ci = corpusBucketIndexCache.get(s, path) {
+      graft.lake.IndexTables.serve(s, AdmTablePrefix, path).getOrElse(
+        s12CorpusIndexFrame(s, d).repartition(col("tbl"), col("bk")))
+    }
     admitEmbeddingIncrement(
       e.filter(col("vec_id") < cut), e.filter(col("vec_id") >= cut),
       familyN = cut, corpusIndex = Some(ci))

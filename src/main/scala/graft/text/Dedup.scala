@@ -771,10 +771,10 @@ object Dedup {
     // [[persistBandIndex]] table present, "once" means once per CORPUS:
     // any later session serves the signature-stamped table instead of
     // rebuilding (r10; the s12/floatBucketIndex lifecycle).
-    val cb = graft.lake.IndexTables
-      .serve(s, BandTablePrefix, s"$d/documents.parquet")
-      .getOrElse(corpusBandIndexCache.get(s, s"$d/documents.parquet")(
-        bandIndex(corp)))
+    val cb = corpusBandIndexCache.get(s, s"$d/documents.parquet")(
+      graft.lake.IndexTables
+        .serve(s, BandTablePrefix, s"$d/documents.parquet")
+        .getOrElse(bandIndex(corp)))
     admitIncrement(corp, inc, corpusBands = Some(cb))
       .select(col("doc_id")).orderBy("doc_id")
   }

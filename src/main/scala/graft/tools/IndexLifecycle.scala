@@ -79,14 +79,19 @@ object IndexLifecycle {
           .write.format("noop").mode("overwrite").save()
       val coldNoTable = time(s2In(spark.newSession()))
       val tableWrite = time(graft.sim.Similarity.persistAnnIndex(spark, d))
-      val coldTable = time(s2In(spark.newSession()))
+      val fresh = spark.newSession()
+      val coldTable = time(s2In(fresh))
+      // warm probe in the SAME table-served session: the served scan
+      // goes through the session cache (r10 wrapping fix), so repeat
+      // probes read memory, not parquet
+      val warmTable = time(s2In(fresh))
       graft.lake.IndexTables.drop(spark, "annf", s"$d/embeddings.parquet")
       val restartBreakeven =
         if (coldNoTable > coldTable)
           math.ceil(tableWrite / (coldNoTable - coldTable)).toInt
         else -1
 
-      f""""$d":{"cold_bucket_build":$coldBucket%.3f,"warm_s10":$warmS10%.3f,"brute_s1":$brute%.3f,"breakeven_probes":$breakeven,"cold_d13":$coldD13%.3f,"warm_d13":$warmD13%.3f,"s2_cold_session_no_table":$coldNoTable%.3f,"ann_table_write":$tableWrite%.3f,"s2_cold_session_table":$coldTable%.3f,"breakeven_restarts":$restartBreakeven}"""
+      f""""$d":{"cold_bucket_build":$coldBucket%.3f,"warm_s10":$warmS10%.3f,"brute_s1":$brute%.3f,"breakeven_probes":$breakeven,"cold_d13":$coldD13%.3f,"warm_d13":$warmD13%.3f,"s2_cold_session_no_table":$coldNoTable%.3f,"ann_table_write":$tableWrite%.3f,"s2_cold_session_table":$coldTable%.3f,"s2_warm_session_table":$warmTable%.3f,"breakeven_restarts":$restartBreakeven}"""
     }
     println(rows.mkString("{\"metric\":\"index_lifecycle\",\"tiers\":{", ",", "}}"))
     spark.stop()

@@ -50,20 +50,20 @@ class BucketedAnnIndexSpec extends AnyFunSuite {
         "freshly persisted index not served")
 
       // a FRESH session (cold CorpusIndexCache — it keys by session)
-      // must serve the table, not rebuild
+      // must serve the table — its cache entry is the cheap bucketed
+      // table SCAN, so the expensive hyperplane index (bucketTable's
+      // cache) is never consulted, and the from-scratch build
+      // (bucketTable ⋈ norms) never runs
       val fresh = spark.newSession()
-      val builds0 = Similarity.floatBucketIndexCache.builds.get()
-      val admBuilds0 = Similarity.corpusBucketIndexCache.builds.get()
+      val hyperBuilds0 = Similarity.bucketIndexCache.builds.get()
       assert(rows(Similarity.s2AnnLsh(fresh, d)) == s2Cache,
         "table-backed s2 diverged from the cache-built form")
       assert(rows(Similarity.s3EmbeddingNeardup(fresh, d)) == s3Cache,
         "table-backed s3 diverged from the cache-built form")
       assert(rows(Similarity.s12IncrementalAdmit(fresh, d)) == s12Cache,
         "table-backed s12 diverged from the cache-built form")
-      assert(Similarity.floatBucketIndexCache.builds.get() == builds0,
-        "fresh session rebuilt the float index despite the table")
-      assert(Similarity.corpusBucketIndexCache.builds.get() == admBuilds0,
-        "fresh session rebuilt the admission index despite the table")
+      assert(Similarity.bucketIndexCache.builds.get() == hyperBuilds0,
+        "fresh session recomputed the hyperplane index despite the table")
 
       // the bucket self-join consumes the table's layout: no Exchange
       // below the join, scan reports Bucketed: true (broadcast disabled
@@ -123,12 +123,11 @@ class BucketedAnnIndexSpec extends AnyFunSuite {
       val baseline = rows(graft.text.Dedup.d13IncrementalAdmit(spark, d))
       assert(baseline.nonEmpty)
       graft.text.Dedup.persistBandIndex(spark, d, buckets = 4)
+      assert(IndexTables.serve(spark, "band", path).isDefined,
+        "freshly persisted band index not served")
       val fresh = spark.newSession()
-      val builds0 = graft.text.Dedup.corpusBandIndexCache.builds.get()
       assert(rows(graft.text.Dedup.d13IncrementalAdmit(fresh, d)) == baseline,
         "table-backed d13 diverged from the cache-built form")
-      assert(graft.text.Dedup.corpusBandIndexCache.builds.get() == builds0,
-        "fresh session rebuilt the band index despite the table")
     } finally IndexTables.drop(spark, "band", path)
   }
 }
