@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's "[success] Total time: ..." epilogue: the bench driver
+// captures a bounded 2000-char stdout TAIL and parses its final line as
+// JSON — with the epilogue on, that final line is sbt's, never ours, and
+// every round's BENCH_r*.json recorded parsed:null (r10 verdict #3).
+// With it off, graft.Bench's compact summary line is the last stdout
+// line. Pass/fail still travels on the exit code (the driver records rc).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

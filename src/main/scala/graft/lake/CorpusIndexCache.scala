@@ -35,6 +35,8 @@ import org.apache.spark.storage.StorageLevel
   */
 final class CorpusIndexCache {
 
+  CorpusIndexCache.register(this)
+
   /** (session, corpus path) -> (content signature, persisted index). */
   private val entries =
     new ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
@@ -81,6 +83,23 @@ final class CorpusIndexCache {
 }
 
 object CorpusIndexCache {
+
+  /** Every live cache instance (the library holds a handful of
+    * statically-constructed ones — ANN buckets, band index, admission
+    * index, quantized index). Registered at construction so a
+    * cross-cutting invalidation — [[IndexTables.drop]] removing the
+    * backing table a cached plan scans — can evict the path everywhere
+    * without the lake layer knowing which subsystem wrapped which
+    * cache (ADVICE r10).
+    */
+  private val instances =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[CorpusIndexCache]()
+
+  private def register(c: CorpusIndexCache): Unit = instances.add(c)
+
+  /** Evict `path` from EVERY registered cache instance. */
+  def invalidateAll(path: String): Unit =
+    instances.forEach(_.invalidate(path))
 
   /** Content signature of a table path: md5 over the sorted recursive
     * listing's (relative name, length, mtime-millis) triples. Parquet

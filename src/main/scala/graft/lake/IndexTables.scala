@@ -18,6 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the table invisible (callers fall back to the session-cache build)
   * rather than silently stale, the same correctness-over-perf posture
   * as the cache's signature keying.
+  *
+  * Lifecycle hygiene (ADVICE r10):
+  *   - [[persist]] builds into a STAGING table, stamps it, and only
+  *     then swaps it in (drop + metastore rename). The target table is
+  *     therefore never visible unstamped — a crash mid-persist leaves
+  *     either the old table intact or a staging orphan that the next
+  *     persist overwrites; it can never leave a permanently
+  *     unserveable target.
+  *   - [[serve]] DROPS a table whose stamp mismatches the live corpus:
+  *     a mismatch means the corpus was rewritten after the stamp, so
+  *     the table is garbage by construction and keeping it on disk
+  *     only leaks storage. Safe against racing persists because a
+  *     visible target is always stamped with the signature its builder
+  *     read — only a genuinely superseded table can mismatch.
+  *   - [[drop]] also evicts every [[CorpusIndexCache]] entry for the
+  *     corpus path, so a session-cache wrapper that cached the served
+  *     table scan rebuilds from scratch instead of recomputing against
+  *     a dropped table.
   */
 object IndexTables {
 
@@ -25,11 +43,14 @@ object IndexTables {
 
   /** Deterministic catalog table name for the (prefix, corpus path)
     * pair — path-hashed so distinct corpora never collide in the
-    * metastore.
+    * metastore. Full 32-hex MD5 of the path (ADVICE r10: a truncated
+    * hash let two corpus paths share a table name, silently clobbering
+    * each other's persisted index on every re-persist; metastore
+    * identifiers accommodate the full digest easily).
     */
   def tableName(prefix: String, path: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(6)
+      .digest(path.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"graft_${prefix}_$h"
   }
@@ -38,11 +59,15 @@ object IndexTables {
     * in-bucket sorted) on `bucketCols`, stamped with the corpus
     * signature taken BEFORE the write (the index derives from the
     * corpus as-read; a concurrent corpus rewrite makes the stamp
-    * mismatch, which is the safe direction). Returns the table name.
+    * mismatch, which is the safe direction). The write lands in a
+    * staging table that is stamped FIRST and swapped in second, so the
+    * serving name is never visible without its stamp. Returns the
+    * table name.
     */
   def persist(s: SparkSession, df: DataFrame, prefix: String, path: String,
       bucketCols: Seq[String], buckets: Int = 32): String = {
     val table = tableName(prefix, path)
+    val staging = table + "_staging"
     val sig = CorpusIndexCache.signature(path)
     // repartition on the bucket keys first: bucketBy does NOT shuffle,
     // so an unaligned input writes (write tasks × buckets) fragment
@@ -54,15 +79,22 @@ object IndexTables {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SigProp' = '$sig')")
+      .saveAsTable(staging)
+    s.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$SigProp' = '$sig')")
+    // Swap: the only window where neither table serves is between these
+    // two metastore ops; a crash there falls back to the from-scratch
+    // build and the orphaned staging table is overwritten next persist.
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"ALTER TABLE $staging RENAME TO $table")
     table
   }
 
   /** The persisted index table for (prefix, path), if present AND its
     * signature stamp matches the corpus content right now. The check
     * costs one metastore lookup plus the same O(files) listing the
-    * session cache's signature key already pays per access.
+    * session cache's signature key already pays per access. A stamp
+    * MISMATCH (corpus rewritten since the persist) drops the stale
+    * table — it can never serve again, and leaving it leaks its disk.
     */
   def serve(s: SparkSession, prefix: String, path: String): Option[DataFrame] = {
     val table = tableName(prefix, path)
@@ -73,11 +105,20 @@ object IndexTables {
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         .properties.get(SigProp)
       if (stamp.contains(CorpusIndexCache.signature(path))) Some(s.table(table))
-      else None
+      else {
+        drop(s, prefix, path)
+        None
+      }
     }
   }
 
-  /** Drop the persisted table for (prefix, path), if any. */
-  def drop(s: SparkSession, prefix: String, path: String): Unit =
+  /** Drop the persisted table for (prefix, path), if any, and evict
+    * every session-cache entry for the path so wrappers that cached a
+    * scan of the dropped table rebuild instead of failing on a missing
+    * table (ADVICE r10, `Similarity.floatBucketIndex`).
+    */
+  def drop(s: SparkSession, prefix: String, path: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${tableName(prefix, path)}")
+    CorpusIndexCache.invalidateAll(path)
+  }
 }

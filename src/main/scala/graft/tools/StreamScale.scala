@@ -46,34 +46,70 @@ object StreamScale {
       val schema = spark.read.parquet(path).schema
       val ev = graft.lake.Tables.normalizeEventsTs(
         spark.readStream.schema(schema).parquet(path))
+      import org.apache.spark.sql.functions.col
       name match {
         case "st1_tumbling_agg" =>
           graft.streaming.Streams.tumblingAgg(ev, "ts", "value", "1 hour")
         case "st3_session_agg" =>
           graft.streaming.Streams.sessionAgg(ev, "ts", "user_id", "1 hour")
+        case "st4_hop_agg" =>
+          // state law sits between st1 (scale-constant window count) and
+          // st3 (linear per-key session state): windows-per-event ×
+          // st1's state — size/slide = 2 open windows per event here
+          graft.streaming.Streams.hopAgg(ev, "ts", "value",
+            size = "2 hours", slide = "1 hour")
+        case "sj1_interval_join" =>
+          // stream-stream attribution shape: purchases within 1 h after
+          // a click by the same user; state bounded by the interval +
+          // lateness on BOTH sides (the remaining unmeasured state law)
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          val buys = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+              col("value").as("amount"))
+          graft.streaming.Streams.intervalJoin(clicks, buys,
+            "c_user", "b_user", "c_ts", "b_ts",
+            beforeSec = 0, afterSec = 3600, lateness = "2 minutes")
       }
     }
 
     def runOnce(name: String, dir: String): (Double, Long) = {
       ScaleBench.quiesce(spark)
-      val ckpt = java.nio.file.Files.createTempDirectory("ss_ckpt").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ss_ckpt")
       val bytes0 = tally.snapshot
       val t0 = System.nanoTime()
       val q = stream(name, dir).writeStream
         .format("noop").outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       ScaleBench.quiesce(spark)
+      // drop the checkpoint's state/offset tree NOW (ADVICE r10: passes
+      // × queries × tiers of leaked large-tier state files can fill
+      // /tmp — the same disk-exhaustion mode the ScaleBench quiesce fix
+      // closed)
+      try {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
       (sec, tally.snapshot - bytes0)
     }
 
     // JIT warmup on the base tier (discarded): the streaming file
     // source needs a DIRECTORY, which the driver-generated single-file
     // sf0.01 tier is not — ScaleUp tiers are directory-style
-    val names = Seq("st1_tumbling_agg", "st3_session_agg")
+    val all = Seq("st1_tumbling_agg", "st3_session_agg",
+      "st4_hop_agg", "sj1_interval_join")
+    // comma-separated subset filter, so an added query can be measured
+    // without re-paying the already-recorded tiers
+    val names = sys.env.get("SPARK_GRAFT_STREAM_QUERIES") match {
+      case Some(qs) => all.filter(qs.split(",").map(_.trim).toSet)
+      case None => all
+    }
     names.foreach(n => runOnce(n, base))
 
     val results = names.map { n =>

@@ -17,6 +17,77 @@ import graft.queries.Graph
 class BucketedGraphSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("persistAdjacency: g1/g3/g4/g5 serve the bucketed tables bit-identically; iteration runs off the bucketed scan; staleness drops") {
+    // private tier copy (lineitem + orders) so the persisted tables
+    // can't leak into other suites' plans for the shared testdata path
+    val dir = java.nio.file.Files.createTempDirectory("graph_adj_corpus")
+    Seq("lineitem.parquet", "orders.parquet").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, t), dir.resolve(t))
+    }
+    val d = dir.toString
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    try {
+      val names = Seq("g1_pagerank", "g3_bfs_distance",
+        "g4_cheapest_path", "g5_components")
+      val base = names.map(n => n -> rows(Graph.queries(n)(spark, d))).toMap
+      assert(base.values.forall(_.nonEmpty))
+
+      val tables = Graph.persistAdjacency(spark, d, buckets = 4)
+      assert(tables.forall(spark.catalog.tableExists),
+        s"persistAdjacency tables missing: $tables")
+
+      // a FRESH session serves the tables and lands on the same fixed
+      // points, bit for bit (integer arithmetic — plan-independent)
+      val fresh = spark.newSession()
+      names.foreach { n =>
+        assert(rows(Graph.queries(n)(fresh, d)) == base(n),
+          s"$n diverged off the served table")
+      }
+
+      // one g1 round off the SERVED table: the bucketed scan feeds the
+      // join — 2 exchanges (rank align + dst agg), never the edge side
+      val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ew = spark.table(tables.head)
+        val rank0 = ew.select("src").distinct()
+          .select(col("src").as("node"), lit(1000000L).as("rank"))
+          .localCheckpoint()
+        val step = Graph.iterationStep(ew, rank0)
+        val n = countShuffles(step)
+        val plan = step.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"served edge scan did not use the bucket layout:\n$plan")
+        assert(n == 2,
+          s"served iteration planned $n exchanges (want 2):\n$plan")
+      } finally {
+        def restore(k: String, v: Option[String]): Unit = v match {
+          case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k)
+        }
+        restore("spark.sql.autoBroadcastJoinThreshold", prevT)
+        restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      }
+
+      // staleness: a corpus rewrite (mtime moves the signature) makes
+      // the next query fall back AND drops the garbage tables
+      java.nio.file.Files.setLastModifiedTime(
+        dir.resolve("lineitem.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 5000))
+      assert(rows(Graph.g3BfsDistance(spark, d)) == base("g3_bfs_distance"),
+        "post-staleness fallback diverged")
+      assert(rows(Graph.g1Pagerank(spark, d)) == base("g1_pagerank"),
+        "post-staleness g1 fallback diverged")
+      // ...and each serve attempt dropped its garbage table
+      assert(!tables.exists(spark.catalog.tableExists),
+        "stale adjacency tables left in the catalog")
+    } finally Graph.dropAdjacency(spark, d)
+  }
+
   test("bucketed adjacency: expansion join has no Exchange on the edge side; BFS and relaxation results identical") {
     val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
