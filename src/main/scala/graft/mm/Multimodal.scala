@@ -256,14 +256,194 @@ object Multimodal {
       .toDF().orderBy("media_id", "bin")
   }
 
+  // ---- mm5: perceptual-hash image near-dup (r10 verdict #7) ----------
+
+  /** dHash cell count: an 8×8 gray grid for real images (the classic
+    * difference-hash preprocessing), 64 linear byte-pool bins for
+    * opaque payloads — either way 64 cells → a 63-bit gradient
+    * signature.
+    */
+  private val HashCells = 64
+  private[graft] val HashBands = 4
+  private[graft] val BandBits = 16
+  private[graft] val MaxHamming = 3L
+
+  /** The 64-cell gray signal of one payload: images decode and
+    * bilinear-resize to 8×8 (one mean-gray per cell, row-major);
+    * opaque payloads average-pool their bytes into 64 linear bins
+    * ([[poolBytesStub]]'s arithmetic at grid grain). Cells with no
+    * bytes (payloads shorter than 64) read 0.
+    */
+  private[graft] def grayCells(m: Media): Array[Long] = {
+    val cells = new Array[Long](HashCells)
+    decodeImage(m.payload) match {
+      case Some(img) =>
+        val side = 8
+        val out = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, side, side, null); ()
+        } finally g.dispose()
+        var i = 0
+        while (i < HashCells) {
+          val rgb = out.getRGB(i % side, i / side)
+          cells(i) =
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+          i += 1
+        }
+      case None =>
+        val len = m.payload.length
+        val cnts = new Array[Long](HashCells)
+        var p = 0
+        while (p < len) {
+          val b = ((p.toLong * HashCells) / len).toInt
+          cells(b) += m.payload(p) & 0xff
+          cnts(b) += 1
+          p += 1
+        }
+        var i = 0
+        while (i < HashCells) {
+          if (cnts(i) > 0) cells(i) /= cnts(i)
+          i += 1
+        }
+    }
+    cells
+  }
+
+  /** Difference hash (dHash) of one payload: bit i set iff
+    * cell(i) > cell(i+1), i = 0..62 — the gradient SIGN pattern, which
+    * survives brightness/contrast shifts and lossy re-encodes while
+    * any content change flips bits. 63 bits in a non-negative long.
+    */
+  private[graft] def dHash(cells: Array[Long]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < HashCells - 1) {
+      if (cells(i) > cells(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Per-media dHash relation (media_id, phash) — the mapPartitions
+    * decode boundary shared with mm3/mm4 (decode once per media item).
+    * Empty payloads are dropped (no signal to hash).
+    */
+  def perceptualHashes(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.payload.nonEmpty)
+      .mapPartitions(_.map(m => (m.media_id, dHash(grayCells(m)))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Banded candidate pairs with Hamming distance — the d2/d3 band-join
+    * pattern applied to the mm family's decoded-pixel signal. The
+    * 63-bit dHash splits into 4 bands of 16 bits; candidates share at
+    * least one band VERBATIM (an equi-join on (band, bits) — never
+    * all-pairs, the same 100 TB shape as MinHash banding), then the
+    * full signatures score at bit_count(xor) grain. Exact dups
+    * (distance 0) are always candidates; near-dups surface with the
+    * usual LSH probability.
+    */
+  private[graft] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+    val h = hashes.localCheckpoint() // two consumers: bands + verify
+    val bands = h.select(col("media_id"), col("phash"),
+      explode(sequence(lit(0), lit(HashBands - 1))).as("band"))
+      .select(col("media_id"), col("phash"), col("band"),
+        expr(s"(phash >> (band * $BandBits)) & ${(1 << BandBits) - 1}")
+          .as("bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** Image near-dup PAIRS at a Hamming threshold — the production image
+    * dedup API (feed the survivors to an anti-join like d2's consumers).
+    * Thresholds only make sense on the decoded-pixel leg: a dHash within
+    * [[MaxHamming]] of another means the 8×8 gradient signs almost all
+    * agree — brightness shifts and re-encodes land at 0–3, any real
+    * content change far above. Pinned over planted PNG fixtures in
+    * MultimodalSpec (the parquet corpus has no image payloads).
+    */
+  def imageNearDupPairs(media: Dataset[Media],
+      maxHamming: Long = MaxHamming): DataFrame =
+    bandedHammingPairs(perceptualHashes(media))
+      .filter(col("hamming") <= maxHamming)
+
+  /** mm5: perceptual-hash near-dup RANKING over the corpus (r10 verdict
+    * #7: image dedup as a first-class multimodal stage) — the 100
+    * closest banded candidate pairs by Hamming distance, total-ordered.
+    * Ranked rather than thresholded for the ORACLE surface: this
+    * corpus's payloads are text stand-ins, and positional byte-pooling
+    * is not shift-invariant (an insertion moves every later bin), so
+    * genuine ≤3-bit pairs exist only for real images — the thresholded
+    * API ([[imageNearDupPairs]]) is spec-pinned on PNG fixtures instead,
+    * while this query exercises the full hash → band-join → verify
+    * machinery against DuckDB with a non-degenerate output at every
+    * tier. The oracle mirrors the band join exactly (d2's posture), so
+    * both engines compute the identical pair set.
+    */
+  def mm5ImageNeardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bandedHammingPairs(perceptualHashes(
+        mediaTable(s, d).select(col("media_id"), col("payload")).as[Media]))
+      .orderBy(asc("hamming"), asc("media_a"), asc("media_b"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta"    -> (mm1MediaMeta _),
     "mm2_fake_features" -> (mm2FakeFeatures _),
     "mm3_frame_sample"  -> (mm3Query _),
     "mm4_thumbnail"     -> (mm4Query _),
+    "mm5_image_neardup" -> (mm5ImageNeardup _),
   )
 
   def oracles: Map[String, String] = Map(
+    "mm5_image_neardup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+         |  FROM documents WHERE octet_length(encode(text)) > 0
+         |), pos AS (
+         |  SELECT media_id, len, unnest(range(len)) AS p, text FROM m
+         |), binsum AS (
+         |  SELECT media_id, CAST((p * $HashCells) // len AS INTEGER) AS idx,
+         |    CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1))) // count(*)
+         |      AS BIGINT) AS gray
+         |  FROM pos GROUP BY 1, 2
+         |), idxs AS (
+         |  SELECT media_id, CAST(t.i AS INTEGER) AS idx
+         |  FROM m, range($HashCells) t(i)
+         |), grid AS (
+         |  SELECT idxs.media_id, idxs.idx, COALESCE(b.gray, 0) AS gray
+         |  FROM idxs LEFT JOIN binsum b
+         |    ON b.media_id = idxs.media_id AND b.idx = idxs.idx
+         |), hash AS (
+         |  SELECT a.media_id,
+         |    CAST(COALESCE(sum(CASE WHEN a.gray > b.gray
+         |      THEN (1::BIGINT << a.idx) ELSE 0 END), 0) AS BIGINT) AS phash
+         |  FROM grid a JOIN grid b
+         |    ON a.media_id = b.media_id AND b.idx = a.idx + 1
+         |  GROUP BY 1
+         |), bands AS (
+         |  SELECT media_id, phash, CAST(t.b AS INTEGER) AS band,
+         |    (phash >> (CAST(t.b AS INTEGER) * $BandBits))
+         |      & ${(1 << BandBits) - 1} AS bits
+         |  FROM hash, range($HashBands) t(b)
+         |)
+         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bits = y.bits AND x.media_id < y.media_id
+         |ORDER BY hamming, media_a, media_b LIMIT 100""".stripMargin,
     "mm4_thumbnail" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,

@@ -170,4 +170,57 @@ class MultimodalSpec extends AnyFunSuite {
     // empty payloads emit nothing instead of dividing by zero
     assert(!out.contains(4L))
   }
+
+  test("mm5: dHash recovers planted near-identical images; unrelated images stay out") {
+    import spark.implicits._
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradient(shift: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        // 2x+y <= 189, +shift stays < 255: NO saturation, so a uniform
+        // brightness shift preserves every gradient sign exactly
+        val v0 = 2 * x + y
+        val v = (if (invert) 189 - v0 else v0) + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      encode(img)
+    }
+    val base = gradient(0, invert = false)
+    val brighter = gradient(8, invert = false)  // near-dup: +8 brightness
+    val inverted = gradient(0, invert = true)   // different content
+    // lossless re-encode of the SAME raster (fresh encoder pass)
+    val reenc = encode(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(base)))
+    val media = Seq(
+      Multimodal.Media(1L, base),
+      Multimodal.Media(2L, brighter),
+      Multimodal.Media(3L, inverted),
+      Multimodal.Media(4L, reenc),
+      Multimodal.Media(5L, "an opaque text payload, stub leg".getBytes("UTF-8")))
+
+    val pairs = Multimodal.imageNearDupPairs(media.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brightness shift: gradient signs identical -> Hamming 0, recovered
+    assert(pairs.get((1L, 2L)).contains(0L),
+      s"near-identical pair not recovered at distance 0: $pairs")
+    // re-encode: pixel-identical -> Hamming 0
+    assert(pairs.get((1L, 4L)).contains(0L), s"re-encode pair missing: $pairs")
+    assert(pairs.get((2L, 4L)).contains(0L))
+    // the inverted image shares no near-dup pair with anything
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image leaked into the near-dup set: $pairs")
+
+    // and the threshold genuinely bites: inverted's hash is FAR from
+    // base's (every interior gradient sign flips)
+    val h = Multimodal.perceptualHashes(media.take(3).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > Multimodal.MaxHamming,
+      "inverted image unexpectedly close in Hamming space")
+    assert(h(1L) == h(2L), "brightness shift must not move the dHash")
+  }
 }
