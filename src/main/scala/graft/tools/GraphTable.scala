@@ -55,36 +55,58 @@ object GraphTable {
     }
 
     import graft.queries.Graph
-    val rows = dirs.map { d =>
+    import org.apache.spark.storage.StorageLevel
+    val outFile =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_GTABLE.json")
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = {
+      val line =
+        s"""{"metric":"graph_table_serving","broadcast":"disabled","passes":3,"tiers":{${done.mkString(",\n")}}}"""
+      println(line)
+      // written after EVERY tier: a late-tier crash keeps earlier rows
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+    dirs.foreach { d =>
       Graph.dropAdjacency(spark, d)
       // ---- plain (no table): full queries + one round each ----
       val (g1Plain, g1PlainB) = min3(noop(Graph.g1Pagerank(spark, d)))
       val (g3Plain, g3PlainB) = min3(noop(Graph.g3BfsDistance(spark, d)))
       val (g4Plain, g4PlainB) = min3(noop(Graph.g4CheapestPath(spark, d)))
 
-      val plainEw = Graph.edgesWithOut(spark, d).localCheckpoint()
-      val plainAdj = Graph.coOrderWeighted(spark, d).localCheckpoint()
+      // explicit spill-safe persists with owned unpersists: at the sf10
+      // tier the edge relations are hundreds of millions of rows, and
+      // holding two of them checkpointed across the persist phase
+      // OOM-killed the first run of this tool even at 48 g
       def rank0(ew: DataFrame) = ew.select("src").distinct()
         .select(col("src").as("node"), lit(1000000L).as("rank"))
         .localCheckpoint()
       def frontier(adj: DataFrame) = adj.select(col("u").as("part"))
         .distinct().orderBy("part").limit(5).localCheckpoint()
-      val pr0 = rank0(plainEw)
-      val pf0 = frontier(plainAdj)
-      def g1Round(ew: DataFrame): Unit =
+      def g1Round(ew: DataFrame, pr0: DataFrame): Unit =
         noop(Graph.iterationStep(ew, pr0))
-      def g3Round(adj: DataFrame): Unit =
+      def g3Round(adj: DataFrame, pf0: DataFrame): Unit =
         noop(adj.select("u", "v")
           .join(pf0.select(col("part").as("u")), "u")
           .select(col("v").as("part")).distinct())
-      def g4Round(adj: DataFrame): Unit =
+      def g4Round(adj: DataFrame, pf0: DataFrame): Unit =
         noop(adj.select(col("u"), col("v"), expr("1000000L div w").as("cost"))
           .join(pf0.select(col("part").as("u"), lit(0L).as("c")), "u")
           .select(col("v").as("node"), (col("c") + col("cost")).as("c"))
           .groupBy("node").agg(min("c").as("c")))
-      val (r1Plain, r1PlainB) = min3(g1Round(plainEw))
-      val (r3Plain, r3PlainB) = min3(g3Round(plainAdj))
-      val (r4Plain, r4PlainB) = min3(g4Round(plainAdj))
+
+      val plainEw = Graph.edgesWithOut(spark, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pr0 = rank0(plainEw)
+      val (r1Plain, r1PlainB) = min3(g1Round(plainEw, pr0))
+      plainEw.unpersist(blocking = true)
+      val plainAdj = Graph.coOrderWeighted(spark, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pf0 = frontier(plainAdj)
+      val (r3Plain, r3PlainB) = min3(g3Round(plainAdj, pf0))
+      val (r4Plain, r4PlainB) = min3(g4Round(plainAdj, pf0))
+      plainAdj.unpersist(blocking = true)
 
       // ---- persist once, then table-served ----
       val (persistSec, _) = measure { Graph.persistAdjacency(spark, d) }
@@ -94,29 +116,22 @@ object GraphTable {
       val tabs = Seq(
         graft.lake.IndexTables.tableName("g1edges", d),
         graft.lake.IndexTables.tableName("coadj", d)).map(spark.table)
-      val (r1Tab, r1TabB) = min3(g1Round(tabs.head))
-      val (r3Tab, r3TabB) = min3(g3Round(tabs(1)))
-      val (r4Tab, r4TabB) = min3(g4Round(tabs(1)))
+      val (r1Tab, r1TabB) = min3(g1Round(tabs.head, pr0))
+      val (r3Tab, r3TabB) = min3(g3Round(tabs(1), pf0))
+      val (r4Tab, r4TabB) = min3(g4Round(tabs(1), pf0))
       Graph.dropAdjacency(spark, d)
 
       def row(p: (Double, Long), t: (Double, Long)) =
         f""""plain_sec":${p._1}%.3f,"plain_shuffle_mb":${p._2 / 1e6}%.1f,"table_sec":${t._1}%.3f,"table_shuffle_mb":${t._2 / 1e6}%.1f,"byte_drop":${1.0 - t._2.toDouble / math.max(1L, p._2)}%.3f"""
-      s""""$d":{"persist_sec":${f"$persistSec%.1f"},
+      done += s""""$d":{"persist_sec":${f"$persistSec%.1f"},
          |  "g1_iteration":{${row((r1Plain, r1PlainB), (r1Tab, r1TabB))}},
          |  "g3_expansion":{${row((r3Plain, r3PlainB), (r3Tab, r3TabB))}},
          |  "g4_relaxation":{${row((r4Plain, r4PlainB), (r4Tab, r4TabB))}},
          |  "g1_full":{${row((g1Plain, g1PlainB), (g1Tab, g1TabB))}},
          |  "g3_full":{${row((g3Plain, g3PlainB), (g3Tab, g3TabB))}},
          |  "g4_full":{${row((g4Plain, g4PlainB), (g4Tab, g4TabB))}}}""".stripMargin
+      flush()
     }
-    val line =
-      s"""{"metric":"graph_table_serving","broadcast":"disabled","passes":3,"tiers":{${rows.mkString(",\n")}}}"""
-    println(line)
-    val outFile =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_GTABLE.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
     spark.stop()
   }
 }
