@@ -72,14 +72,59 @@ object StreamQueries {
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start")
 
+  /** Batch twin of the stream-stream interval join
+    * ([[Streams.intervalJoin]], `stream = false` — the IDENTICAL join
+    * expression the streaming form runs, minus the watermark nodes):
+    * purchases within one hour AFTER a click by the same user, the
+    * attribution shape whose bounded-state streaming form StreamScale
+    * measures as sj1. Promotes the family's last sbt-only member to a
+    * hash-gated oracle query. Interval bounds are INCLUSIVE on both
+    * ends (`>= c_ts`, `<= c_ts + 1 h`) — pinned here and in the oracle.
+    * Amounts are floor'd to integer centavos (portable across engines
+    * where raw-double formatting is not); event ids carried on both
+    * sides make the sort total.
+    *
+    * Scale shape: an equi-join on `user_id` with the time predicate as
+    * a join residual — one key-partitioned shuffle, never a time-cross.
+    */
+  def sj1IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("buy_id"), col("value").as("amount"))
+    Streams.intervalJoin(clicks, buys, "c_user", "b_user", "c_ts", "b_ts",
+        beforeSec = 0, afterSec = 3600, stream = false)
+      .select(col("c_user").as("user_id"), col("click_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("buy_id"),
+        date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_ts"),
+        floor(col("amount") * 100).cast("long").as("amount_cents"))
+      .orderBy("user_id", "click_id", "buy_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_agg" -> (st1TumblingAgg _),
     "st2_tick_json"    -> (st2TickJson _),
     "st3_session_agg"  -> (st3SessionAgg _),
     "st4_hop_agg"      -> (st4HopAgg _),
+    "sj1_interval_join" -> (sj1IntervalJoin _),
   )
 
   def oracles: Map[String, String] = Map(
+    "sj1_interval_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  b.event_id AS buy_id,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_ts,
+        |  CAST(floor(b.value * 100) AS BIGINT) AS amount_cents
+        |FROM events c JOIN events b
+        |  ON c.user_id = b.user_id
+        | AND c.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, click_id, buy_id""".stripMargin,
     "st4_hop_agg" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |  CAST(count(*) AS BIGINT) AS n_ticks,

@@ -57,7 +57,7 @@ object GraphTable {
     import graft.queries.Graph
     import org.apache.spark.storage.StorageLevel
     val outFile =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_GTABLE.json")
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_GTABLE.json")
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
     def flush(): Unit = {
       val line =

@@ -512,6 +512,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sj1 attribution window is inclusive at both ends") {
+    // the oracle twin's contract: a purchase at EXACTLY the click time
+    // and one at EXACTLY click + 1 h both attribute; 1 h + 1 s does not
+    val clicks = Seq((1L, Timestamp.valueOf("2024-02-01 10:00:00")))
+      .toDF("c_user", "c_ts")
+    val buys = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-02-01 11:00:00"), 2.0),
+      (1L, Timestamp.valueOf("2024-02-01 11:00:01"), 3.0))
+      .toDF("b_user", "b_ts", "amount")
+    val got = Streams.intervalJoin(clicks, buys, "c_user", "b_user",
+        "c_ts", "b_ts", beforeSec = 0, afterSec = 3600, stream = false)
+      .collect().map(_.getDouble(4)).toSet
+    assert(got == Set(1.0, 2.0), s"boundary semantics drifted: $got")
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     implicit val sqlCtx = spark.sqlContext
     // clicks and purchases: attribute a purchase to clicks by the same
