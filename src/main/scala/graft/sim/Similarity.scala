@@ -1145,12 +1145,82 @@ object Similarity {
       .select("q_id", "n_id", "cos")
       .orderBy("q_id", "n_id")
 
+  /** Bucket rows WITH the metadata column the filtered probe constrains
+    * on — (vec_id, label, tbl, bk), one corpus scan, cached per
+    * (session, corpus) under its own signature key next to
+    * [[bucketTable]]. This is the textbook filtered-vector-search
+    * index layout: the filterable attribute is stored IN the index
+    * entry, so a probe's predicate prunes candidates at the
+    * candidate-generation join, not after fetch-and-score. In the
+    * persisted-table form ([[graft.lake.IndexTables]]) the column
+    * would simply ride the bucketed table's schema.
+    */
+  private[graft] val labeledBucketIndexCache =
+    new graft.lake.CorpusIndexCache
+  private[graft] def labeledBucketTable(s: SparkSession, d: String): DataFrame =
+    labeledBucketIndexCache.get(s, s"$d/embeddings.parquet") {
+      embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(bucketsSql(bitsFor(embeddingCount(s, d)),
+              extraTablesFor(embeddingCount(s, d)))))
+            .as(Seq("tbl", "bk")))
+    }
+
+  /** s15: metadata-FILTERED ANN — top-5 neighbors constrained to the
+    * query's own class (`label`), the pre-filtered-search shape every
+    * production vector store exposes (per-language near-dup, per-tenant
+    * retrieval, within-class hard negatives). The filter is applied as
+    * part of the index-probe JOIN KEY PATH — the query's bucket rows
+    * broadcast into the labeled corpus index and a candidate must match
+    * (tbl, bk) AND the label predicate to exist at all — so mismatched
+    * candidates are never fetched, never scored, and never shuffled
+    * (PRE-filtering). The post-filter alternative (run unfiltered
+    * top-k, then discard) is both wasteful and WRONG: it returns
+    * fewer than k survivors whenever the unfiltered top-k is
+    * label-diverse, which is exactly the failure mode filtered search
+    * exists to avoid.
+    *
+    * Scale shape: identical to [[s14RadiusSearch]]'s probe — corpus
+    * streams once through the bucket join, candidate volume is
+    * bucket-size × tables further cut by the class's selectivity;
+    * exact cosine only for surviving pairs. The DuckDB oracle
+    * re-derives the same bucket family + predicate, so the filtered
+    * index semantics ARE the contract.
+    */
+  def s15FilteredTopk(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val bt = labeledBucketTable(s, d)
+    val cand = bt.as("c").join(
+        broadcast(bt.filter(col("vec_id") < 10)).as("q"),
+        col("q.tbl") === col("c.tbl") && col("q.bk") === col("c.bk") &&
+          col("q.label") === col("c.label") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("q.label").as("label"),
+        col("c.vec_id").as("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val e = normedEmbeddings(s, d)
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos_exact"), asc("n_id"))
+    cand
+      .join(e.as("eq"), col("q_id") === col("eq.vec_id"))
+      .join(e.as("en"), col("n_id") === col("en.vec_id"))
+      .withColumn("cos_exact",
+        expr(dotSql("eq.embedding", "en.embedding")) /
+          (col("eq.nrm") * col("en.nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("label"), col("n_id"),
+        round(col("cos_exact"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"      -> (s1CosineTopk _),
     "s10_hard_negatives"  -> (s10HardNegatives _),
     "s11_recall_report"   -> (s11RecallReport _),
     "s12_incremental_admit" -> (s12IncrementalAdmit _),
     "s14_radius_search"   -> (s14RadiusSearch _),
+    "s15_filtered_topk"   -> (s15FilteredTopk _),
     "s2_ann_lsh"          -> (s2AnnLsh _),
     "s3_embedding_neardup" -> (s3EmbeddingNeardup _),
     "s4_ivf_topk"         -> (s4IvfTopk _),
@@ -1209,7 +1279,7 @@ object Similarity {
        |                    // (1 << (length(bin(k)) - 1))) END AS extra
        |  FROM (SELECT count(*) // 2000 AS k FROM embeddings)
        |), b AS (
-       |  SELECT vec_id, embedding, tbl, $bucketDuck AS bk
+       |  SELECT vec_id, embedding, label, tbl, $bucketDuck AS bk
        |  FROM embeddings, range(8) tt(tbl), params
        |)""".stripMargin
 
@@ -1366,6 +1436,26 @@ object Similarity {
          |            JOIN embeddings e2 ON n_id = e2.vec_id)
          |SELECT q_id, n_id, cos FROM scored
          |WHERE cos >= 0.15 ORDER BY q_id, n_id""".stripMargin,
+    "s15_filtered_topk" ->
+      s"""WITH $bucketTableDuck, cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, q.label AS label,
+         |    c.vec_id AS n_id
+         |  FROM b q JOIN b c
+         |    ON q.tbl = c.tbl AND q.bk = c.bk AND q.label = c.label
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10
+         |), scored AS (
+         |  SELECT q_id, cand.label AS label, n_id,
+         |    ${cosDuck("e1.embedding", "e2.embedding")} AS cos_exact
+         |  FROM cand JOIN embeddings e1 ON q_id = e1.vec_id
+         |            JOIN embeddings e2 ON n_id = e2.vec_id
+         |), ranked AS (
+         |  SELECT q_id, label, n_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_exact DESC, n_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT q_id, label, n_id, round(cos_exact, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $bucketTableDuck, cand AS (
          |  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id

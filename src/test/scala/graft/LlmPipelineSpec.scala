@@ -686,4 +686,57 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(recall >= 0.30,
       f"radius recall $recall%.3f under the pinned floor (|brute| = ${brute.size})")
   }
+
+  test("s15 filtered topk: every hit shares the query's label, ranks dense, cosines exact, and the pre-filter is not a post-filter") {
+    val rows = Similarity.s15FilteredTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.lake.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // filter semantics: the label column is the QUERY's label and every
+    // neighbor matches it
+    rows.foreach { r =>
+      val (q, lab, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(lab == labels(q), s"q=$q carries label $lab != ${labels(q)}")
+      assert(labels(n) == lab, s"q=$q got n=$n with label ${labels(n)} != $lab")
+      assert(n != q)
+    }
+    // ranks are dense 1..k(q) per query
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(4)).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"q=$q ranks $ranks not dense")
+    }
+    // cosines are the exact values (same fold as the brute reference)
+    val vecs = graft.lake.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val exact = cos(vecs(r.getLong(0)), vecs(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - exact) <= 5e-5,
+        s"q=${r.getLong(0)} n=${r.getLong(2)} cos ${r.getDouble(3)} vs $exact")
+    }
+    // pre-filter vs post-filter: discarding off-label rows from the
+    // UNFILTERED top-5 must lose results somewhere on this corpus —
+    // i.e. some query's filtered top-5 reaches a neighbor the
+    // unfiltered top-5 never surfaced (the reason filtered search is
+    // an index feature, not a WHERE clause on the result)
+    val unfiltered = Similarity.lshTopK(spark, sf, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+    val gained = rows.exists { r =>
+      !unfiltered.getOrElse(r.getLong(0), Set.empty).contains(r.getLong(2))
+    }
+    assert(gained,
+      "every filtered hit is inside the unfiltered top-5 — post-filtering would have sufficed on this corpus and the spec lost its bite")
+  }
 }
