@@ -465,14 +465,117 @@ object Graph {
       .orderBy("comp_size")
   }
 
+  /** g6: k-CORE extraction — the maximal subgraph where every part has
+    * ≥ [[CoreK]] co-order neighbors inside it (Seidman's cohesion
+    * measure; the standard "dense backbone" cut on co-occurrence
+    * graphs, and the densification step before community detection or
+    * embedding training). Distinct from degree filtering: a node with
+    * 50 neighbors all of degree 1 is NOT cohesive, and the iterated
+    * peel is what removes it. Runs on the w ≥ [[MinCoOrdersCore]]
+    * co-order graph — the strong (w ≥ 3) graph is a near-forest at
+    * every measured tier (its 3-core is empty) while the unthresholded
+    * graph is so dense the peel never fires; w ≥ 2 is where the core
+    * structure is non-degenerate (sf0.01: 935 of 1 880 nodes survive,
+    * 10 peel rounds).
+    *
+    * Algorithm: textbook peel to FIXPOINT — drop every node whose
+    * degree among survivors is < k, recompute, repeat until no node
+    * drops. Each round is two node-set semi-joins against the edge set
+    * (u alive, v alive) + one count aggregation; the survivor set is
+    * node-sized and checkpointed per round (the g1 lineage
+    * materializer), the edge set is scanned from [[coAdj]] — the
+    * served bucketed table when persisted, making the u-side join
+    * exchange-free per round. Termination reads ONE driver-side count
+    * per round (survivors only shrink, so |next| = |live| detects the
+    * fixpoint); rounds are O(peel depth), bounded by the degeneracy
+    * ordering's longest chain — 10 at sf0.01, and the per-round cost
+    * SHRINKS as the graph contracts.
+    *
+    * Output: every core member with its in-core degree (part unique →
+    * total order). The DuckDB oracle unrolls [[CorePeelUnroll]] rounds
+    * of the same peel (≥ the fixpoint depth at the oracle tier;
+    * KCoreSpec pins convergence inside the unroll).
+    */
+  private val MinCoOrdersCore = 2
+  private val CoreK = 3
+  private[graft] val CorePeelUnroll = 16
+  def g6Kcore(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d)
+      .filter(col("w") >= MinCoOrdersCore).select("u", "v")
+    kCore(adj, CoreK)
+      .select(col("node").as("part"), col("deg").as("core_deg"))
+      .orderBy("part")
+  }
+
+  /** Library form of g6's core: the k-core of an undirected adjacency
+    * `adj(u, v)` carrying BOTH directions of each edge. Output:
+    * (node, deg) — the surviving nodes with their in-core degrees.
+    * Property-tested against a plain-Scala peel on random graphs
+    * (GraphPropertySpec).
+    */
+  def kCore(adj: DataFrame, k: Int): DataFrame = {
+    var live = adj.select(col("u").as("node")).distinct()
+      .localCheckpoint()
+    var n = live.count()
+    while (true) {
+      // in-survivor degrees: both endpoints must still be alive. At the
+      // fixpoint next == live, so these ARE the in-core degrees.
+      val next = adj
+        .join(live.select(col("node").as("u")), "u")
+        .join(live.select(col("node").as("v")), "v")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint()
+      val m = next.count()
+      if (m == n || m == 0) return next
+      n = m
+      live = next.select("node")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> (g1Pagerank _),
     "g2_triangles" -> (g2Triangles _),
     "g3_bfs_distance" -> (g3BfsDistance _),
     "g4_cheapest_path" -> (g4CheapestPath _),
-    "g5_components" -> (g5Components _))
+    "g5_components" -> (g5Components _),
+    "g6_kcore" -> (g6Kcore _))
 
   def oracles: Map[String, String] = Map(
+    "g6_kcore" -> {
+      // unrolled peel: c_i = nodes of c_{i-1} with in-survivor degree
+      // >= k (SQL aggregation is banned in a recursive member — the g4
+      // unroll recipe). CorePeelUnroll rounds >= the fixpoint depth at
+      // the oracle tier (sf0.01: 10), so c_last == the fixpoint;
+      // KCoreSpec asserts convergence stays inside the unroll.
+      // every c_i is referenced TWICE by c_{i+1}: without MATERIALIZED,
+      // CTE inlining expands the chain 2^CorePeelUnroll times (observed:
+      // file-handle exhaustion re-opening lineitem.parquet)
+      val peel = (1 to CorePeelUnroll).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT d.u AS node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM und d JOIN c${i - 1} a ON d.u = a.node
+           |             JOIN c${i - 1} b ON d.v = b.node
+           |  GROUP BY d.u HAVING count(*) >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), pr AS (
+         |  SELECT x.pk AS a, y.pk AS b, count(*) AS w
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT a, b FROM pr WHERE w >= $MinCoOrdersCore
+         |), und AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+         |), c0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS deg FROM und
+         |),
+         |$peel
+         |SELECT node AS part, deg AS core_deg FROM c$CorePeelUnroll
+         |ORDER BY part""".stripMargin
+    },
     "g5_components" ->
       s"""WITH RECURSIVE op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -85,4 +85,53 @@ class GraphPropertySpec extends AnyFunSuite {
         assert(got == cost.toMap, s"case $i: edges=$edges seeds=$seeds")
     }
   }
+
+  /** Plain-Scala peel to fixpoint: (core map node -> in-core degree,
+    * rounds taken). The independent reference for [[Graph.kCore]].
+    */
+  private def peelRef(edges: Seq[(Long, Long)], k: Int): (Map[Long, Long], Int) = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, v) => (n, v.map(_._2).toSet) }
+    var live = adj.keySet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val drop = live.filter(n => adj(n).count(live.contains) < k)
+      if (drop.isEmpty) done = true
+      else { live = live -- drop; rounds += 1 }
+    }
+    (live.iterator.map(n => (n, adj(n).count(live.contains).toLong)).toMap,
+      rounds)
+  }
+
+  test("kCore equals a plain-Scala peel on random graphs (sizes, members, in-core degrees)") {
+    samples(graphGen, 6, seed = 909L).zipWithIndex.foreach {
+      case ((wedges, _), i) =>
+        val edges = wedges.map { case (a, b, _) => (a, b) }
+        val adjDf = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .toDF("u", "v")
+        (2 to 4).foreach { k =>
+          val got = Graph.kCore(adjDf, k)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val (want, _) = peelRef(edges, k)
+          assert(got == want, s"case $i k=$k: edges=$edges")
+        }
+    }
+  }
+
+  test("g6 corpus mirror: the real peel converges inside the oracle's unroll and the core is maximal") {
+    val strong = Graph.coAdj(spark, TestSpark.sf)
+      .filter($"u" < $"v" && $"w" >= 2)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (want, rounds) = peelRef(strong, 3)
+    assert(rounds <= Graph.CorePeelUnroll,
+      s"peel took $rounds rounds; oracle unrolls only ${Graph.CorePeelUnroll} — raise CorePeelUnroll")
+    assert(want.nonEmpty, "3-core of the w>=2 graph is empty — the query went degenerate")
+    val got = Graph.g6Kcore(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // core property: every member keeps >= k in-core neighbors
+    assert(want.values.forall(_ >= 3))
+  }
 }
