@@ -464,7 +464,73 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(30)
 
+  /** t30: BPE-merge TRAINING — the full iterative tokenizer-training
+    * loop t28 is the first step of: learn the [[BpeMerges]] highest-
+    * count merges, each round re-counting symbol pairs over the state
+    * the previous merges produced. The output (rank, pair, merged,
+    * count) IS a trained tokenizer prefix — the artifact a 100 TB
+    * text pipeline ships to its tokenization stage.
+    *
+    * Scale design — the classic word-frequency CONTRACTION: BPE
+    * statistics over a corpus are identical computed over
+    * (distinct word, count), so the corpus is scanned ONCE into a
+    * vocab-sized table and all [[BpeMerges]] rounds iterate on that
+    * contraction (sf0.01: 60 k raw words → 8.5 k distinct states).
+    * Each round is one explode + map-side-combinable sum over the
+    * vocab, a 1-row argmax collect (parameter-bounded, the PQ-codebook
+    * precedent), and a narrow per-row merge application; the state is
+    * checkpointed per round (the g1 lineage materializer).
+    *
+    * Merge application semantics (pinned, engine-portable): the state
+    * is the space-padded symbol string (" a b c "); applying merge
+    * (l, r) = literal replace of " l r " with " lr ", repeated
+    * [[BpeReplacePasses]] times. Literal replace is a left-to-right
+    * non-overlapping scan in BOTH engines (Java String semantics ==
+    * DuckDB replace), and each pass consumes the shared boundary
+    * space of back-to-back occurrences, so the fixed pass count makes
+    * the result exactly reproducible cross-engine. On runs of the
+    * merged pair ("y y y y") this differs from the array-greedy form
+    * (which would pair strictly left-to-right); the oracle runs the
+    * SAME pass-limited replace, so the semantics — like the LSH
+    * oracles' — is the pinned contract, not an approximation of one.
+    */
+  private[graft] val BpeMerges = 10
+  private[graft] val BpeReplacePasses = 4
+  def t30BpeTrain(s: SparkSession, d: String): DataFrame = {
+    var words = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+        .as("state"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to BpeMerges).foreach { i =>
+      val top = words
+        .select(col("n"), split(trim(col("state")), " ").as("syms"))
+        .select(col("n"), explode(expr(
+          "transform(slice(syms, 1, size(syms)-1)," +
+            " (x, j) -> concat(x, ' ', element_at(syms, j + 2)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(1).collect()(0)
+      val pair = top.getString(0)
+      val Array(l, r) = pair.split(" ", 2)
+      merges += ((i, pair, l + r, top.getLong(1)))
+      var st = col("state")
+      (1 to BpeReplacePasses).foreach { _ =>
+        st = replace(st, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      words = words.select(st.as("state"), col("n")).localCheckpoint()
+    }
+    import s.implicits._
+    merges.result().toDF("rank", "pair", "merged", "cnt")
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_bpe_train"    -> (t30BpeTrain _),
     "t28_bpe_pairs"    -> (t28BpePairs _),
     "t1_lang_profile"  -> (t1LangProfile _),
     "t2_token_stats"   -> (t2TokenStats _),
@@ -503,6 +569,45 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
 
   def oracles: Map[String, String] = Map(
+    "t30_bpe_train" -> {
+      // one (p_i, m_i, w_i) CTE triple per merge round: pair counts,
+      // 1-row argmax, pass-limited literal replace — the exact loop the
+      // Spark side runs. MATERIALIZED is load-bearing (the g6 lesson):
+      // each w_i is referenced by both p_{i+1} and w_{i+1}.
+      val rounds = (1 to BpeMerges).map { i =>
+        val reps = (1 to BpeReplacePasses)
+          .foldLeft("state")((acc, _) => s"replace($acc, m.pat, m.rep)")
+        s"""p$i AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(len(syms)-1),
+           |      j -> syms[j+1] || ' ' || syms[j+2])) AS pair, n
+           |    FROM (SELECT string_split(trim(state), ' ') AS syms, n
+           |          FROM w${i - 1}))
+           |  GROUP BY pair
+           |), m$i AS MATERIALIZED (
+           |  SELECT pair, replace(pair, ' ', '') AS merged, cnt,
+           |    ' ' || pair || ' ' AS pat,
+           |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+           |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1
+           |), w$i AS MATERIALIZED (
+           |  SELECT $reps AS state, n FROM w${i - 1}, m$i m
+           |)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to BpeMerges)
+        .map(i => s"SELECT CAST($i AS INTEGER) AS rank, pair, merged, cnt FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY 1
+         |),
+         |$rounds
+         |SELECT rank, pair, merged, cnt FROM (
+         |  $sel)
+         |ORDER BY rank""".stripMargin
+    },
     "t28_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w

@@ -20,6 +20,47 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t30: BPE merges equal an independent plain-Scala trainer (same pinned semantics)") {
+    val got = TextAnalysis.t30BpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+    // independent reference: word counts -> 10 rounds of (count pairs,
+    // argmax, pass-limited literal replace). Java String.replace is the
+    // exact left-to-right non-overlapping scan the query's semantics
+    // pins, so the reference shares ONLY the contract, not the code.
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    graft.lake.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).foreach { t =>
+        t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          .filter(_.length >= 2)
+          .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+      }
+    var state: Map[String, Long] = words.toMap.map { case (w, n) =>
+      (" " + w.map(c => s"$c ").mkString, n)
+    }
+    val want = (1 to TextAnalysis.BpeMerges).map { i =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      state.foreach { case (st, n) =>
+        val syms = st.trim.split(" ")
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          val pair = p.mkString(" ")
+          counts(pair) = counts.getOrElse(pair, 0L) + n
+        }
+      }
+      val (pair, cnt) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      val pat = s" $pair "
+      val rep = " " + pair.replace(" ", "") + " "
+      state = state.toSeq.map { case (st, n) =>
+        var s2 = st
+        (1 to TextAnalysis.BpeReplacePasses).foreach(_ => s2 = s2.replace(pat, rep))
+        (s2, n)
+      }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      (i, pair, pair.replace(" ", ""), cnt)
+    }
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("t28: pair counts equal a plain-Scala recompute of within-word char bigrams") {
     val got = TextAnalysis.t28BpePairs(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
