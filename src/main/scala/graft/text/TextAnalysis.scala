@@ -496,7 +496,12 @@ object TextAnalysis {
     */
   private[graft] val BpeMerges = 10
   private[graft] val BpeReplacePasses = 4
-  def t30BpeTrain(s: SparkSession, d: String): DataFrame = {
+
+  /** The training loop t30/t31 share: returns the post-merge word
+    * state table (state, n) and the learned merge list.
+    */
+  private def bpeTrained(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var words = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -524,13 +529,35 @@ object TextAnalysis {
       }
       words = words.select(st.as("state"), col("n")).localCheckpoint()
     }
+    (words, merges.result())
+  }
+
+  def t30BpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    merges.result().toDF("rank", "pair", "merged", "cnt")
+    bpeTrained(s, d)._2.toDF("rank", "pair", "merged", "cnt")
       .orderBy("rank")
+  }
+
+  /** t31: the trained VOCABULARY — the top-20 symbols by corpus
+    * frequency after t30's merges are applied (single characters the
+    * merges never consumed plus the learned multi-char units), i.e.
+    * the apply side of BPE: what the tokenization stage actually
+    * emits. Reuses [[bpeTrained]]'s contraction loop; the final pass
+    * is one explode + sum over the vocab-sized state table with a
+    * TakeOrderedAndProject top-20.
+    */
+  def t31BpeVocab(s: SparkSession, d: String): DataFrame = {
+    val (words, _) = bpeTrained(s, d)
+    words
+      .select(col("n"), explode(split(trim(col("state")), " ")).as("sym"))
+      .groupBy("sym").agg(sum("n").as("freq"))
+      .orderBy(desc("freq"), asc("sym"))
+      .limit(20)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t30_bpe_train"    -> (t30BpeTrain _),
+    "t31_bpe_vocab"    -> (t31BpeVocab _),
     "t28_bpe_pairs"    -> (t28BpePairs _),
     "t1_lang_profile"  -> (t1LangProfile _),
     "t2_token_stats"   -> (t2TokenStats _),
@@ -568,46 +595,58 @@ object TextAnalysis {
         col("source"), col("doc_id"), cap = 20)
       .orderBy("source", "doc_id")
 
+  /** The shared BPE CTE chain: w0 (spaced word-frequency contraction)
+    * plus one (p_i, m_i, w_i) triple per merge round — pair counts,
+    * 1-row argmax, pass-limited literal replace — the exact loop the
+    * Spark side runs. MATERIALIZED is load-bearing (the g6 lesson):
+    * each w_i is referenced by both p_{i+1} and w_{i+1}.
+    */
+  private val bpeChainDuck: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      val reps = (1 to BpeReplacePasses)
+        .foldLeft("state")((acc, _) => s"replace($acc, m.pat, m.rep)")
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(len(syms)-1),
+         |      j -> syms[j+1] || ' ' || syms[j+2])) AS pair, n
+         |    FROM (SELECT string_split(trim(state), ' ') AS syms, n
+         |          FROM w${i - 1}))
+         |  GROUP BY pair
+         |), m$i AS MATERIALIZED (
+         |  SELECT pair, replace(pair, ' ', '') AS merged, cnt,
+         |    ' ' || pair || ' ' AS pat,
+         |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT $reps AS state, n FROM w${i - 1}, m$i m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1
+       |),
+       |$rounds""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "t30_bpe_train" -> {
-      // one (p_i, m_i, w_i) CTE triple per merge round: pair counts,
-      // 1-row argmax, pass-limited literal replace — the exact loop the
-      // Spark side runs. MATERIALIZED is load-bearing (the g6 lesson):
-      // each w_i is referenced by both p_{i+1} and w_{i+1}.
-      val rounds = (1 to BpeMerges).map { i =>
-        val reps = (1 to BpeReplacePasses)
-          .foldLeft("state")((acc, _) => s"replace($acc, m.pat, m.rep)")
-        s"""p$i AS MATERIALIZED (
-           |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-           |    SELECT unnest(list_transform(range(len(syms)-1),
-           |      j -> syms[j+1] || ' ' || syms[j+2])) AS pair, n
-           |    FROM (SELECT string_split(trim(state), ' ') AS syms, n
-           |          FROM w${i - 1}))
-           |  GROUP BY pair
-           |), m$i AS MATERIALIZED (
-           |  SELECT pair, replace(pair, ' ', '') AS merged, cnt,
-           |    ' ' || pair || ' ' AS pat,
-           |    ' ' || replace(pair, ' ', '') || ' ' AS rep
-           |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1
-           |), w$i AS MATERIALIZED (
-           |  SELECT $reps AS state, n FROM w${i - 1}, m$i m
-           |)""".stripMargin
-      }.mkString(",\n")
       val sel = (1 to BpeMerges)
         .map(i => s"SELECT CAST($i AS INTEGER) AS rank, pair, merged, cnt FROM m$i")
         .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-         |        FROM documents)
-         |  WHERE length(w) >= 2 GROUP BY 1
-         |),
-         |$rounds
+      s"""WITH $bpeChainDuck
          |SELECT rank, pair, merged, cnt FROM (
          |  $sel)
          |ORDER BY rank""".stripMargin
     },
+    "t31_bpe_vocab" ->
+      s"""WITH $bpeChainDuck
+         |SELECT sym, CAST(sum(n) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(string_split(trim(state), ' ')) AS sym, n
+         |  FROM w$BpeMerges)
+         |GROUP BY sym ORDER BY freq DESC, sym LIMIT 20""".stripMargin,
     "t28_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w

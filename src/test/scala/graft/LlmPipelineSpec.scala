@@ -59,6 +59,20 @@ class LlmPipelineSpec extends AnyFunSuite {
       (i, pair, pair.replace(" ", ""), cnt)
     }
     assert(got == want, s"got $got\nwant $want")
+
+    // t31: the trained vocab equals the reference's final-state symbol
+    // frequencies (top-20, freq desc / sym asc)
+    val gotVocab = TextAnalysis.t31BpeVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val freqs = scala.collection.mutable.Map.empty[String, Long]
+    state.foreach { case (st, n) =>
+      st.trim.split(" ").foreach(sy => freqs(sy) = freqs.getOrElse(sy, 0L) + n)
+    }
+    val wantVocab = freqs.toSeq.sortBy { case (sy, n) => (-n, sy) }.take(20)
+    assert(gotVocab == wantVocab, s"got $gotVocab\nwant $wantVocab")
+    // the learned units actually surface in the emitted vocab
+    assert(want.map(_._3).exists(m => wantVocab.exists(_._1 == m)),
+      "no merged symbol reached the top-20 vocab — the merges are dead weight on this corpus")
   }
 
   test("t28: pair counts equal a plain-Scala recompute of within-word char bigrams") {
