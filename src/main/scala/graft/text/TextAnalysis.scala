@@ -497,10 +497,31 @@ object TextAnalysis {
   private[graft] val BpeMerges = 10
   private[graft] val BpeReplacePasses = 4
 
-  /** The training loop t30/t31 share: returns the post-merge word
-    * state table (state, n) and the learned merge list.
+  /** Memoized training: t30 and t31 share ONE training run per
+    * (session, corpus content) — the CorpusIndexCache recipe, with the
+    * merge list riding alongside the state DataFrame (which alone
+    * can't carry it). The state is localCheckpoint-materialized by the
+    * loop, so a cache hit costs nothing; a rewritten corpus changes
+    * the signature and re-trains; stopped sessions sweep lazily.
     */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (String, DataFrame, Seq[(Int, String, String, Long)])]()
   private def bpeTrained(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val path = s"$d/documents.parquet"
+    val sig = graft.lake.CorpusIndexCache.signature(path)
+    val e = bpeCache.compute((s, path), (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else { val (w, m) = trainBpe(s, d); (sig, w, m) })
+    (e._2, e._3)
+  }
+
+  /** The training loop itself: returns the post-merge word state table
+    * (state, n) and the learned merge list.
+    */
+  private def trainBpe(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var words = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
