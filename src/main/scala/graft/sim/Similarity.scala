@@ -97,8 +97,15 @@ object Similarity {
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"))
       .dropDuplicates("q_id", "n_id")
     val e = normedEmbeddings(s, d)
-    cand
-      .join(e.as("eq"), col("q_id") === col("eq.vec_id"))
+    // candidate side PINNED broadcast through both scoring joins: the
+    // probe contract bounds candidates at |Q| x bucket x tables —
+    // measured scale-CONSTANT (sf1: 1 244, sf10: 1 514; the bits
+    // ladder's design) — while the corpus side is n-sized. Left to
+    // size estimates, sf10 planned the candidate stream into SMJs that
+    // shuffled the 200 k-vector corpus TWICE (108 MB for a 1.5 k-row
+    // probe, s15 bexp 3.1); pinned, the corpus only streams.
+    broadcast(broadcast(cand)
+        .join(e.as("eq"), col("q_id") === col("eq.vec_id")))
       .join(e.as("en"), col("n_id") === col("en.vec_id"))
       .withColumn("cos_exact",
         expr(dotSql("eq.embedding", "en.embedding")) /
@@ -1201,8 +1208,11 @@ object Similarity {
     val e = normedEmbeddings(s, d)
     val w = Window.partitionBy("q_id")
       .orderBy(desc("cos_exact"), asc("n_id"))
-    cand
-      .join(e.as("eq"), col("q_id") === col("eq.vec_id"))
+    // candidate side pinned broadcast — [[lshScoredCandidates]]'s
+    // rationale: candidates are probe-bounded and scale-constant, the
+    // corpus must only stream
+    broadcast(broadcast(cand)
+        .join(e.as("eq"), col("q_id") === col("eq.vec_id")))
       .join(e.as("en"), col("n_id") === col("en.vec_id"))
       .withColumn("cos_exact",
         expr(dotSql("eq.embedding", "en.embedding")) /

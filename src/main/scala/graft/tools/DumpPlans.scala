@@ -54,7 +54,9 @@ object DumpPlans {
       "d10_allpairs_jaccard" -> "exact AllPairs/PPJoin set-similarity: shingles hashed to longs, materialized ONCE across the four consuming branches (the nearDupPairs materializer dial), df-ascending prefix relation, prefix self-join with length + positional prunes (candidates 300k -> 69k at sf0.1), exact intersect on candidate ids only; 13.7 -> 1.6 s at sf0.1, bexp 0.99 at 10x (PlanAuditSpec bounds exchanges at 10)",
       "d12_containment" -> "directed set-containment join (|A.B|/|A| >= 0.8): asymmetric prefix filter — contained-side ~0.2|A| prefix probes the FULL container list (no tau|B| prune exists; length filter 5nb>=4na), positional bound at the first common shingle; exact intersect on candidate ids; completeness vs brute proven incl. the exact 0.8 boundary",
       "w13_ewma" -> "dyadic fixed-point EWMA: repartition(user) satisfies BOTH the (user, day) grain agg (hash on a key subset clusters the finer grain) and the 7-lag window — one log-sized exchange + output sort (EventAnalyticsSpec asserts exactly 2); weights 128..1 are exact integers, no float summation anywhere",
-      "g1_pagerank" -> "integer-ppm PageRank: edges aggregate out of lineitem⋈orders ONCE into a localCheckpoint (the dump shows NO parquet scan — iterations never rescan facts, GraphSpec asserts it); each of 5 unrolled iterations is one rank⋈edges join + dst partial agg; at cluster scale edges would be bucketed on src (lake/Bucketing) to make the per-round join exchange-free")
+      "g1_pagerank" -> "integer-ppm PageRank: edges aggregate out of lineitem⋈orders ONCE into a localCheckpoint (the dump shows NO parquet scan — iterations never rescan facts, GraphSpec asserts it); each of 5 unrolled iterations is one rank⋈edges join + dst partial agg; at cluster scale edges would be bucketed on src (lake/Bucketing) to make the per-round join exchange-free",
+      "s15_filtered_topk" -> "metadata-filtered ANN: the label predicate rides the index probe's JOIN KEY PATH (labeled bucket rows; query buckets broadcast) — mismatched candidates are never fetched, scored, or shuffled; rank<=5 plans as WindowGroupLimit (no full sort); pre-filter semantics, not a post-filter on unfiltered top-k",
+      "sj1_interval_join" -> "stream-stream interval join's batch twin: ONE user_id equi-join with the time bound as a join residual — never a time-cross; AQE broadcasts the click side at test SF, degrades to a key-partitioned shuffle join at scale (bytes measured linear, STREAM_SCALE_R11 bexp 0.998)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
