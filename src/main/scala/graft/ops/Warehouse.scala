@@ -567,9 +567,109 @@ object Warehouse {
       .orderBy("digit")
   }
 
+  // ------------------------------------------------- Incremental join view
+
+  /** Delta-join maintenance rule: the view over (A ∪ ΔA) ⋈ (B ∪ ΔB)
+    * equals V_old ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the distributivity of join
+    * over disjoint union that every incremental view-maintenance engine
+    * (Blakeley et al. 1986; DBSP) is built on. Exposed as a function of
+    * the four legs so l7's oracle identity and the sbt spec both
+    * exercise it.
+    */
+  def deltaJoinView(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, key: String): DataFrame =
+    aOld.join(bOld, key)
+      .unionByName(aDelta.join(bOld, key))
+      .unionByName(aOld.join(bDelta, key))
+      .unionByName(aDelta.join(bDelta, key))
+
+  /** l7: incremental JOIN-view maintenance — l3's companion for the
+    * other stateful warehouse artifact: a materialized join, kept
+    * current without re-joining history against history. l3 maintains
+    * aggregate STATE; l7 maintains a join VIEW: when a batch appends
+    * ΔOrders and ΔCustomers, the view gains exactly
+    * ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC — the old view rows are never
+    * recomputed. The query proves the identity end-to-end: orders split
+    * by date (history / new batch) and customers split by key parity
+    * (existing / newly registered) are maintained through
+    * [[deltaJoinView]], and the DuckDB oracle recomputes the full join
+    * over all of both tables.
+    *
+    * Scale shape (100 TB): steady-state maintenance cost is the three
+    * delta legs — each joins a BATCH-sized relation against state (or
+    * another batch), so the per-batch price is |ΔA|·selectivity +
+    * |ΔB|·selectivity, never |A⋈B|. With the state tables bucketed on
+    * the join key (the [[graft.lake.IndexTables]] posture), the
+    * Δ-against-state legs are broadcast joins when the delta fits (a
+    * daily batch against a year of history) or bucket-local joins when
+    * it doesn't; history⋈history is paid once at view creation. The
+    * oracle-gated form here runs all four legs over the real tables —
+    * the identity, not the economics, is what the hash pins.
+    */
+  def l7DeltaJoinView(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      expr("CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)")
+        .as("cents"),
+      col("o_orderdate"))
+    val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val cutoff = to_timestamp(lit("2001-01-01"))
+    deltaJoinView(
+        o.filter(col("o_orderdate") <  cutoff).withColumnRenamed("o_custkey", "k"),
+        o.filter(col("o_orderdate") >= cutoff).withColumnRenamed("o_custkey", "k"),
+        c.filter(col("c_custkey") % 2 === 0).withColumnRenamed("c_custkey", "k"),
+        c.filter(col("c_custkey") % 2 =!= 0).withColumnRenamed("c_custkey", "k"),
+        "k")
+      .select(col("o_orderkey"), col("k").as("o_custkey"), col("cents"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------- Drift detection
+
+  /** $50k price bands: integer cents div 5e6, non-negative by the v2
+    * audit (price > 0 filter mirrors it), so Spark `div` and DuckDB `//`
+    * agree (the v4 truncate-vs-floor rule).
+    */
+  private val DriftBandCents = 5000000L
+
+  /** v6: distribution-DRIFT screen between two periods — per price
+    * band, each period's share in ppm and the absolute share deviation.
+    * The total-variation distance (Σ abs_dev/2) is the standard
+    * train/serve or month-over-month drift alarm a data-quality pass
+    * runs next to v1's profile and v5's Benford screen; per-band rows
+    * (not just the scalar) show WHERE the mass moved. Everything is
+    * integer ppm via bigint floor division — no log-likelihood (PSI's
+    * ln) ever evaluated, so the output is bit-portable cross-engine.
+    *
+    * Scale shape: one narrow scan, one conditional partial-agg onto a
+    * ~10-row band domain, then a broadcast of the one-row totals (the
+    * v5 shape). Scan-bound at any corpus size; adding periods adds
+    * conditional-sum branches, not passes.
+    */
+  def v6DriftTvd(s: SparkSession, d: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val banded = orders(s, d).filter(col("o_totalprice") > 0)
+      .select(
+        expr("CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)" +
+          s" div $DriftBandCents").as("band"),
+        (col("o_orderdate") < cutoff).cast("long").as("is_a"))
+    val counts = banded.groupBy("band")
+      .agg(sum(col("is_a")).as("n_a"), sum(lit(1L) - col("is_a")).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("band"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000 div ta").as("share_a_ppm"),
+        expr("n_b * 1000000 div tb").as("share_b_ppm"),
+        expr("abs(n_a * 1000000 div ta - n_b * 1000000 div tb)")
+          .as("abs_dev_ppm"))
+      .orderBy("band")
+  }
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l7_delta_join_view" -> (l7DeltaJoinView _),
+    "v6_drift_tvd" -> (v6DriftTvd _),
     "v5_benford"   -> (v5Benford _),
     "l1_scd2"      -> (l1Scd2 _),
     "l3_incremental_agg" -> (l3IncrementalAgg _),
@@ -583,6 +683,30 @@ object Warehouse {
     "v4_kanonymity" -> (v4KAnonymity _))
 
   def oracles: Map[String, String] = Map(
+    "l7_delta_join_view" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) AS cents,
+        |  c_mktsegment AS segment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "v6_drift_tvd" ->
+      s"""WITH b AS (
+        |  SELECT CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)
+        |           // $DriftBandCents AS band,
+        |         CAST(o_orderdate < TIMESTAMP '1998-01-01' AS BIGINT) AS is_a
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (
+        |  SELECT band, CAST(sum(is_a) AS BIGINT) AS n_a,
+        |         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+        |  FROM b GROUP BY band),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT band, n_a, n_b,
+        |  CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
+        |  CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
+        |  CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS BIGINT)
+        |    AS abs_dev_ppm
+        |FROM c CROSS JOIN t ORDER BY band""".stripMargin,
     "v5_benford" ->
       """WITH v AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * CAST(100 AS DOUBLE))

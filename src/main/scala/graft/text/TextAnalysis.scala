@@ -576,7 +576,56 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** t32: bigram language-model FLUENCY scoring — the perplexity-class
+    * filter (CCNet, Wenzek et al. 2020; Gopher/MassiveText's "doc
+    * quality by LM score") every pretraining-data pipeline runs after
+    * the cheap t4 heuristics: train a bigram model on the corpus
+    * itself, score each document by how probable its own word
+    * transitions are under it, and surface the LEAST fluent documents —
+    * shuffled/templated/outlier text whose transitions the corpus
+    * doesn't support. Scoring is the MLE conditional probability in
+    * integer ppm — p(w2|w1) = c(w1 w2)·1e6 div c(w1·) — summed per doc
+    * and floor-averaged, so the whole pipeline is bigint arithmetic
+    * and bit-portable cross-engine (the repo-wide no-transcendentals
+    * determinism rule: a real deployment exponentiates to perplexity
+    * for reporting; the RANKING — what the filter consumes — is
+    * identical under any monotone transform).
+    *
+    * Scale shape (100 TB): the corpus explodes ONCE to bigram grain;
+    * the model is two partial-aggregable shuffles (c12 on the bigram
+    * key; c1 re-aggregates the MODEL relation, |distinct bigrams| ≪
+    * |tokens|). The scoring join is bigram-keyed; the trained model is
+    * the persistable artifact (the t30/ANN-index posture — score any
+    * later batch against it, broadcast when the pruned vocab fits; a
+    * production model prunes count-1 tail bigrams, which is where
+    * Heaps-law growth lives). Per-doc reduction partial-aggregates
+    * map-side on doc_id.
+    */
+  def t32BigramLm(s: SparkSession, d: String): DataFrame = {
+    val bigrams = documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks)-2)")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(toks, i+1)").as("w1"),
+        expr("element_at(toks, i+2)").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val model = c12
+      .join(c12.groupBy("w1").agg(sum("c12").as("c1")), "w1")
+      .select(col("w1"), col("w2"),
+        expr("c12 * 1000000 div c1").as("p_ppm"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sp div n_bigrams").as("avg_p_ppm"))
+      .orderBy(asc("avg_p_ppm"), asc("doc_id"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_bigram_lm"    -> (t32BigramLm _),
     "t30_bpe_train"    -> (t30BpeTrain _),
     "t31_bpe_vocab"    -> (t31BpeVocab _),
     "t28_bpe_pairs"    -> (t28BpePairs _),
@@ -653,6 +702,30 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    // parallel unnest of equal-length lists zips positionally in DuckDB
+    // (verified) — the two list_transforms share one range generator
+    "t32_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(tk)-1), i -> tk[i+1])) AS w1,
+        |    unnest(list_transform(range(len(tk)-1), i -> tk[i+2])) AS w2
+        |  FROM t WHERE len(tk) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+        |), model AS (
+        |  SELECT c12.w1, c12.w2, c12.c12 * 1000000 // c1.c1 AS p_ppm
+        |  FROM c12 JOIN c1 USING (w1)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS avg_p_ppm
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY avg_p_ppm ASC, doc_id ASC LIMIT 20""".stripMargin,
     "t30_bpe_train" -> {
       val sel = (1 to BpeMerges)
         .map(i => s"SELECT CAST($i AS INTEGER) AS rank, pair, merged, cnt FROM m$i")

@@ -142,6 +142,44 @@ class GraphSpec extends AnyFunSuite {
       s"first mismatch: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
   }
 
+  test("g7: top-20 Jaccard link predictions equal brute common-neighbor scoring") {
+    val got = Graph.g7LinkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty, "no non-adjacent candidate pairs in the fixture graph")
+
+    // brute reference: weighted co-order pairs from the raw tables,
+    // w >= 2 adjacency sets, all-pairs intersection scoring
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    op.groupBy(_._1).values.foreach { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        w((parts(i), parts(j))) = w.getOrElse((parts(i), parts(j)), 0L) + 1L
+    }
+    // NB: .toSeq first — collect straight off the Map would rebuild a
+    // Map from the yielded (a, b) tuples, collapsing each a to one edge
+    val strong = w.toSeq.collect { case (p, c) if c >= 2 => p }.toSet
+    val adj = strong.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      a = nodes(i); b = nodes(j)
+      if !strong((a, b))
+      common = (adj(a) intersect adj(b)).size.toLong
+      if common > 0
+    } yield (a, b, common,
+        common * 1000000L / (adj(a).size + adj(b).size - common)))
+      .sortBy { case (a, b, _, jac) => (-jac, a, b) }.take(20)
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+    // every emitted candidate is genuinely a NON-edge with shared support
+    got.foreach { case (a, b, c, _) =>
+      assert(!strong((a, b)) && c > 0) }
+  }
+
   test("g2: degree-ordered orientation — every edge points to the higher (deg, node) rank") {
     // tiny planted graph exercised through the same public query path is
     // impractical (it reads lineitem), so pin the invariant on the real

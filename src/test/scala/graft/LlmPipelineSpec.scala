@@ -93,6 +93,40 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
   }
 
+  test("t32: bigram-LM fluency scores equal a plain-Scala model trained on the same corpus") {
+    val got = TextAnalysis.t32BigramLm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+
+    // independent reference: MLE bigram counts -> integer-ppm
+    // conditional probabilities -> floor-averaged per doc
+    val docs = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docBigrams = docs.map { case (id, t) =>
+      val tk = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      (id, tk.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq)
+    }.filter(_._2.nonEmpty)
+    val c12 = scala.collection.mutable.Map.empty[(String, String), Long]
+    docBigrams.foreach(_._2.foreach(b => c12(b) = c12.getOrElse(b, 0L) + 1L))
+    val c1 = c12.toSeq.groupBy(_._1._1)
+      .map { case (w1, v) => (w1, v.map(_._2).sum) }
+    val want = docBigrams.map { case (id, bs) =>
+      val sp = bs.map(b => c12(b) * 1000000L / c1(b._1)).sum
+      (id, bs.size.toLong, sp / bs.size)
+    }.sortBy { case (id, _, avg) => (avg, id) }.take(20).toSeq
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+
+    // the model is a probability measure per conditioning word: each
+    // w1's floor'd conditional ppm sum lands in (1e6 - #bigrams, 1e6]
+    val perW1 = c12.toSeq.groupBy(_._1._1).map { case (w1, v) =>
+      (v.map { case (b, n) => n * 1000000L / c1(w1) }.sum, v.size)
+    }
+    perW1.foreach { case (s, k) =>
+      assert(s <= 1000000L && s > 1000000L - k, s"ppm sum $s over $k bigrams")
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicates with high Jaccard") {
     val jac = Dedup.d4NgramJaccard(spark, sf).collect()
     assert(jac.nonEmpty, "no candidate pair passed the 0.8 Jaccard verify")

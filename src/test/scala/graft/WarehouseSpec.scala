@@ -256,6 +256,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(capped.collect().toSeq == again.collect().toSeq)
   }
 
+  test("l7 delta-join view: the four maintenance legs exactly reproduce the full join") {
+    val got = Warehouse.l7DeltaJoinView(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    // full recompute straight from the raw tables (positive prices, so
+    // math.round == Spark HALF_UP round)
+    val seg = graft.lake.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = graft.lake.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .flatMap { r =>
+        seg.get(r.getLong(1)).map(s =>
+          (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100), s))
+      }.sortBy(_._1).toSeq
+    assert(got == want,
+      s"first mismatch: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the legs PARTITION the view: no order key surfaces twice
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("v6 drift screen: bands, counts, and ppm share arithmetic equal a plain recompute") {
+    val got = Warehouse.v6DriftTvd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty)
+    // period split compared in epoch micros (session TZ is UTC; a
+    // JVM-default-zone Timestamp.valueOf could shift the midnight
+    // cutoff) — 1998-01-01T00:00:00Z = 883612800 s
+    val rows = graft.lake.Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .collect()
+      .filter(_.getDouble(0) > 0)
+      .map(r => (math.round(r.getDouble(0) * 100) / 5000000L,
+        r.getLong(1) < 883612800L * 1000000L))
+    val ta = rows.count(_._2).toLong
+    val tb = rows.count(!_._2).toLong
+    assert(ta > 0 && tb > 0, "both periods must be populated for a drift compare")
+    val want = rows.groupBy(_._1).toSeq.map { case (band, v) =>
+      val na = v.count(_._2).toLong
+      val nb = v.count(!_._2).toLong
+      val sa = na * 1000000L / ta
+      val sb = nb * 1000000L / tb
+      (band, na, nb, sa, sb, math.abs(sa - sb))
+    }.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("l3 incremental agg: merged state equals full recompute; empty and disjoint deltas behave") {
     import spark.implicits._
     val o = graft.lake.Tables.orders(spark, sf)
