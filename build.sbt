@@ -19,6 +19,12 @@ run / fork := true
 // line. Pass/fail still travels on the exit code (the driver records rc).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Forked `run` output passes through RAW (no "[info] " logger prefix):
+// the bench driver parses the final stdout line as JSON, and with the
+// default LoggedOutput strategy every line the bench prints arrives as
+// "[info] {...}" — unparseable (r11 verdict: BENCH_r11.json parsed:null
+// with the summary line present but prefixed).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -656,11 +656,17 @@ object Warehouse {
     val counts = banded.groupBy("band")
       .agg(sum(col("is_a")).as("n_a"), sum(lit(1L) - col("is_a")).as("n_b"))
     val totals = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    // Empty-period guard (ADVICE r11): an all-one-period corpus makes a
+    // divisor 0, where Spark `div` yields NULL but DuckDB `//` RAISES —
+    // the operator and its oracle would fail asymmetrically. Both sides
+    // now guard explicitly: a 0-total period emits NULL shares (and a
+    // NULL deviation), the same "unknown, not zero" read in each engine.
     counts.crossJoin(broadcast(totals))
       .select(col("band"), col("n_a"), col("n_b"),
-        expr("n_a * 1000000 div ta").as("share_a_ppm"),
-        expr("n_b * 1000000 div tb").as("share_b_ppm"),
-        expr("abs(n_a * 1000000 div ta - n_b * 1000000 div tb)")
+        expr("IF(ta = 0, NULL, n_a * 1000000 div ta)").as("share_a_ppm"),
+        expr("IF(tb = 0, NULL, n_b * 1000000 div tb)").as("share_b_ppm"),
+        expr("IF(ta = 0 OR tb = 0, NULL," +
+          " abs(n_a * 1000000 div ta - n_b * 1000000 div tb))")
           .as("abs_dev_ppm"))
       .orderBy("band")
   }
@@ -702,10 +708,13 @@ object Warehouse {
         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
         |             CAST(sum(n_b) AS BIGINT) AS tb FROM c)
         |SELECT band, n_a, n_b,
-        |  CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
-        |  CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
-        |  CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS BIGINT)
-        |    AS abs_dev_ppm
+        |  CASE WHEN ta = 0 THEN NULL
+        |    ELSE CAST(n_a * 1000000 // ta AS BIGINT) END AS share_a_ppm,
+        |  CASE WHEN tb = 0 THEN NULL
+        |    ELSE CAST(n_b * 1000000 // tb AS BIGINT) END AS share_b_ppm,
+        |  CASE WHEN ta = 0 OR tb = 0 THEN NULL
+        |    ELSE CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb)
+        |      AS BIGINT) END AS abs_dev_ppm
         |FROM c CROSS JOIN t ORDER BY band""".stripMargin,
     "v5_benford" ->
       """WITH v AS (

@@ -567,9 +567,15 @@ object Graph {
     */
   private val MinCoOrdersLink = 2
   def g7LinkPredict(s: SparkSession, d: String): DataFrame = {
+    // Four consumers (two wedge legs, anti, degrees) — but NO extra
+    // checkpoint here (ADVICE r11): [[coAdj]] already returns either the
+    // served bucketed table (whose u-partitioning a localCheckpoint
+    // would DISCARD, forcing the wedge self-join to exchange both sides)
+    // or an already-checkpointed build; the filter+project on top is
+    // a cheap per-consumer re-evaluation in both paths, and partition-
+    // preserving, so the served scan feeds the self-join exchange-free.
     val adj = coAdj(s, d)
       .filter(col("w") >= MinCoOrdersLink).select("u", "v")
-      .localCheckpoint() // four consumers: two wedge legs, anti, degrees
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val wedges = adj.as("e1").hint("shuffle_hash").join(adj.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))

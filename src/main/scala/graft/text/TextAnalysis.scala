@@ -594,12 +594,17 @@ object TextAnalysis {
     * Scale shape (100 TB): the corpus explodes ONCE to bigram grain;
     * the model is two partial-aggregable shuffles (c12 on the bigram
     * key; c1 re-aggregates the MODEL relation, |distinct bigrams| ≪
-    * |tokens|). The scoring join is bigram-keyed; the trained model is
-    * the persistable artifact (the t30/ANN-index posture — score any
-    * later batch against it, broadcast when the pruned vocab fits; a
-    * production model prunes count-1 tail bigrams, which is where
-    * Heaps-law growth lives). Per-doc reduction partial-aggregates
-    * map-side on doc_id.
+    * |tokens|). The scoring join is bigram-keyed; per-doc reduction
+    * partial-aggregates map-side on doc_id.
+    *
+    * Scope (ADVICE r11): this query scores the corpus AGAINST ITSELF —
+    * every observed bigram is in the model by construction, so the
+    * inner scoring join is exact. Reusing the trained model on a LATER
+    * batch needs OOV handling first: an unseen bigram must score a
+    * floor probability (left join + add-k / min-ppm smoothing), because
+    * the inner join would silently drop unseen transitions and omit
+    * all-OOV documents — scoring the least-fluent text as fluent or
+    * invisible, the opposite of the filter's purpose.
     */
   def t32BigramLm(s: SparkSession, d: String): DataFrame = {
     val bigrams = documents(s, d)

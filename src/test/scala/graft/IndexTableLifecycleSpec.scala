@@ -80,6 +80,43 @@ class IndexTableLifecycleSpec extends AnyFunSuite {
     } finally IndexTables.drop(spark, "annf", path)
   }
 
+  test("a crash between persist statements leaves a recoverable state") {
+    // Simulate the two crash windows persist's docstring claims are
+    // safe: (a) after the staging write but before the swap — the
+    // serving name is absent (or the OLD table), never an unstamped
+    // target, and the next persist overwrites the orphan; (b) after
+    // DROP but before RENAME — serve falls back to None (from-scratch
+    // build) and the next persist heals the catalog.
+    val d = tempCorpus()
+    val path = s"$d/embeddings.parquet"
+    val table = IndexTables.tableName("annf", path)
+    try {
+      // (a) orphaned staging table from a "crashed" earlier persist
+      import spark.implicits._
+      Seq((1L, 2L)).toDF("bucket", "id")
+        .write.mode("overwrite").saveAsTable(table + "_staging")
+      assert(IndexTables.serve(spark, "annf", path).isEmpty,
+        "an unswapped staging orphan must not serve")
+      val t = Similarity.persistAnnIndex(spark, d, buckets = 4)
+      assert(t == table && spark.catalog.tableExists(table))
+      assert(!spark.catalog.tableExists(table + "_staging"),
+        "persist did not overwrite the crashed staging orphan")
+      assert(IndexTables.serve(spark, "annf", path).isDefined)
+
+      // (b) crash between DROP and RENAME: target gone, staging intact
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}_staging")
+      assert(IndexTables.serve(spark, "annf", path).isEmpty,
+        "a dropped target must fall back, not fail")
+      val t2 = Similarity.persistAnnIndex(spark, d, buckets = 4)
+      assert(t2 == table && spark.catalog.tableExists(table))
+      assert(!spark.catalog.tableExists(table + "_staging"))
+      assert(IndexTables.serve(spark, "annf", path).isDefined)
+    } finally {
+      IndexTables.drop(spark, "annf", path)
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_staging")
+    }
+  }
+
   test("invalidateAll reaches every registered cache instance") {
     val c1 = new CorpusIndexCache
     val c2 = new CorpusIndexCache
