@@ -75,6 +75,53 @@ class LlmPipelineSpec extends AnyFunSuite {
       "no merged symbol reached the top-20 vocab — the merges are dead weight on this corpus")
   }
 
+  test("t33: trained-unit encoding equals a plain-Scala replay; 0 merges = char split") {
+    val got = TextAnalysis.t33BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+    // independent reference: replay the trained merges (read back from
+    // t30's output) with Java String.replace — the pinned semantics
+    val merges = TextAnalysis.t30BpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, t) =>
+      val ws = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        .filter(_.nonEmpty)
+      val nts = ws.map { w =>
+        var st = " " + w.map(c => s"$c ").mkString
+        merges.foreach { case (pair, merged) =>
+          (1 to TextAnalysis.BpeReplacePasses).foreach(_ =>
+            st = st.replace(s" $pair ", s" $merged "))
+        }
+        st.count(_ == ' ').toLong - 1L
+      }
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum, nts.sum)
+    }.filter(_._2 > 0).sortBy(_._1).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+
+    // merges actually fire: trained units make at least one doc cheaper
+    // than its character count (not a vacuous equality corpus)
+    assert(got.exists(r => r._4 < r._3),
+      "no merge fired anywhere — trained-unit counts degenerate to chars")
+
+    // base case: encoding with ZERO merges is exactly character
+    // splitting (n_tokens == n_chars per word)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wordsDf = Seq("hello", "a", "xyzzy", "bb").toDF("w")
+    val st0 = TextAnalysis.bpeApply(
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")), Seq.empty)
+    val zero = wordsDf.select(col("w"),
+        (length(st0) - length(replace(st0, lit(" "), lit(""))) - 1).as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    zero.foreach { case (w, nt) =>
+      assert(nt == w.length, s"0-merge encode of '$w' gave $nt tokens")
+    }
+  }
+
   test("t28: pair counts equal a plain-Scala recompute of within-word char bigrams") {
     val got = TextAnalysis.t28BpePairs(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
