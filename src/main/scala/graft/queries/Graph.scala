@@ -592,7 +592,84 @@ object Graph {
       .limit(20)
   }
 
+  /** g8: COMMUNITY DETECTION by weighted label propagation (Raghavan
+    * et al. 2007, synchronous variant) over the strong co-order graph —
+    * the segmentation step the family's own docs position g5/g6 as
+    * precursors to (components give the coarse islands; LPA splits them
+    * into the co-purchase communities a recommender or assortment
+    * planner actually targets). Runs on g5's tier (w ≥ [[MinCoOrders]])
+    * so communities REFINE the measured component structure.
+    *
+    * Determinism contract (the g1 recipe), MONOTONE variant: labels
+    * start as node ids; each of [[LpaRounds]] synchronous rounds every
+    * node computes the label with the highest total EDGE WEIGHT among
+    * its neighbors (ties broken by smallest label) and adopts it ONLY
+    * if it is smaller than its current label. Monotonicity is what
+    * makes synchronous LPA well-defined: the textbook synchronous
+    * update OSCILLATES deterministically on symmetric structure (a
+    * connected pair swaps labels every round forever — measured on
+    * this corpus: the strong graph's 50 two-node components all came
+    * out as 100 spurious singletons), while randomized/asynchronous
+    * order — the usual fix — is exactly what a cross-engine bit-
+    * identical contract cannot use. With labels non-increasing the
+    * fixed round count is deterministic in any engine, communities
+    * form around local label minima by vote plurality, and a label
+    * never crosses a non-edge (communities refine g5's components by
+    * construction). The DuckDB oracle unrolls the same rounds as
+    * chained CTEs.
+    *
+    * Plan shape: g1's iteration — per round ONE edge⋈label equi-join
+    * on `u` (the served bucketed table's key: exchange-free on the
+    * edge side when [[persistAdjacency]]'s table is fresh; adjacency
+    * symmetry lets the join stay on u while votes land on v) + one
+    * (node,label)-keyed partial-agg sum + one node-keyed min-struct
+    * argmax (partial-aggregable — no per-round window sort). Label
+    * state is node-sized and checkpointed per round. Output: the
+    * community-size histogram (size, count, min/max label), total
+    * order on comm_size.
+    */
+  private val LpaRounds = 5
+  def g8Communities(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    labelPropagation(adj, LpaRounds)
+      .groupBy("label").agg(count(lit(1)).as("comm_size"))
+      .groupBy("comm_size")
+      .agg(count(lit(1)).as("n_communities"),
+        min("label").as("min_label"), max("label").as("max_label"))
+      .orderBy("comm_size")
+  }
+
+  /** Library form of g8's core: `rounds` synchronous weighted-LPA
+    * rounds over an undirected adjacency `adj(u, v, w)` carrying BOTH
+    * directions of each edge. Output: (node, label). Property-tested
+    * against a plain-Scala reference on random graphs
+    * (GraphPropertySpec).
+    */
+  def labelPropagation(adj: DataFrame, rounds: Int): DataFrame = {
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      // plurality proposal per node: argmax Σw over neighbor labels,
+      // min label on ties — a partial-aggregable min-struct, no window
+      val proposal = adj.join(labels.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), col("label"), col("w"))
+        .groupBy("node", "label").agg(sum("w").as("votes"))
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("label")))
+          .as("m"))
+        .select(col("node"), col("m.label").as("proposal"))
+      // monotone adopt: least(current, proposal) — see g8's docstring
+      labels = labels.join(proposal, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("proposal"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_communities" -> (g8Communities _),
     "g7_link_predict" -> (g7LinkPredict _),
     "g1_pagerank" -> (g1Pagerank _),
     "g2_triangles" -> (g2Triangles _),
@@ -602,6 +679,46 @@ object Graph {
     "g6_kcore" -> (g6Kcore _))
 
   def oracles: Map[String, String] = Map(
+    "g8_communities" -> {
+      // unrolled synchronous LPA rounds (SQL bans aggregation in a
+      // recursive member — the g1/g4 chained-CTE recipe). QUALIFY's
+      // (votes DESC, label ASC) row_number is the same argmax the Spark
+      // side computes with a min-struct partial agg.
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT node, label AS proposal FROM (
+           |    SELECT und.v AS node, l.label,
+           |      CAST(sum(und.w) AS BIGINT) AS votes
+           |    FROM und JOIN l${i - 1} l ON und.u = l.node
+           |    GROUP BY 1, 2)
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY node ORDER BY votes DESC, label ASC) = 1
+           |), l$i AS MATERIALIZED (
+           |  SELECT l.node, least(l.label, COALESCE(p.proposal, l.label))
+           |    AS label
+           |  FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), pr AS (
+         |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT a, b, w FROM pr WHERE w >= $MinCoOrders
+         |), und AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e
+         |), l0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, u AS label FROM und
+         |),
+         |$rounds
+         |SELECT comm_size, CAST(count(*) AS BIGINT) AS n_communities,
+         |  CAST(min(label) AS BIGINT) AS min_label,
+         |  CAST(max(label) AS BIGINT) AS max_label
+         |FROM (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+         |      FROM l$LpaRounds GROUP BY label)
+         |GROUP BY comm_size ORDER BY comm_size""".stripMargin
+    },
     "g7_link_predict" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -119,6 +119,37 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation equals a plain-Scala monotone weighted LPA on random graphs") {
+    samples(graphGen, 6, seed = 5151L).zipWithIndex.foreach {
+      case ((edges, _), i) =>
+        val rounds = 4
+        val adjDf = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+          .toDF("u", "v", "w")
+        val got = Graph.labelPropagation(adjDf, rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+        val nbr = edges.flatMap { case (a, b, w) => Seq((a, (b, w)), (b, (a, w))) }
+          .groupBy(_._1).map { case (n, v) => (n, v.map(_._2)) }
+        var labels: Map[Long, Long] = nbr.keys.map(n => (n, n)).toMap
+        (1 to rounds).foreach { _ =>
+          val snap = labels
+          labels = nbr.map { case (n, vs) =>
+            val votes = vs.groupBy { case (v, _) => snap(v) }
+              .map { case (l, es) => (l, es.map(_._2).sum) }
+            // plurality proposal (max weight, smallest label on ties),
+            // adopted only when smaller than the current label
+            val prop = votes.toSeq.minBy { case (l, s) => (-s, l) }._1
+            (n, math.min(snap(n), prop))
+          }
+        }
+        assert(got == labels, s"case $i: edges=$edges")
+
+        // monotone-LPA invariants: no label exceeds its node id, and
+        // every label is a real node of the same component
+        assert(got.forall { case (n, l) => l <= n })
+    }
+  }
+
   test("g6 corpus mirror: the real peel converges inside the oracle's unroll and the core is maximal") {
     val strong = Graph.coAdj(spark, TestSpark.sf)
       .filter($"u" < $"v" && $"w" >= 2)
