@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   *     waiting for the judge — without micro-query jitter tripping it.
   *   - a failed query records -1 AND lands in an explicit "errors" list
   *     instead of silently passing with a bogus timing.
+  *   - a second "graph_served" column (r11 verdict #2) re-times the
+  *     graph family with Graph.persistAdjacency's bucketed tables
+  *     serving — the 100 TB production shape — next to the cold
+  *     (rebuild-per-query) numbers in "queries"; the one-time persist
+  *     cost is "graph_persist_sec". parseTimes deliberately never reads
+  *     the served pairs (same key names as the cold ones).
   */
 object Bench {
   private def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
@@ -83,6 +89,35 @@ object Bench {
       } else name -> vs.min
     }.toMap
     errors = errors.distinct
+
+    // ---- graph family, TABLE-SERVED column (r11 verdict #2) ----
+    // The timings above are the COLD path (adjacency rebuilt and
+    // localCheckpointed per query) — the fallback a fresh session pays.
+    // The 100 TB serving default is Graph.persistAdjacency's bucketed
+    // tables, so the bench records BOTH: persist once (cost recorded),
+    // re-time every graph query served, drop. A failure here must not
+    // kill the main record (served column just reads absent).
+    val (persistSec, servedMap) =
+      try {
+        graft.queries.Graph.dropAdjacency(spark, sfDir)
+        val t0 = System.nanoTime()
+        graft.queries.Graph.persistAdjacency(spark, sfDir)
+        val p = (System.nanoTime() - t0) / 1e9
+        val m = graft.queries.Graph.queries.toSeq.sortBy(_._1).map {
+          case (n, fn) =>
+            val ts = (1 to passes).map { _ =>
+              val s0 = System.nanoTime()
+              runNoop(fn(spark, sfDir))
+              (System.nanoTime() - s0) / 1e9
+            }
+            n -> ts.min
+        }
+        graft.queries.Graph.dropAdjacency(spark, sfDir)
+        (p, m)
+      } catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
+    val servedJson = servedMap.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -100,7 +135,7 @@ object Bench {
         }
         regs.mkString("{", ",", s""","prior":"$file"}""").replace("{,", "{")
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the complete line FIRST: the driver captures a BOUNDED
     // 2000-char tail of stdout (measured from every BENCH_r*.json), and
@@ -116,7 +151,7 @@ object Bench {
     // pointer to the committed full record. Every parseable aggregate
     // the big line carries is here; only the per-query map (which is
     // physically larger than the capture window) lives in the file.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"errors":$errJson,"regressions":$regJson,"full_record":"BENCH_SELF.json","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"graph_persist_sec":$persistSec,"graph_served":$servedJson,"errors":$errJson,"regressions":$regJson,"full_record":"BENCH_SELF.json","sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }
@@ -169,10 +204,15 @@ object Bench {
       val body = txt.drop(i + "\"queries\"".length)
       pairsIn(body.take(body.indexOf("}") + 1))
     } else {
-      val wrapperKeys =
-        Set("n", "rc", "cpus", "sf", "value", "metric", "passes", "n_queries")
-      val e = txt.indexOf("\"errors\"")
-      val bounded = if (e >= 0) txt.take(e) else txt
+      val wrapperKeys = Set("n", "rc", "cpus", "sf", "value", "metric",
+        "passes", "n_queries", "graph_persist_sec")
+      // stop at whichever trailing section appears first: the served-
+      // graph column REUSES query names (served times must not
+      // overwrite the cold ones this diff is about), and regression
+      // ratios after "errors" do too
+      val stops = Seq("\"graph_persist_sec\"", "\"graph_served\"",
+        "\"errors\"").map(txt.indexOf).filter(_ >= 0)
+      val bounded = if (stops.nonEmpty) txt.take(stops.min) else txt
       pairsIn(bounded) -- wrapperKeys
     }
   }

@@ -399,51 +399,140 @@ object Multimodal {
       .limit(100)
   }
 
+  /** mm6: CROSS-MODAL pair integrity (r11 verdict stretch #10) — a
+    * curation screen for paired text+image training data: join the
+    * TEXT near-dup verdicts (d2's LSH candidates verified at shingle-
+    * Jaccard grain) against the IMAGE near-dup verdicts (mm5's banded
+    * perceptual-hash Hamming grain) on the shared doc/media id and
+    * flag every pair the two modalities judge differently — a caption
+    * duplicated whose image is not (`text_only`: likely re-captioned
+    * or templated text over distinct images) and vice versa
+    * (`image_only`: same image re-captioned — the classic alt-text
+    * augmentation leak). Pairs both modalities agree on (`both`) pass
+    * through for context; candidate pairs below BOTH cuts drop.
+    *
+    * Scale shape: both legs are the already-bucketed candidate
+    * generators (LSH band join / dHash band join — never all-pairs);
+    * the integrity join is one full-outer equi-join on the pair key,
+    * whose input is candidate-sized (≪ corpus²) by construction.
+    *
+    * Thresholds: text at [[CrossTextJaccard]] (d4's verified cut).
+    * The image cut [[CrossMaxHamming]] is the QUERY's exercise value:
+    * this corpus's payloads are text stand-ins whose positional
+    * pooling is not shift-invariant (mm5's documented posture), so
+    * real-image grain (≤3 bits) would be vacuously empty here — the
+    * production threshold lives in [[crossModalCheck]]'s parameter and
+    * is spec-pinned on planted PNG fixtures (MultimodalSpec), while
+    * the query's cut keeps all three flags populated at every tier.
+    */
+  private[graft] val CrossTextJaccard = 0.8
+  private[graft] val CrossMaxHamming = 20L
+
+  /** Library form: pairs flagged by modality agreement. `docs` carries
+    * (doc_id, text); `media` the matching payloads keyed by the same
+    * ids. Output: (doc_a, doc_b, jac, hamming, flag) where flag ∈
+    * {both, text_only, image_only}; jac/hamming are NULL when the pair
+    * was not even a candidate in that modality (strictly below any
+    * cut by construction).
+    */
+  def crossModalCheck(docs: DataFrame, media: Dataset[Media],
+      minJaccard: Double = CrossTextJaccard,
+      maxHamming: Long = 3L): DataFrame = {
+    val text = graft.text.Dedup.nearDupPairs(docs, 0.0)
+    val img = bandedHammingPairs(perceptualHashes(media))
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
+        col("hamming"))
+    text.join(img, Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("text_dup", coalesce(col("jac") >= minJaccard, lit(false)))
+      .withColumn("image_dup",
+        coalesce(col("hamming") <= maxHamming, lit(false)))
+      .filter(col("text_dup") || col("image_dup"))
+      .select(col("doc_a"), col("doc_b"), col("jac"), col("hamming"),
+        when(col("text_dup") && col("image_dup"), lit("both"))
+          .when(col("text_dup"), lit("text_only"))
+          .otherwise(lit("image_only")).as("flag"))
+  }
+
+  def mm6CrossModal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    crossModalCheck(documents(s, d),
+        mediaTable(s, d).select(col("media_id"), col("payload")).as[Media],
+        CrossTextJaccard, CrossMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta"    -> (mm1MediaMeta _),
     "mm2_fake_features" -> (mm2FakeFeatures _),
     "mm3_frame_sample"  -> (mm3Query _),
     "mm4_thumbnail"     -> (mm4Query _),
     "mm5_image_neardup" -> (mm5ImageNeardup _),
+    "mm6_crossmodal"    -> (mm6CrossModal _),
   )
+
+  /** The dHash → band-join pair chain as splice-able CTEs ending in
+    * `ip(media_a, media_b, hamming)` — shared by the mm5 and mm6
+    * oracles. Names are p-prefixed so the chain composes next to
+    * Dedup's text chain (whose `bands`/`sh` names would collide).
+    */
+  private val phashPairsCtes: String =
+    s"""pm AS (
+       |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0
+       |), ppos AS (
+       |  SELECT media_id, len, unnest(range(len)) AS p, text FROM pm
+       |), pbin AS (
+       |  SELECT media_id, CAST((p * $HashCells) // len AS INTEGER) AS idx,
+       |    CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1))) // count(*)
+       |      AS BIGINT) AS gray
+       |  FROM ppos GROUP BY 1, 2
+       |), pidx AS (
+       |  SELECT media_id, CAST(t.i AS INTEGER) AS idx
+       |  FROM pm, range($HashCells) t(i)
+       |), pgrid AS (
+       |  SELECT pidx.media_id, pidx.idx, COALESCE(b.gray, 0) AS gray
+       |  FROM pidx LEFT JOIN pbin b
+       |    ON b.media_id = pidx.media_id AND b.idx = pidx.idx
+       |), ph AS (
+       |  SELECT a.media_id,
+       |    CAST(COALESCE(sum(CASE WHEN a.gray > b.gray
+       |      THEN (1::BIGINT << a.idx) ELSE 0 END), 0) AS BIGINT) AS phash
+       |  FROM pgrid a JOIN pgrid b
+       |    ON a.media_id = b.media_id AND b.idx = a.idx + 1
+       |  GROUP BY 1
+       |), pbands AS (
+       |  SELECT media_id, phash, CAST(t.b AS INTEGER) AS band,
+       |    (phash >> (CAST(t.b AS INTEGER) * $BandBits))
+       |      & ${(1 << BandBits) - 1} AS bits
+       |  FROM ph, range($HashBands) t(b)
+       |), ip AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+       |  FROM pbands x JOIN pbands y
+       |    ON x.band = y.band AND x.bits = y.bits AND x.media_id < y.media_id
+       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "mm5_image_neardup" ->
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
-         |  FROM documents WHERE octet_length(encode(text)) > 0
-         |), pos AS (
-         |  SELECT media_id, len, unnest(range(len)) AS p, text FROM m
-         |), binsum AS (
-         |  SELECT media_id, CAST((p * $HashCells) // len AS INTEGER) AS idx,
-         |    CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1))) // count(*)
-         |      AS BIGINT) AS gray
-         |  FROM pos GROUP BY 1, 2
-         |), idxs AS (
-         |  SELECT media_id, CAST(t.i AS INTEGER) AS idx
-         |  FROM m, range($HashCells) t(i)
-         |), grid AS (
-         |  SELECT idxs.media_id, idxs.idx, COALESCE(b.gray, 0) AS gray
-         |  FROM idxs LEFT JOIN binsum b
-         |    ON b.media_id = idxs.media_id AND b.idx = idxs.idx
-         |), hash AS (
-         |  SELECT a.media_id,
-         |    CAST(COALESCE(sum(CASE WHEN a.gray > b.gray
-         |      THEN (1::BIGINT << a.idx) ELSE 0 END), 0) AS BIGINT) AS phash
-         |  FROM grid a JOIN grid b
-         |    ON a.media_id = b.media_id AND b.idx = a.idx + 1
-         |  GROUP BY 1
-         |), bands AS (
-         |  SELECT media_id, phash, CAST(t.b AS INTEGER) AS band,
-         |    (phash >> (CAST(t.b AS INTEGER) * $BandBits))
-         |      & ${(1 << BandBits) - 1} AS bits
-         |  FROM hash, range($HashBands) t(b)
-         |)
-         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
-         |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.bits = y.bits AND x.media_id < y.media_id
+      s"""WITH $phashPairsCtes
+         |SELECT media_a, media_b, hamming FROM ip
          |ORDER BY hamming, media_a, media_b LIMIT 100""".stripMargin,
+    "mm6_crossmodal" -> {
+      val textDup = s"COALESCE(tp.jac >= $CrossTextJaccard, false)"
+      val imgDup = s"COALESCE(ip.hamming <= $CrossMaxHamming, false)"
+      "WITH " + graft.text.Dedup.textPairsCtes("documents") + ",\n" +
+        phashPairsCtes + s"""
+         |SELECT COALESCE(tp.doc_a, ip.media_a) AS doc_a,
+         |  COALESCE(tp.doc_b, ip.media_b) AS doc_b,
+         |  tp.jac AS jac, ip.hamming AS hamming,
+         |  CASE WHEN $textDup AND $imgDup THEN 'both'
+         |       WHEN $textDup THEN 'text_only'
+         |       ELSE 'image_only' END AS flag
+         |FROM tp FULL JOIN ip
+         |  ON tp.doc_a = ip.media_a AND tp.doc_b = ip.media_b
+         |WHERE $textDup OR $imgDup
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "mm4_thumbnail" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,

@@ -861,6 +861,19 @@ object Dedup {
 
   private val candidateDuck = "WITH " + candidateCtes("documents")
 
+  /** Text-side verified-candidate CTEs for cross-modal consumers
+    * (mm6): [[candidateCtes]] extended with `tp(doc_a, doc_b, jac)` —
+    * every LSH candidate pair carrying its rounded shingle Jaccard
+    * (the d4 surface, unthresholded; the consumer applies its own
+    * cut). Spliced without the leading WITH.
+    */
+  private[graft] def textPairsCtes(src: String): String =
+    candidateCtes(src) + s""", tp AS (
+      |  SELECT doc_a, doc_b, $jacDuck AS jac
+      |  FROM pairs JOIN sh sa ON doc_a = sa.doc_id
+      |             JOIN sh sb ON doc_b = sb.doc_id
+      |)""".stripMargin
+
   /** Recursive min-reachable-label closure over an undirected pair CTE
     * named `pairs(doc_a, doc_b)` → `comp(id, component)`. Spliced after
     * [[candidateCtes]] under a WITH RECURSIVE header.

@@ -49,6 +49,19 @@ class BenchSpec extends AnyFunSuite {
       s"expected the surviving flat pairs only, got $times")
   }
 
+  test("parseTimes: the served-graph column never overrides the cold timings") {
+    // intact: the queries object wins; graph_served (same key names,
+    // faster served values) sits after it and must not leak
+    val intact = """{"n":12,"rc":0,"tail":"{\"metric\":\"total\",\"value\":9.0,\"unit\":\"sec\",\"queries\":{\"g1_pagerank\":5.0,\"g4_cheapest_path\":4.0},\"graph_persist_sec\":3.2,\"graph_served\":{\"g1_pagerank\":1.0,\"g4_cheapest_path\":0.8},\"errors\":[],\"regressions\":{},\"sf\":\"/x\"}\n","parsed":null}"""
+    assert(Bench.parseTimes(intact) ==
+      Map("g1_pagerank" -> 5.0, "g4_cheapest_path" -> 4.0))
+    // head-truncated before the "queries" key: the flat-pair fallback
+    // must stop at graph_persist_sec, not swallow the served pairs
+    val truncated = """{"n":12,"rc":0,"cpus":32,"sf":0.1,"tail":"3,\"g1_pagerank\":5.0,\"g4_cheapest_path\":4.0},\"graph_persist_sec\":3.2,\"graph_served\":{\"g1_pagerank\":1.0},\"errors\":[],\"sf\":\"/x\"}\n","parsed":null}"""
+    assert(Bench.parseTimes(truncated) ==
+      Map("g1_pagerank" -> 5.0, "g4_cheapest_path" -> 4.0))
+  }
+
   test("priorTimes falls through an unparseable newest candidate to an older one") {
     assume(sys.env.get("SPARK_GRAFT_PREV_BENCH").isEmpty)
     val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile

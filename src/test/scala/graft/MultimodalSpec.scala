@@ -223,4 +223,54 @@ class MultimodalSpec extends AnyFunSuite {
       "inverted image unexpectedly close in Hamming space")
     assert(h(1L) == h(2L), "brightness shift must not move the dHash")
   }
+
+  test("mm6: cross-modal integrity flags both disagreement directions on planted fixtures") {
+    import spark.implicits._
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def pattern(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = f(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      encode(img)
+    }
+    // four mutually-far dHash patterns: monotone gradient, its inverse,
+    // a block checkerboard, the checkerboard's inverse
+    val grad = pattern((x, y) => 2 * x + y)
+    val gradInv = pattern((x, y) => 189 - (2 * x + y))
+    def checker(hi: Int, lo: Int, shift: Int) =
+      pattern((x, y) => (if (((x / 8) + (y / 8)) % 2 == 0) hi else lo) + shift)
+    val chk = checker(200, 50, 0)
+    val chkBright = checker(200, 50, 8) // near-dup: +8 brightness
+    val chkInv = checker(50, 200, 0)
+    val chkInvReenc = encode(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(chkInv)))
+
+    val capA = "alpha beta gamma delta epsilon zeta"
+    val capC = "lorem ipsum dolor sit amet consectetur"
+    val docs = Seq(
+      (1L, capA), (2L, capA),                       // same caption...
+      (3L, "one two three four five six"),          // ...distinct captions
+      (4L, "seven eight nine ten eleven twelve"),
+      (5L, capC), (6L, capC)).toDF("doc_id", "text")
+    val media = Seq(
+      Multimodal.Media(1L, grad), Multimodal.Media(2L, gradInv), // far images
+      Multimodal.Media(3L, chk), Multimodal.Media(4L, chkBright), // near images
+      Multimodal.Media(5L, chkInv), Multimodal.Media(6L, chkInvReenc)).toDS()
+
+    // production image grain (<=3 bits): the real-image thresholds
+    val got = Multimodal.crossModalCheck(docs, media, 0.8, 3L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+      .toMap
+    assert(got == Map(
+      (1L, 2L) -> "text_only",   // caption duplicated, image is not
+      (3L, 4L) -> "image_only",  // image duplicated, caption is not
+      (5L, 6L) -> "both"), s"unexpected flag set: $got")
+  }
 }
