@@ -295,6 +295,85 @@ object Streams {
       }
   }
 
+  /** One micro-batch of streaming JOIN-VIEW maintenance — the batch
+    * body of [[joinViewStream]], exposed so a replayed batch can be
+    * driven directly in tests (the idempotency contract is per-batch).
+    *
+    * The batch is a multiplexed CDC frame (`side` ∈ {a, b} + the union
+    * of both relations' columns — the one-topic Debezium shape); the
+    * view INCREMENT is the Blakeley delta rule minus its
+    * history⋈history leg, obtained by two VERBATIM
+    * [[graft.ops.Warehouse.deltaJoinView]] calls with empty legs:
+    *   ΔA⋈B_old ∪ ΔA⋈ΔB  =  deltaJoinView(∅, ΔA, B_old, ΔB)
+    *   A_old⋈ΔB          =  deltaJoinView(A_old, ∅, ∅, ΔB)
+    * so streaming and nightly-batch maintenance share ONE join-algebra
+    * implementation and cannot drift (the admitStream posture).
+    *
+    * Robustness (the admitStream set, strengthened): state reads are
+    * SCHEMA-PINNED (an empty first batch leaves footer-less dirs) and
+    * read STRICTLY EARLIER partitions only (`batch_id < bid`, not just
+    * "≠ bid"): batch bid's output is then a pure function of its
+    * predecessors, so a replay is bit-identical even if later batches
+    * already committed (the ≠-only form recomputed a replayed batch
+    * against FUTURE state and duplicated the later batches' view
+    * rows — caught by the replay spec). The view increment and both
+    * side-state deltas land in their own `batch_id=` partitions via
+    * dynamic overwrite, so a replayed micro-batch overwrites itself at
+    * every crash point.
+    */
+  def joinViewBatch(spark: SparkSession, statePath: String,
+      viewPath: String, key: String, aCols: Seq[String],
+      bCols: Seq[String])(batch: DataFrame, bid: Long): Unit = {
+    import graft.ops.Warehouse.deltaJoinView
+    val dA = batch.filter(col("side") === "a")
+      .select((key +: aCols).map(col): _*).localCheckpoint()
+    val dB = batch.filter(col("side") === "b")
+      .select((key +: bCols).map(col): _*).localCheckpoint()
+    def sideState(sub: String, like: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read
+          .schema(like.schema.add("batch_id",
+            org.apache.spark.sql.types.LongType))
+          .parquet(p.toString)
+          .filter(col("batch_id") < bid).drop("batch_id").localCheckpoint()
+      else like.limit(0)
+    }
+    val aOld = sideState("a", dA)
+    val bOld = sideState("b", dB)
+    val incr = deltaJoinView(dA.limit(0), dA, bOld, dB, key)
+      .unionByName(deltaJoinView(aOld, dA.limit(0), bOld.limit(0), dB, key))
+    incr.withColumn("batch_id", lit(bid))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(viewPath)
+    Seq(("a", dA), ("b", dB)).foreach { case (sub, d) =>
+      d.withColumn("batch_id", lit(bid))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$statePath/$sub")
+    }
+  }
+
+  /** Streaming twin of l7's incremental join-view maintenance
+    * (r11 verdict stretch #9): a multiplexed CDC stream of ΔA/ΔB rows
+    * maintains the materialized join at `viewPath` one micro-batch at
+    * a time — the view over everything streamed so far always equals
+    * the one-shot batch join (StreamingSpec pins the parity across
+    * micro-batches and the per-batch replay idempotency). Steady-state
+    * cost per batch is the three delta legs only: batch-sized against
+    * state, never history⋈history.
+    */
+  def joinViewStream(updates: DataFrame, statePath: String,
+      viewPath: String, checkpoint: String, key: String,
+      aCols: Seq[String], bCols: Seq[String]): DataStreamWriter[Row] = {
+    val spark = updates.sparkSession
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        joinViewBatch(spark, statePath, viewPath, key, aCols, bCols) _)
+  }
+
   /** Streaming EMBEDDING admission — [[graft.sim.Similarity.admitEmbeddingIncrement]]
     * as a continuously-running gate, the vector twin of [[admitStream]]:
     * each micro-batch of (vec_id, embedding) candidates is

@@ -659,4 +659,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(admitted.length == 6)
     } finally q.stop()
   }
+
+  test("joinViewStream: sequential maintenance equals the one-shot join; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = tmp("jview")
+    val (statePath, viewPath) = (s"$base/state", s"$base/view")
+    // multiplexed CDC rows: (side, k, oval, cval) — the unused side's
+    // payload column rides along and is projected away per side
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val updates = ms.toDF().toDF("side", "k", "oval", "cval")
+    val q = Streams.joinViewStream(updates, statePath, viewPath,
+      s"$base/ckpt", "k", Seq("oval"), Seq("cval")).start()
+    def viewRows(): Seq[(Long, Long, Long)] =
+      spark.read.parquet(viewPath).select("k", "oval", "cval")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    try {
+      // batch 0: one fact + its dim row
+      ms.addData(("a", 1L, 10L, 0L), ("b", 1L, 0L, 100L))
+      q.processAllAvailable()
+      assert(viewRows() == Seq((1L, 10L, 100L)))
+      // batch 1: two fact deltas — one matches existing dim state,
+      // one has no dim partner yet
+      ms.addData(("a", 1L, 11L, 0L), ("a", 2L, 20L, 0L))
+      q.processAllAvailable()
+      assert(viewRows() == Seq((1L, 10L, 100L), (1L, 11L, 100L)))
+      // batch 2: dim deltas — one backfills k=2, one adds a second
+      // dim row for k=1 (must pair with BOTH k=1 fact-state rows)
+      ms.addData(("b", 2L, 0L, 200L), ("b", 1L, 0L, 101L))
+      q.processAllAvailable()
+      val got = viewRows()
+      // parity: maintained view == one-shot join of everything streamed
+      val allA = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "oval")
+      val allB = Seq((1L, 100L), (2L, 200L), (1L, 101L)).toDF("k", "cval")
+      val want = allA.join(allB, "k").select("k", "oval", "cval")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(got == want, s"maintained view diverged: $got vs $want")
+
+      // replay idempotency: re-drive batch 1's exact body with its
+      // original batch id — every partition overwrites itself and the
+      // view is bit-identical
+      val replay = Seq(("a", 1L, 11L, 0L), ("a", 2L, 20L, 0L))
+        .toDF("side", "k", "oval", "cval")
+      Streams.joinViewBatch(spark, statePath, viewPath, "k",
+        Seq("oval"), Seq("cval"))(replay, 1L)
+      assert(viewRows() == want, "replayed batch changed the view")
+      val stateA = spark.read.parquet(s"$statePath/a")
+        .select("k", "oval").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(stateA == Seq((1L, 10L), (1L, 11L), (2L, 20L)),
+        s"replayed batch changed the fact state: $stateA")
+    } finally q.stop()
+  }
 }
