@@ -340,11 +340,28 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  /** Hot-bucket cap for the dHash band join (r12, caught by the 10×
+    * sweep): a band VALUE shared by more than this many items is a
+    * structural artifact, not content identity — on byte-pooled
+    * payloads the alternating-gradient-sign patterns (0x5555/0xAAAA
+    * slices) collect a constant FRACTION of the corpus, so their
+    * buckets grow linearly and their pairs quadratically (measured:
+    * shuffle bexp 1.997 at the 10× step, 13 k → 1.56 M raw pairs).
+    * Dropping over-full buckets bounds total pair volume to
+    * ≤ [[HashBands]]·cap·n — LINEAR by construction — at the standard
+    * LSH recall risk: a true twin is missed only if EVERY band it
+    * shares is hot (≤ [[MaxHamming]]-bit dups share ≥ 1 of 4 bands
+    * verbatim). The cap sits above every bucket of the base tier, so
+    * small-corpus behavior is unchanged; it is the scale governor.
+    */
+  private[graft] val MaxBandOccupancy = 64L
+
   /** Banded candidate pairs with Hamming distance — the d2/d3 band-join
     * pattern applied to the mm family's decoded-pixel signal. The
     * 63-bit dHash splits into 4 bands of 16 bits; candidates share at
-    * least one band VERBATIM (an equi-join on (band, bits) — never
-    * all-pairs, the same 100 TB shape as MinHash banding), then the
+    * least one SUB-CAP band VERBATIM (an equi-join on (band, bits) —
+    * never all-pairs, the same 100 TB shape as MinHash banding, with
+    * [[MaxBandOccupancy]] keeping the bucket law linear), then the
     * full signatures score at bit_count(xor) grain. Exact dups
     * (distance 0) are always candidates; near-dups surface with the
     * usual LSH probability.
@@ -356,7 +373,11 @@ object Multimodal {
       .select(col("media_id"), col("phash"), col("band"),
         expr(s"(phash >> (band * $BandBits)) & ${(1 << BandBits) - 1}")
           .as("bits"))
-    bands.as("x").join(bands.as("y"),
+    val ok = bands.groupBy("band", "bits").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= MaxBandOccupancy).select("band", "bits")
+    // two self-join consumers: materialize the capped band table once
+    val kept = bands.join(ok, Seq("band", "bits")).localCheckpoint()
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"),
@@ -505,10 +526,16 @@ object Multimodal {
        |    (phash >> (CAST(t.b AS INTEGER) * $BandBits))
        |      & ${(1 << BandBits) - 1} AS bits
        |  FROM ph, range($HashBands) t(b)
+       |), pok AS (
+       |  SELECT band, bits FROM (
+       |    SELECT band, bits, count(*) AS c FROM pbands GROUP BY 1, 2)
+       |  WHERE c <= $MaxBandOccupancy
+       |), pkept AS MATERIALIZED (
+       |  SELECT pbands.* FROM pbands JOIN pok USING (band, bits)
        |), ip AS (
        |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
        |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-       |  FROM pbands x JOIN pbands y
+       |  FROM pkept x JOIN pkept y
        |    ON x.band = y.band AND x.bits = y.bits AND x.media_id < y.media_id
        |)""".stripMargin
 

@@ -91,7 +91,14 @@ object ScaleBench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(heavy)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_NO_BROADCAST=1 disables broadcast joins on BOTH
+    // planner paths (static + AQE): separates a broadcast→shuffle
+    // THRESHOLD TRANSITION (bytes jump once when a build side outgrows
+    // the limit, then scale linearly) from a genuine superlinear law —
+    // with broadcasts off, both tiers pay the shuffle form and the
+    // exponent reads the law directly.
+    val noBcast = sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -100,7 +107,11 @@ object ScaleBench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.cleaner.periodicGC.interval", "2min") // see quiesce
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (noBcast) {
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val tally = new ShuffleTally
