@@ -349,26 +349,49 @@ object Multimodal {
     * shuffle bexp 1.997 at the 10× step, 13 k → 1.56 M raw pairs).
     * Dropping over-full buckets bounds total pair volume to
     * ≤ [[HashBands]]·cap·n — LINEAR by construction — at the standard
-    * LSH recall risk: a true twin is missed only if EVERY band it
-    * shares is hot (≤ [[MaxHamming]]-bit dups share ≥ 1 of 4 bands
-    * verbatim). The cap sits above every bucket of the base tier, so
-    * small-corpus behavior is unchanged; it is the scale governor.
+    * LSH recall risk: a NON-identical true twin is missed only if
+    * EVERY band it shares is hot (≤ [[MaxHamming]]-bit dups share ≥ 1
+    * of 4 bands verbatim; IDENTICAL twins bypass the cap entirely via
+    * the clone contraction — see [[bandedHammingPairs]]). Occupancy
+    * counts DISTINCT hashes, and the cap sits above every bucket of
+    * the base tier, so small-corpus behavior is unchanged; it is the
+    * scale governor.
     */
   private[graft] val MaxBandOccupancy = 64L
 
   /** Banded candidate pairs with Hamming distance — the d2/d3 band-join
-    * pattern applied to the mm family's decoded-pixel signal. The
-    * 63-bit dHash splits into 4 bands of 16 bits; candidates share at
-    * least one SUB-CAP band VERBATIM (an equi-join on (band, bits) —
-    * never all-pairs, the same 100 TB shape as MinHash banding, with
-    * [[MaxBandOccupancy]] keeping the bucket law linear), then the
-    * full signatures score at bit_count(xor) grain. Exact dups
-    * (distance 0) are always candidates; near-dups surface with the
-    * usual LSH probability.
+    * pattern applied to the mm family's decoded-pixel signal, in two
+    * strata (r12, the cap's recall hole closed):
+    *
+    * 1. CLONE CONTRACTION — identical phashes group to their min-id
+    *    representative and every member pairs with its rep at distance
+    *    0 (k−1 rows per k-clone group, the d1/d5 component grain, NOT
+    *    k²/2). This is what catches a mass-duplicated image: a 100-copy
+    *    clone fills every band bucket it touches past any cap, so a
+    *    cap applied at MEMBER grain would silently drop exactly the
+    *    heaviest duplication (spec-pinned).
+    * 2. BAND JOIN ON DISTINCT HASHES — the 63-bit dHash splits into 4
+    *    bands of 16 bits; rep pairs share at least one SUB-CAP band
+    *    VERBATIM (never all-pairs, the MinHash-banding shape), then
+    *    full signatures score at bit_count(xor) grain.
+    *    [[MaxBandOccupancy]] now counts DISTINCT CONTENT, so a hot
+    *    bucket is genuinely structural (many different images sharing
+    *    a gradient-sign pattern), and dropping it bounds the pair law
+    *    to ≤ [[HashBands]]·cap·n — linear by construction.
+    *
+    * Pair semantics are representative-grain: two clones of DIFFERENT
+    * groups relate through their reps (the transitive closure a dedup
+    * consumer already takes); a member never re-enters the band join.
     */
   private[graft] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    val h = hashes.localCheckpoint() // two consumers: bands + verify
-    val bands = h.select(col("media_id"), col("phash"),
+    val h = hashes.localCheckpoint() // two consumers: groups + clone join
+    val groups = h.groupBy("phash").agg(min("media_id").as("rep"))
+      .localCheckpoint() // two consumers: clone pairs + distinct reps
+    val clonePairs = h.join(groups, "phash")
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("media_a"), col("media_id").as("media_b"),
+        lit(0L).as("hamming"))
+    val bands = groups.select(col("rep").as("media_id"), col("phash"),
       explode(sequence(lit(0), lit(HashBands - 1))).as("band"))
       .select(col("media_id"), col("phash"), col("band"),
         expr(s"(phash >> (band * $BandBits)) & ${(1 << BandBits) - 1}")
@@ -384,6 +407,7 @@ object Multimodal {
         col("y.media_id").as("media_b"),
         expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
       .distinct()
+      .unionByName(clonePairs)
   }
 
   /** Image near-dup PAIRS at a Hamming threshold — the production image
@@ -521,11 +545,17 @@ object Multimodal {
        |  FROM pgrid a JOIN pgrid b
        |    ON a.media_id = b.media_id AND b.idx = a.idx + 1
        |  GROUP BY 1
+       |), pg AS MATERIALIZED (
+       |  SELECT phash, min(media_id) AS rep FROM ph GROUP BY phash
+       |), pclone AS (
+       |  SELECT pg.rep AS media_a, ph.media_id AS media_b,
+       |    CAST(0 AS BIGINT) AS hamming
+       |  FROM ph JOIN pg USING (phash) WHERE ph.media_id <> pg.rep
        |), pbands AS (
-       |  SELECT media_id, phash, CAST(t.b AS INTEGER) AS band,
+       |  SELECT rep AS media_id, phash, CAST(t.b AS INTEGER) AS band,
        |    (phash >> (CAST(t.b AS INTEGER) * $BandBits))
        |      & ${(1 << BandBits) - 1} AS bits
-       |  FROM ph, range($HashBands) t(b)
+       |  FROM pg, range($HashBands) t(b)
        |), pok AS (
        |  SELECT band, bits FROM (
        |    SELECT band, bits, count(*) AS c FROM pbands GROUP BY 1, 2)
@@ -537,6 +567,8 @@ object Multimodal {
        |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
        |  FROM pkept x JOIN pkept y
        |    ON x.band = y.band AND x.bits = y.bits AND x.media_id < y.media_id
+       |  UNION ALL
+       |  SELECT media_a, media_b, hamming FROM pclone
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(

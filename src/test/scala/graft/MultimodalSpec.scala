@@ -210,7 +210,10 @@ class MultimodalSpec extends AnyFunSuite {
       s"near-identical pair not recovered at distance 0: $pairs")
     // re-encode: pixel-identical -> Hamming 0
     assert(pairs.get((1L, 4L)).contains(0L), s"re-encode pair missing: $pairs")
-    assert(pairs.get((2L, 4L)).contains(0L))
+    // rep-grain contract (r12): 2 and 4 are both members of 1's clone
+    // group — they relate THROUGH the representative, not pairwise
+    assert(!pairs.contains((2L, 4L)),
+      s"clone members must pair via their rep only: $pairs")
     // the inverted image shares no near-dup pair with anything
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
       s"unrelated image leaked into the near-dup set: $pairs")
@@ -222,6 +225,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > Multimodal.MaxHamming,
       "inverted image unexpectedly close in Hamming space")
     assert(h(1L) == h(2L), "brightness shift must not move the dHash")
+  }
+
+  test("band cap: hot structural buckets drop, clone mass and cool-band twins survive") {
+    import spark.implicits._
+    val spark2 = spark
+    import org.apache.spark.sql.functions.col
+    // synthetic hash table drives bandedHammingPairs directly:
+    //  - 100 IDENTICAL hashes (ids 1000-1099): a mass-cloned image —
+    //    every band bucket it touches is over any cap, but the clone
+    //    contraction must still emit all 99 rep->member pairs at 0
+    //  - 70 DISTINCT hashes (ids 1-70) sharing band 0's bits (low 16
+    //    bits equal) but differing everywhere else: a hot STRUCTURAL
+    //    bucket (70 > 64) -> its band-0 pairs must drop
+    //  - a planted twin among them (ids 1,2) that ALSO shares band 3
+    //    (a cool bucket of 2) -> must survive via that band
+    val cloneHash = 0x1234567812345678L
+    def structured(i: Long): Long = {
+      // shared low 16 bits (band 0) = 0xBEEF; bands 1-2 unique per id
+      val unique = (i << 16) | (i << 32)
+      0xBEEFL | unique
+    }
+    val twinA = structured(1) | (0x7AL << 48) // band 3 = 0x007A
+    val twinB = structured(2) | (0x7AL << 48) // same band 3
+    val rows =
+      (1000L to 1099L).map(id => (id, cloneHash)) ++
+      Seq((1L, twinA), (2L, twinB)) ++
+      (3L to 70L).map(i => (i, structured(i)))
+    val hashes = rows.toDF("media_id", "phash")
+    val got = Multimodal.bandedHammingPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // clone mass: exactly 99 rep->member pairs at distance 0
+    val clonePairs = got.filter(p => p._1 == 1000L && p._3 == 0L)
+    assert(clonePairs.length == 99 &&
+      clonePairs.map(_._2).sorted.toSeq == (1001L to 1099L),
+      s"mass-clone group must survive the cap via contraction: ${clonePairs.length}")
+    // the planted twin survives through its cool band
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L),
+      "twin sharing a sub-cap band must remain a candidate")
+    // the hot structural bucket's pairs are gone: no pair between two
+    // structured-only ids (they share ONLY the hot band-0 value)
+    val hot = got.filter(p => p._1 >= 3L && p._1 <= 70L &&
+      p._2 >= 3L && p._2 <= 70L)
+    assert(hot.isEmpty, s"hot-bucket pairs leaked past the cap: ${hot.take(5).toSeq}")
   }
 
   test("mm6: cross-modal integrity flags both disagreement directions on planted fixtures") {
