@@ -139,4 +139,67 @@ class BucketedGraphSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g4_adj_bkt")
     }
   }
+
+  test("served adjacency: g7's wedge self-join is exchange-FREE (both sides bucketed); g8's vote join exchanges only the label side; results bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_adj_g78")
+    Seq("lineitem.parquet", "orders.parquet").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, t), dir.resolve(t))
+    }
+    val d = dir.toString
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    try {
+      val base7 = rows(Graph.g7LinkPredict(spark, d))
+      val base8 = rows(Graph.g8Communities(spark, d))
+      assert(base7.nonEmpty && base8.nonEmpty)
+      val tables = Graph.persistAdjacency(spark, d, buckets = 4)
+
+      // bit-identity off the served tables from a FRESH session
+      val fresh = spark.newSession()
+      assert(rows(Graph.g7LinkPredict(fresh, d)) == base7,
+        "g7 diverged off the served table")
+      assert(rows(Graph.g8Communities(fresh, d)) == base8,
+        "g8 diverged off the served table")
+
+      val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val coadj = spark.table(tables(1)) // CoAdjPrefix table (u-bucketed)
+        // g7's wedge join exactly as the query builds it (filter +
+        // project preserve the scan's partitioning — the r12 ADVICE
+        // fix removed the localCheckpoint that discarded it)
+        val adj7 = coadj.filter(col("w") >= 2).select("u", "v")
+        val wedges = adj7.as("e1").hint("shuffle_hash").join(adj7.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        val n7 = countShuffles(wedges)
+        val plan7 = wedges.queryExecution.executedPlan.toString
+        assert(plan7.contains("Bucketed: true"),
+          s"wedge legs did not use the bucket layout:\n$plan7")
+        assert(n7 == 0,
+          s"served wedge self-join planned $n7 exchanges (want 0):\n$plan7")
+
+        // one g8 vote join: the edge side rides the bucketed scan, only
+        // the node-sized label vector aligns
+        val adj8 = coadj.filter(col("w") >= 3)
+        val labels0 = adj8.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint()
+        val vote = adj8.join(labels0.withColumnRenamed("node", "u"), "u")
+        val n8 = countShuffles(vote)
+        val plan8 = vote.queryExecution.executedPlan.toString
+        assert(plan8.contains("Bucketed: true"),
+          s"g8 edge scan did not use the bucket layout:\n$plan8")
+        assert(n8 == 1,
+          s"served vote join planned $n8 exchanges (want 1: label align):\n$plan8")
+      } finally {
+        def restore(k: String, v: Option[String]): Unit = v match {
+          case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k)
+        }
+        restore("spark.sql.autoBroadcastJoinThreshold", prevT)
+        restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      }
+    } finally Graph.dropAdjacency(spark, d)
+  }
 }
