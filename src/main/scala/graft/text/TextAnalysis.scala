@@ -599,34 +599,64 @@ object TextAnalysis {
     *
     * Scope (ADVICE r11): this query scores the corpus AGAINST ITSELF —
     * every observed bigram is in the model by construction, so the
-    * inner scoring join is exact. Reusing the trained model on a LATER
-    * batch needs OOV handling first: an unseen bigram must score a
-    * floor probability (left join + add-k / min-ppm smoothing), because
-    * the inner join would silently drop unseen transitions and omit
-    * all-OOV documents — scoring the least-fluent text as fluent or
-    * invisible, the opposite of the filter's purpose.
+    * OOV floor in [[scoreAgainstModel]] never fires and the result is
+    * the exact MLE self-score. Reusing the trained model on a LATER
+    * batch goes through the same [[scoreAgainstModel]], whose left
+    * join + floor is what makes unseen transitions score LOW instead
+    * of silently dropping (spec-pinned on an all-OOV batch).
     */
-  def t32BigramLm(s: SparkSession, d: String): DataFrame = {
-    val bigrams = documents(s, d)
-      .withColumn("toks", split(lower(col("text")), " "))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("toks"),
-        explode(expr("sequence(0, size(toks)-2)")).as("i"))
-      .select(col("doc_id"),
-        expr("element_at(toks, i+1)").as("w1"),
-        expr("element_at(toks, i+2)").as("w2"))
-    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val model = c12
+  /** Word-transition grain of `docs(doc_id, text)` — the one explode
+    * both model training and scoring run on.
+    */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(lower(col("text")), " "))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), col("toks"),
+      explode(expr("sequence(0, size(toks)-2)")).as("i"))
+    .select(col("doc_id"),
+      expr("element_at(toks, i+1)").as("w1"),
+      expr("element_at(toks, i+2)").as("w2"))
+
+  /** The trained MLE bigram model (w1, w2, p_ppm) — t32's persistable
+    * artifact: two partial-aggregable shuffles (c12 on the bigram key;
+    * c1 re-aggregates the model relation, |distinct bigrams| ≪
+    * |tokens|). A production pipeline prunes count-1 tail bigrams
+    * before persisting (where Heaps-law growth lives) and broadcasts
+    * the pruned model into [[scoreAgainstModel]].
+    */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val c12 = docBigrams(docs).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    c12
       .join(c12.groupBy("w1").agg(sum("c12").as("c1")), "w1")
       .select(col("w1"), col("w2"),
         expr("c12 * 1000000 div c1").as("p_ppm"))
-    bigrams.join(model, Seq("w1", "w2"))
+  }
+
+  /** Score ANY batch against a trained model — the reuse path t32's
+    * self-scoring query scopes out (ADVICE r11, now real code): the
+    * scoring join is LEFT, and an unseen transition scores `floorPpm`
+    * (add-k-style floor) instead of silently dropping — an inner join
+    * would rate the least-fluent (all-unseen-transition) text as
+    * fluent or omit it entirely, the opposite of the filter's purpose.
+    * On the training corpus itself every bigram is in the model by
+    * construction, so the floor never fires and this reduces exactly
+    * to t32's self-scoring (spec-pinned). Output: every scorable doc
+    * (≥ 2 tokens), least fluent first.
+    */
+  def scoreAgainstModel(batch: DataFrame, model: DataFrame,
+      floorPpm: Long = 1L): DataFrame =
+    docBigrams(batch).join(model, Seq("w1", "w2"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("sp"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(floorPpm))).as("sp"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sp div n_bigrams").as("avg_p_ppm"))
       .orderBy(asc("avg_p_ppm"), asc("doc_id"))
-      .limit(20)
+
+  def t32BigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    scoreAgainstModel(docs, bigramModel(docs)).limit(20)
   }
 
   /** The BPE APPLY kernel: fold `merges` (in rank order) over a spaced
@@ -685,7 +715,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t34: token-budget sampling in TRAINED units — t12's budget meter
+    * with the weight column t33 makes real: documents are kept by the
+    * same content-keyed md5 coin, but the budget is denominated in
+    * trained BPE tokens instead of whitespace splits, so the kept
+    * set's expected cost matches what a tokenizer-fed training run
+    * actually pays (whitespace counts under-charge long words and
+    * over-charge merge-heavy text). Same scale shape as t12 — the
+    * t33 projection + one 1-row total broadcast + a codegen'd coin
+    * filter; the coin salt differs from t12's so the two samplers
+    * draw independent keeps.
+    */
+  private val BpeBudgetTokens = 30000L
+  def t34BpeBudgetSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.toWeightBudget(
+        t33BpeEncode(s, d).select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), col("n_tokens"), budget = BpeBudgetTokens,
+        salt = "bpe")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_bpe_budget_sample" -> (t34BpeBudgetSample _),
     "t33_bpe_encode"   -> (t33BpeEncode _),
     "t32_bigram_lm"    -> (t32BigramLm _),
     "t30_bpe_train"    -> (t30BpeTrain _),
@@ -763,6 +813,39 @@ object TextAnalysis {
        |$rounds""".stripMargin
   }
 
+  /** The trained-encoding CTE chain: [[bpeChainDuck]] (whose m1..m10
+    * are 1-row merge CTEs) + per-word application of the same
+    * pass-limited replaces the Spark side compiles from the
+    * driver-resident merge list, aggregated to
+    * `encagg(doc_id, n_words, n_chars, n_tokens)` — shared by the t33
+    * and t34 oracles.
+    */
+  private lazy val bpeEncodeCtes: String = {
+    val applied = (1 to BpeMerges).foldLeft(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, i) =>
+      (1 to BpeReplacePasses).foldLeft(acc)((a, _) =>
+        s"replace($a, m$i.pat, m$i.rep)")
+    }
+    val mergeFrom = (1 to BpeMerges).map(i => s"m$i").mkString(", ")
+    s"""$bpeChainDuck,
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''
+       |), enc AS (
+       |  SELECT doc_id, length(w) AS nc,
+       |    length(st) - length(replace(st, ' ', '')) - 1 AS nt
+       |  FROM (SELECT dw.doc_id, dw.w, $applied AS st
+       |        FROM dw, $mergeFrom)
+       |), encagg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(nc) AS BIGINT) AS n_chars,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM enc GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // parallel unnest of equal-length lists zips positionally in DuckDB
     // (verified) — the two list_transforms share one range generator
@@ -788,33 +871,19 @@ object TextAnalysis {
         |FROM bg JOIN model USING (w1, w2)
         |GROUP BY doc_id
         |ORDER BY avg_p_ppm ASC, doc_id ASC LIMIT 20""".stripMargin,
-    "t33_bpe_encode" -> {
-      // the trained chain's m1..m10 are 1-row CTEs: cross-join them all
-      // and nest the same pass-limited replaces the Spark side compiles
-      // from the driver-resident merge list
-      val applied = (1 to BpeMerges).foldLeft(
-        "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, i) =>
-        (1 to BpeReplacePasses).foldLeft(acc)((a, _) =>
-          s"replace($a, m$i.pat, m$i.rep)")
-      }
-      val mergeFrom = (1 to BpeMerges).map(i => s"m$i").mkString(", ")
-      s"""WITH $bpeChainDuck,
-         |dw AS (
-         |  SELECT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-         |    FROM documents)
-         |  WHERE w <> ''
-         |), enc AS (
-         |  SELECT doc_id, length(w) AS nc,
-         |    length(st) - length(replace(st, ' ', '')) - 1 AS nt
-         |  FROM (SELECT dw.doc_id, dw.w, $applied AS st
-         |        FROM dw, $mergeFrom)
-         |)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(nc) AS BIGINT) AS n_chars,
-         |  CAST(sum(nt) AS BIGINT) AS n_tokens
-         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "t33_bpe_encode" ->
+      s"""WITH $bpeEncodeCtes
+         |SELECT doc_id, n_words, n_chars, n_tokens FROM encagg
+         |ORDER BY doc_id""".stripMargin,
+    "t34_bpe_budget_sample" ->
+      s"""WITH $bpeEncodeCtes,
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM encagg)
+         |SELECT doc_id, n_tokens FROM encagg
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bpe'),
+         |        1, 8) AS BIGINT) % 1000000
+         |      < ($BpeBudgetTokens::BIGINT * 1000000)
+         |        // (SELECT total FROM tot)
+         |ORDER BY doc_id""".stripMargin,
     "t30_bpe_train" -> {
       val sel = (1 to BpeMerges)
         .map(i => s"SELECT CAST($i AS INTEGER) AS rank, pair, merged, cnt FROM m$i")

@@ -122,6 +122,40 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t32 reuse path: OOV-floored batch scoring ranks unseen-transition text least fluent") {
+    import spark.implicits._
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val model = TextAnalysis.bigramModel(docs).localCheckpoint()
+
+    // a later batch: one doc copied from the corpus (all transitions
+    // known) and one all-OOV doc (no word appears in the corpus)
+    val corpusText = docs.orderBy("doc_id").limit(1)
+      .select("text").head().getString(0)
+    val batch = Seq(
+      (9000001L, corpusText),
+      (9000002L, "zzqx qzzk xkqz zqkx wqzz")).toDF("doc_id", "text")
+    val scored = TextAnalysis.scoreAgainstModel(batch, model, floorPpm = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // the all-OOV doc is PRESENT (an inner join would omit it) and
+    // scores exactly the floor — every one of its 4 transitions is
+    // unseen
+    assert(scored.contains(9000002L), "all-OOV doc dropped from scoring")
+    assert(scored(9000002L) == ((4L, 1L)),
+      s"OOV doc must floor-score: ${scored(9000002L)}")
+    // ...and ranks strictly less fluent than the in-distribution copy
+    assert(scored(9000001L)._2 > 1L,
+      s"corpus copy scored at the floor: ${scored(9000001L)}")
+
+    // self-parity: on the training corpus the floor never fires, so
+    // the reuse path reduces exactly to t32's self-scoring
+    val self = TextAnalysis.scoreAgainstModel(docs, model).limit(20)
+      .collect().map(_.toString).toSeq
+    val t32 = TextAnalysis.t32BigramLm(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(self == t32, "reuse path diverged from self-scoring on the corpus")
+  }
+
   test("t28: pair counts equal a plain-Scala recompute of within-word char bigrams") {
     val got = TextAnalysis.t28BpePairs(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
