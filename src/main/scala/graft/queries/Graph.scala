@@ -668,7 +668,52 @@ object Graph {
     labels
   }
 
+  /** g9: MODULARITY of g8's partition (Newman & Girvan 2004) — the
+    * quality gauge community detection is judged by, per community:
+    * Q_c = in_c/W − (deg_c/2W)², where W is total edge weight, in_c
+    * the weight inside c and deg_c the weighted degree mass of c's
+    * nodes. Positive Q_c = denser inside than the degree-preserving
+    * random graph would predict; the scalar Q is the column sum, but
+    * the per-community rows are what a curation pass reads (WHICH
+    * segments are real vs. artifacts of the round budget).
+    *
+    * Integer contract, overflow-safe at ANY scale: the share
+    * s = deg_c·1e6 div (2W) is ≤ 1e6 by construction, so s² ≤ 1e12
+    * never overflows a bigint even on a graph whose W itself is near
+    * 2⁶³ (squaring deg_c·1e6 FIRST would overflow at W ≳ 3e6 —
+    * rejected form); floors are mirrored by the oracle. Plan: the LPA
+    * labels (node-sized) join the node-degree and edge relations —
+    * two label-keyed partial aggs + one 1-row broadcast total; the
+    * label join on the edge side is u-keyed, so the served bucketed
+    * adjacency feeds it exchange-free like g8's rounds.
+    */
+  def g9Modularity(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    val labels = labelPropagation(adj, LpaRounds) // (node, label)
+    val edges = adj.filter(col("u") < col("v"))  // each edge once
+    val wTot = edges.agg(sum("w").as("tw"))
+    val deg = adj.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
+    val degC = deg.join(labels, "node")
+      .groupBy("label")
+      .agg(sum("wd").as("deg_w"), count(lit(1)).as("n_nodes"))
+    val inC = edges
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(sum("w").as("in_w"))
+    degC.join(inC, Seq("label"), "left")
+      .crossJoin(broadcast(wTot))
+      .select(col("label").as("community"), col("n_nodes"),
+        coalesce(col("in_w"), lit(0L)).as("internal_w"), col("deg_w"),
+        (expr("coalesce(in_w, 0) * 1000000 div tw") -
+          expr("((deg_w * 1000000 div (2 * tw))" +
+            " * (deg_w * 1000000 div (2 * tw))) div 1000000"))
+          .as("q_contrib_ppm"))
+      .orderBy("community")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g9_modularity" -> (g9Modularity _),
     "g8_communities" -> (g8Communities _),
     "g7_link_predict" -> (g7LinkPredict _),
     "g1_pagerank" -> (g1Pagerank _),
@@ -678,47 +723,77 @@ object Graph {
     "g5_components" -> (g5Components _),
     "g6_kcore" -> (g6Kcore _))
 
+  /** The strong-graph LPA CTE chain (op…e…und…l0 + unrolled monotone
+    * rounds ending in l[[LpaRounds]]) — the g1/g4 chained-CTE recipe;
+    * SQL bans aggregation in a recursive member. QUALIFY's (votes
+    * DESC, label ASC) row_number is the same argmax the Spark side
+    * computes with a min-struct partial agg. Shared by the g8 and g9
+    * oracles.
+    */
+  private lazy val lpaChainDuck: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT node, label AS proposal FROM (
+         |    SELECT und.v AS node, l.label,
+         |      CAST(sum(und.w) AS BIGINT) AS votes
+         |    FROM und JOIN l${i - 1} l ON und.u = l.node
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY node ORDER BY votes DESC, label ASC) = 1
+         |), l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.label, COALESCE(p.proposal, l.label))
+         |    AS label
+         |  FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), pr AS (
+       |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT a, b, w FROM pr WHERE w >= $MinCoOrders
+       |), und AS MATERIALIZED (
+       |  SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS node, u AS label FROM und
+       |),
+       |$rounds""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "g8_communities" -> {
-      // unrolled synchronous LPA rounds (SQL bans aggregation in a
-      // recursive member — the g1/g4 chained-CTE recipe). QUALIFY's
-      // (votes DESC, label ASC) row_number is the same argmax the Spark
-      // side computes with a min-struct partial agg.
-      val rounds = (1 to LpaRounds).map { i =>
-        s"""p$i AS MATERIALIZED (
-           |  SELECT node, label AS proposal FROM (
-           |    SELECT und.v AS node, l.label,
-           |      CAST(sum(und.w) AS BIGINT) AS votes
-           |    FROM und JOIN l${i - 1} l ON und.u = l.node
-           |    GROUP BY 1, 2)
-           |  QUALIFY row_number() OVER (
-           |    PARTITION BY node ORDER BY votes DESC, label ASC) = 1
-           |), l$i AS MATERIALIZED (
-           |  SELECT l.node, least(l.label, COALESCE(p.proposal, l.label))
-           |    AS label
-           |  FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH op AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         |), pr AS (
-         |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
-         |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
-         |  GROUP BY 1, 2
-         |), e AS (
-         |  SELECT a, b, w FROM pr WHERE w >= $MinCoOrders
-         |), und AS MATERIALIZED (
-         |  SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e
-         |), l0 AS MATERIALIZED (
-         |  SELECT DISTINCT u AS node, u AS label FROM und
-         |),
-         |$rounds
+    "g9_modularity" ->
+      s"""WITH $lpaChainDuck,
+         |deg AS (
+         |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS wd
+         |  FROM und GROUP BY u
+         |), tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e),
+         |degc AS (
+         |  SELECT l.label, CAST(sum(d.wd) AS BIGINT) AS deg_w,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg d JOIN l$LpaRounds l ON d.node = l.node GROUP BY 1
+         |), inc AS (
+         |  SELECT la.label, CAST(sum(e.w) AS BIGINT) AS in_w
+         |  FROM e JOIN l$LpaRounds la ON e.a = la.node
+         |         JOIN l$LpaRounds lb ON e.b = lb.node
+         |  WHERE la.label = lb.label GROUP BY 1
+         |)
+         |SELECT degc.label AS community, n_nodes,
+         |  CAST(COALESCE(in_w, 0) AS BIGINT) AS internal_w, deg_w,
+         |  CAST(COALESCE(in_w, 0) * 1000000 // tw
+         |    - ((deg_w * 1000000 // (2 * tw))
+         |       * (deg_w * 1000000 // (2 * tw))) // 1000000
+         |    AS BIGINT) AS q_contrib_ppm
+         |FROM degc LEFT JOIN inc USING (label) CROSS JOIN tw
+         |ORDER BY community""".stripMargin,
+    "g8_communities" ->
+      s"""WITH $lpaChainDuck
          |SELECT comm_size, CAST(count(*) AS BIGINT) AS n_communities,
          |  CAST(min(label) AS BIGINT) AS min_label,
          |  CAST(max(label) AS BIGINT) AS max_label
          |FROM (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
          |      FROM l$LpaRounds GROUP BY label)
-         |GROUP BY comm_size ORDER BY comm_size""".stripMargin
-    },
+         |GROUP BY comm_size ORDER BY comm_size""".stripMargin,
     "g7_link_predict" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -150,6 +150,39 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("g9 corpus mirror: per-community modularity equals a plain-Scala recompute") {
+    val strongAdj = Graph.coAdj(spark, TestSpark.sf).filter($"w" >= 3)
+    val labels = Graph.labelPropagation(strongAdj, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = strongAdj.filter($"u" < $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val w = edges.map(_._3).sum
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v, ew) =>
+      deg(u) = deg.getOrElse(u, 0L) + ew; deg(v) = deg.getOrElse(v, 0L) + ew
+    }
+    val degC = deg.toSeq.groupBy { case (n, _) => labels(n) }
+      .map { case (l, xs) => (l, (xs.map(_._2).sum, xs.size.toLong)) }
+    val inC = edges.filter { case (u, v, _) => labels(u) == labels(v) }
+      .groupBy { case (u, _, _) => labels(u) }
+      .map { case (l, es) => (l, es.map(_._3).sum) }
+    val want = degC.toSeq.sortBy(_._1).map { case (l, (dw, n)) =>
+      val in = inC.getOrElse(l, 0L)
+      val s = dw * 1000000L / (2L * w) // non-negative: / == div
+      (l, n, in, dw, in * 1000000L / w - (s * s) / 1000000L)
+    }
+    val got = Graph.g9Modularity(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // the gauge is meaningful, not vacuous: the partition as a whole
+    // beats the random-graph expectation (Q > 0), and weak communities
+    // (q <= 0) are allowed to exist — surfacing them is the point
+    assert(got.map(_._5).sum > 0, "aggregate modularity not positive")
+    assert(got.exists(_._5 > 0))
+  }
+
   test("g6 corpus mirror: the real peel converges inside the oracle's unroll and the core is maximal") {
     val strong = Graph.coAdj(spark, TestSpark.sf)
       .filter($"u" < $"v" && $"w" >= 2)
