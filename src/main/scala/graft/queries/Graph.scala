@@ -712,7 +712,43 @@ object Graph {
       .orderBy("community")
   }
 
+  /** g10: link prediction by the RESOURCE-ALLOCATION index (Zhou,
+    * Lü & Zhang 2009) — g7's common-neighbor machinery with the
+    * scoring recommenders actually prefer on skewed co-purchase
+    * graphs: each shared neighbor contributes 1/deg(center), so a
+    * promiscuous hub vouching for a pair counts almost nothing while
+    * a rare co-purchase counts a lot (common-neighbor counting is
+    * hub-dominated on heavy-tailed degree distributions). Integer
+    * contract: per-wedge credit = 1e6 div deg(center), summed per
+    * pair — order-independent bigint, floors mirrored by the oracle.
+    *
+    * Plan shape: identical to g7 (the wedge self-join on the served
+    * u-bucketed adjacency, shuffle_hash pinned, partial-aggregable
+    * pair reduction, one anti-join) with the center's degree attached
+    * BEFORE the wedge join — a u-keyed join that rides the same
+    * bucket layout exchange-free. Same Σdeg² wedge law, same weight
+    * threshold as the production lever (g7's stated posture).
+    */
+  def g10ResourceAlloc(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrdersLink).select("u", "v")
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val adjd = adj.join(deg, "u")
+    val wedges = adjd.as("e1").hint("shuffle_hash").join(adjd.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"),
+        expr("1000000 div e1.deg").as("rc"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum("rc").as("ra_ppm"))
+      .join(adj.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("common"),
+        col("ra_ppm"))
+      .orderBy(desc("ra_ppm"), asc("part_a"), asc("part_b"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_resource_alloc" -> (g10ResourceAlloc _),
     "g9_modularity" -> (g9Modularity _),
     "g8_communities" -> (g8Communities _),
     "g7_link_predict" -> (g7LinkPredict _),
@@ -762,6 +798,32 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    "g10_resource_alloc" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), pr AS (
+         |  SELECT x.pk AS a, y.pk AS b, count(*) AS w
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT a, b FROM pr WHERE w >= $MinCoOrdersLink
+         |), und AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+         |), deg AS (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u
+         |), wg AS (
+         |  SELECT e1.v AS a, e2.v AS b,
+         |    CAST(count(*) AS BIGINT) AS common,
+         |    CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+         |  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+         |       JOIN deg d ON d.u = e1.u
+         |  GROUP BY 1, 2
+         |), ne AS (
+         |  SELECT wg.* FROM wg ANTI JOIN und ON wg.a = und.u AND wg.b = und.v
+         |)
+         |SELECT a AS part_a, b AS part_b, common, ra_ppm
+         |FROM ne ORDER BY ra_ppm DESC, part_a ASC, part_b ASC
+         |LIMIT 20""".stripMargin,
     "g9_modularity" ->
       s"""WITH $lpaChainDuck,
          |deg AS (

@@ -13,7 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * GraphTable (broadcast disabled, min-of-3 after warmup,
   * stage-metrics shuffle tally).
   *
-  *   sbt "runMain graft.tools.G78Table /tmp/graft_sf1 /tmp/graft_sf10"
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.G78Table /tmp/graft_sf1 /tmp/graft_sf10"
+  *
+  * Heap note: the sf10 tier's PLAIN g7 pass (broadcast disabled,
+  * wedge stream + checkpointed adjacency resident) OOMs the 16 g
+  * default — run with SPARK_DRIVER_MEM=48g (the GraphTable
+  * precedent).
   */
 object G78Table {
   def main(args: Array[String]): Unit = {

@@ -183,6 +183,36 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(got.exists(_._5 > 0))
   }
 
+  test("g10 corpus mirror: resource-allocation scores equal a plain-Scala recompute") {
+    val adjRows = Graph.coAdj(spark, TestSpark.sf).filter($"w" >= 2)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nbr = adjRows.groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).toSet) }
+    val edgeSet = adjRows.toSet
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    nbr.foreach { case (center, vs) =>
+      val deg = vs.size.toLong
+      val sorted = vs.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+        val key = (sorted(i), sorted(j))
+        val (c0, r0) = scores.getOrElse(key, (0L, 0L))
+        scores(key) = (c0 + 1L, r0 + 1000000L / deg)
+      }
+    }
+    val want = scores.toSeq
+      .filterNot { case ((a, b), _) => edgeSet.contains((a, b)) }
+      .map { case ((a, b), (c, r)) => (a, b, c, r) }
+      .sortBy { case (a, b, _, r) => (-r, a, b) }
+      .take(20)
+    val got = Graph.g10ResourceAlloc(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // the degree normalization is live: scores are not all equal (a
+    // pure common-neighbor count would make them so on pair-heavy tiers)
+    assert(got.map(_._4).distinct.size > 1)
+  }
+
   test("g6 corpus mirror: the real peel converges inside the oracle's unroll and the core is maximal") {
     val strong = Graph.coAdj(spark, TestSpark.sf)
       .filter($"u" < $"v" && $"w" >= 2)
