@@ -103,18 +103,26 @@ object Bench {
         val t0 = System.nanoTime()
         graft.queries.Graph.persistAdjacency(spark, sfDir)
         val p = (System.nanoTime() - t0) / 1e9
+        // one failing query records -1 like timedPass does — it must not
+        // throw the whole served column away (ADVICE r12 #2)
         val m = graft.queries.Graph.queries.toSeq.sortBy(_._1).map {
           case (n, fn) =>
-            val ts = (1 to passes).map { _ =>
+            val ts = (1 to passes).flatMap { _ =>
               val s0 = System.nanoTime()
-              runNoop(fn(spark, sfDir))
-              (System.nanoTime() - s0) / 1e9
+              try { runNoop(fn(spark, sfDir))
+                    Some((System.nanoTime() - s0) / 1e9) }
+              catch { case _: Throwable => None }
             }
-            n -> ts.min
+            n -> (if (ts.isEmpty) -1.0 else ts.min)
         }
-        graft.queries.Graph.dropAdjacency(spark, sfDir)
         (p, m)
       } catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
+      finally {
+        // the persisted tables must not leak into the next session even
+        // when the persist itself threw (ADVICE r12 #2)
+        try graft.queries.Graph.dropAdjacency(spark, sfDir)
+        catch { case _: Throwable => () }
+      }
     val servedJson = servedMap.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
@@ -122,7 +130,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val regJson = priorTimes() match {
+    val regJson = priorTimes(expectSf = Some(sfDir)) match {
       case None => "{}"
       case Some((file, prior)) =>
         // significance floor: a ratio alone flags 0.1 s -> 0.25 s jitter
@@ -157,27 +165,50 @@ object Bench {
   }
 
   /** Prior round's per-query times: SPARK_GRAFT_PREV_BENCH if set, else
-    * every BENCH_r*.json in cwd tried NEWEST-FIRST — a candidate that
-    * fails to parse falls through to the next instead of killing the
-    * cross-round diff (r5 verdict #1: the single-candidate version went
-    * None on a truncated BENCH_r05.json and silently disarmed the
-    * regression tripwire).
+    * the committed FULL records first — BENCH_SELF.json (the last
+    * completed run's own complete line) and BENCH_SELF_r*.json
+    * newest-first — THEN every driver-tail BENCH_r*.json newest-first.
+    * The full-record preference is r12 verdict #1: the driver's tail
+    * capture is bounded at ~2000 chars and the graph_served block now
+    * consumes part of it, so a tail candidate can parse to only ~34 of
+    * 158 cold timings — a full record always carries all of them.
+    * A candidate that fails to parse falls through to the next instead
+    * of killing the cross-round diff (r5 verdict #1: the
+    * single-candidate version went None on a truncated BENCH_r05.json
+    * and silently disarmed the regression tripwire).
+    *
+    * `expectSf`: when set (Bench.main passes the current sf dir), a full
+    * record whose own "sf" field names a DIFFERENT dir is skipped — a
+    * BENCH_SELF.json left behind by an sf0.01 iteration run must not
+    * become the baseline for an sf0.1 run (every query would read as a
+    * 10× regression). Driver tails carry sf as a bare wrapper number and
+    * are not filtered — they are always driver-scale runs.
     */
-  private[graft] def priorTimes(dir: java.io.File = new java.io.File(".")
-      ): Option[(String, Map[String, Double])] = {
+  private[graft] def priorTimes(dir: java.io.File = new java.io.File("."),
+      expectSf: Option[String] = None): Option[(String, Map[String, Double])] = {
     val candidates = sys.env.get("SPARK_GRAFT_PREV_BENCH")
       .map(f => List(new java.io.File(f)))
       .getOrElse {
-        Option(dir.listFiles()).toList.flatMap(
-          _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-            .sortBy(_.getName).reverse)
+        val all = Option(dir.listFiles()).toList.flatten
+        val fullRecs = all.filter(_.getName.matches("BENCH_SELF(_r\\d+)?\\.json"))
+          .sortBy(_.getName).reverse // BENCH_SELF_rNN desc, then BENCH_SELF
+        val self = fullRecs.partition(_.getName == "BENCH_SELF.json")
+        val tails = all.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).reverse
+        self._1 ++ self._2 ++ tails
       }
+    val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
     candidates.iterator.flatMap { f =>
+      val raw =
+        try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        catch { case _: Throwable => "" }
+      val sfOk = (expectSf, sfRe.findFirstMatchIn(raw)) match {
+        case (Some(want), Some(m)) => m.group(1) == want
+        case _ => true
+      }
       val times =
-        try parseTimes(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        catch { case _: Throwable => Map.empty[String, Double] }
-      if (times.isEmpty) None else Some((f.getName, times))
+        try parseTimes(raw) catch { case _: Throwable => Map.empty[String, Double] }
+      if (sfOk && times.nonEmpty) Some((f.getName, times)) else None
     }.nextOption()
   }
 

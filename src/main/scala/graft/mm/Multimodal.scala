@@ -417,6 +417,19 @@ object Multimodal {
     * agree — brightness shifts and re-encodes land at 0–3, any real
     * content change far above. Pinned over planted PNG fixtures in
     * MultimodalSpec (the parquet corpus has no image payloads).
+    *
+    * CONTRACT (r12, inherited from [[bandedHammingPairs]]): pairs are
+    * REPRESENTATIVE-grain. Identical-phash clones appear only as
+    * (rep, member, 0) rows, and members of two DIFFERENT clone groups
+    * never pair directly — they relate through their reps, so any
+    * consumer other than the documented dedup anti-join (which keeps
+    * one survivor per connected component anyway) must take the
+    * transitive closure before reading cross-group duplicates off the
+    * pair list. Separately, [[MaxBandOccupancy]] drops structurally
+    * hot band buckets: a non-identical true twin is missed only if
+    * EVERY band it shares is over-cap (the standard LSH recall trade;
+    * measured as a recall floor by mm7's report, see
+    * [[mm7RecallReport]]).
     */
   def imageNearDupPairs(media: Dataset[Media],
       maxHamming: Long = MaxHamming): DataFrame =
@@ -506,6 +519,58 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** mm7: image-family recall report (r12 verdict #4 — s11's precedent
+    * applied to mm5's banded fetch): how many of the TRUE closest
+    * rep-grain pairs by brute Hamming does the capped band join
+    * actually surface? Until now the [[MaxBandOccupancy]] cap's recall
+    * argument rested on planted fixtures; this query measures it
+    * against an independent brute baseline at corpus tier and the
+    * DuckDB oracle recomputes BOTH legs, so the report itself is
+    * hash-gated. Output: (variant, hits, total, recall_bp) for the
+    * brute top-25 and top-100 pair sets (rank-based rather than a
+    * Hamming threshold — on this corpus's text-stand-in payloads a
+    * fixed real-image cut like ≤3 bits can be vacuously empty, and a
+    * recall over an empty truth set gauges nothing; mm5's ranked
+    * posture). MultimodalSpec pins the measured top-100 value as a
+    * floor.
+    *
+    * Scale shape: the banded leg is mm5's production fetch; the brute
+    * leg is deliberately quadratic at REP grain (distinct content
+    * only — clone mass is contracted first, so a 100-copy hot image
+    * costs one row) and exists to measure the index: at 100 TB run it
+    * on a sampled rep set, exactly s11's stated posture for its brute
+    * leg. The top-k cut is TakeOrderedAndProject (no global sort
+    * materializes), and the row_number window runs over ≤ 100 rows.
+    */
+  def mm7RecallReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = perceptualHashes(
+      mediaTable(s, d).select(col("media_id"), col("payload")).as[Media])
+      .localCheckpoint() // two consumers: brute reps + banded fetch
+    val reps = hashes.groupBy("phash").agg(min("media_id").as("media_id"))
+    val brute = reps.as("x").join(reps.as("y"),
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+    val top = brute
+      .orderBy(asc("hamming"), asc("media_a"), asc("media_b")).limit(100)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(asc("hamming"), asc("media_a"), asc("media_b"))))
+      .localCheckpoint() // two consumers: the top-25 and top-100 legs
+    val banded = bandedHammingPairs(hashes).select("media_a", "media_b")
+      .localCheckpoint() // semi-joined by both legs
+    def leg(k: Int): DataFrame = {
+      val t = top.filter(col("rk") <= k)
+      t.join(banded, Seq("media_a", "media_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(t.agg(count(lit(1)).as("total"))))
+        .select(lit(s"top$k").as("variant"), col("hits"), col("total"),
+          expr("hits * 10000 div total").as("recall_bp"))
+    }
+    leg(25).unionByName(leg(100)).orderBy("variant")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta"    -> (mm1MediaMeta _),
     "mm2_fake_features" -> (mm2FakeFeatures _),
@@ -513,6 +578,7 @@ object Multimodal {
     "mm4_thumbnail"     -> (mm4Query _),
     "mm5_image_neardup" -> (mm5ImageNeardup _),
     "mm6_crossmodal"    -> (mm6CrossModal _),
+    "mm7_recall_report" -> (mm7RecallReport _),
   )
 
   /** The dHash → band-join pair chain as splice-able CTEs ending in
@@ -572,6 +638,35 @@ object Multimodal {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm7_recall_report" ->
+      s"""WITH $phashPairsCtes,
+         |br AS (
+         |  SELECT x.rep AS media_a, y.rep AS media_b,
+         |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+         |  FROM pg x JOIN pg y ON x.rep < y.rep
+         |), topp AS MATERIALIZED (
+         |  SELECT media_a, media_b,
+         |    row_number() OVER (ORDER BY hamming, media_a, media_b) AS rk
+         |  FROM br QUALIFY rk <= 100
+         |), legs AS (
+         |  SELECT 'top25' AS variant,
+         |    CAST((SELECT count(*) FROM topp t WHERE t.rk <= 25
+         |          AND EXISTS (SELECT 1 FROM ip
+         |            WHERE ip.media_a = t.media_a AND ip.media_b = t.media_b))
+         |      AS BIGINT) AS hits,
+         |    CAST((SELECT count(*) FROM topp WHERE rk <= 25) AS BIGINT)
+         |      AS total
+         |  UNION ALL
+         |  SELECT 'top100',
+         |    CAST((SELECT count(*) FROM topp t
+         |          WHERE EXISTS (SELECT 1 FROM ip
+         |            WHERE ip.media_a = t.media_a AND ip.media_b = t.media_b))
+         |      AS BIGINT),
+         |    CAST((SELECT count(*) FROM topp) AS BIGINT)
+         |)
+         |SELECT variant, hits, total,
+         |  CAST(hits * 10000 // total AS BIGINT) AS recall_bp
+         |FROM legs ORDER BY variant""".stripMargin,
     "mm5_image_neardup" ->
       s"""WITH $phashPairsCtes
          |SELECT media_a, media_b, hamming FROM ip

@@ -247,6 +247,32 @@ object Graph {
     coAdj(s, d).filter(col("u") < col("v"))
       .select(col("u").as("a"), col("v").as("b"))
 
+  /** g2: per-part triangle counts by compact-forward wedge closure.
+    *
+    * SERVED-TABLE POSTURE (r12 verdict #4, documented): g2 is the one
+    * family member whose iteration relation still localCheckpoints
+    * when the bucketed adjacency is served, and that is CORRECT, not
+    * an oversight. The persisted table is bucketed on the UNDIRECTED
+    * key `u`; g2's wedge joins run on the ORIENTED key `src` (each
+    * edge flips direction by the degree comparison below), and the
+    * orientation permutes roughly half the rows across buckets — no
+    * scan layout can feed the `src`-keyed self-join exchange-free the
+    * way g7's u-keyed wedge join is fed. What the served table DOES
+    * buy g2 is the base build: [[coOrderEdges]] reads the bucketed
+    * scan instead of re-aggregating lineitem (the fact-sized shuffle),
+    * which is the 5.41→3.72 s cold→served drop BENCH r12 records. The
+    * checkpoint then materializes the degree-joined oriented relation
+    * ONCE for its three consumers (two wedge legs + the closer) —
+    * recomputing the two degree joins thrice would cost more than the
+    * checkpoint at every scale. Serving orientation itself would need
+    * a THIRD persisted table bucketed on `src`; the wedge family's
+    * measured byte law (SCALE_G78TABLE byte_drop 0.993+ comes from the
+    * base-build elision) doesn't justify a second corpus-sized
+    * artifact for one query. BucketedGraphSpec pins both halves:
+    * served g2 is bit-identical and its base edges read the persisted
+    * table (no lineitem re-aggregation), while the oriented relation
+    * legitimately re-partitions.
+    */
   def g2Triangles(s: SparkSession, d: String): DataFrame = {
     val edges = coOrderEdges(s, d)
     val deg = edges.select(col("a").as("node"))
@@ -629,9 +655,34 @@ object Graph {
     * order on comm_size.
     */
   private val LpaRounds = 5
+
+  /** Memoized LPA labels: g8, g9 (and any future community consumer)
+    * share ONE propagation run per (session, tier-dir content) — the
+    * bpeCache recipe (r12 verdict #5: g9 re-ran the full 5-round LPA
+    * after g8 had just computed identical labels, a 4.22 s cold-bench
+    * cost whose useful part is two label-keyed aggs). Labels are a
+    * corpus-build artifact exactly like t30's merges: deterministic
+    * integer arithmetic off a deterministic adjacency, so a cache hit
+    * is bit-identical to a re-run (GraphSpec pins it). The signature
+    * covers the TIER DIRECTORY `d` — same over-invalidation posture as
+    * [[persistAdjacency]], so the labels can never outlive the
+    * adjacency they were propagated on; the state itself is the loop's
+    * final localCheckpoint, so a hit costs nothing. Stopped sessions
+    * sweep lazily.
+    */
+  private val lpaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, DataFrame)]()
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    lpaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val sig = graft.lake.CorpusIndexCache.signature(d)
+    lpaCache.compute((s, d), (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, labelPropagation(
+        coAdj(s, d).filter(col("w") >= MinCoOrders), LpaRounds)))._2
+  }
+
   def g8Communities(s: SparkSession, d: String): DataFrame = {
-    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    labelPropagation(adj, LpaRounds)
+    lpaLabels(s, d)
       .groupBy("label").agg(count(lit(1)).as("comm_size"))
       .groupBy("comm_size")
       .agg(count(lit(1)).as("n_communities"),
@@ -679,9 +730,14 @@ object Graph {
     *
     * Integer contract, overflow-safe at ANY scale: the share
     * s = deg_c·1e6 div (2W) is ≤ 1e6 by construction, so s² ≤ 1e12
-    * never overflows a bigint even on a graph whose W itself is near
-    * 2⁶³ (squaring deg_c·1e6 FIRST would overflow at W ≳ 3e6 —
-    * rejected form); floors are mirrored by the oracle. Plan: the LPA
+    * never overflows a bigint (squaring deg_c·1e6 FIRST would
+    * overflow at W ≳ 3e6 — rejected form), and the scaling products
+    * deg_c·1e6 / 2W themselves are computed in decimal(38,0) —
+    * bigint arithmetic would silently wrap in Spark (non-ANSI) while
+    * DuckDB raises once W exceeds ~4.6e12, the engine-asymmetric
+    * failure mode ADVICE r12 named; decimal(38,0) pushes the bound to
+    * W ~ 1e31 (the Sampling.toWeightBudget recipe). The oracle
+    * mirrors with HUGEINT. Floors are mirrored by the oracle. Plan: the LPA
     * labels (node-sized) join the node-degree and edge relations —
     * two label-keyed partial aggs + one 1-row broadcast total; the
     * label join on the edge side is u-keyed, so the served bucketed
@@ -689,7 +745,7 @@ object Graph {
     */
   def g9Modularity(s: SparkSession, d: String): DataFrame = {
     val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    val labels = labelPropagation(adj, LpaRounds) // (node, label)
+    val labels = lpaLabels(s, d) // (node, label) — memoized, g8's run
     val edges = adj.filter(col("u") < col("v"))  // each edge once
     val wTot = edges.agg(sum("w").as("tw"))
     val deg = adj.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
@@ -705,9 +761,11 @@ object Graph {
       .crossJoin(broadcast(wTot))
       .select(col("label").as("community"), col("n_nodes"),
         coalesce(col("in_w"), lit(0L)).as("internal_w"), col("deg_w"),
-        (expr("coalesce(in_w, 0) * 1000000 div tw") -
-          expr("((deg_w * 1000000 div (2 * tw))" +
-            " * (deg_w * 1000000 div (2 * tw))) div 1000000"))
+        (expr("cast(coalesce(in_w, 0) as decimal(38,0)) * 1000000 div tw") -
+          expr("((cast(deg_w as decimal(38,0)) * 1000000" +
+            "   div (2 * cast(tw as decimal(38,0))))" +
+            " * (cast(deg_w as decimal(38,0)) * 1000000" +
+            "   div (2 * cast(tw as decimal(38,0))))) div 1000000"))
           .as("q_contrib_ppm"))
       .orderBy("community")
   }
@@ -842,9 +900,11 @@ object Graph {
          |)
          |SELECT degc.label AS community, n_nodes,
          |  CAST(COALESCE(in_w, 0) AS BIGINT) AS internal_w, deg_w,
-         |  CAST(COALESCE(in_w, 0) * 1000000 // tw
-         |    - ((deg_w * 1000000 // (2 * tw))
-         |       * (deg_w * 1000000 // (2 * tw))) // 1000000
+         |  CAST(CAST(COALESCE(in_w, 0) AS HUGEINT) * 1000000 // tw
+         |    - ((CAST(deg_w AS HUGEINT) * 1000000
+         |        // (2 * CAST(tw AS HUGEINT)))
+         |       * (CAST(deg_w AS HUGEINT) * 1000000
+         |          // (2 * CAST(tw AS HUGEINT)))) // 1000000
          |    AS BIGINT) AS q_contrib_ppm
          |FROM degc LEFT JOIN inc USING (label) CROSS JOIN tw
          |ORDER BY community""".stripMargin,

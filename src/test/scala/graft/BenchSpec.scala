@@ -10,13 +10,51 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("priorTimes resolves some BENCH_r*.json in cwd") {
+  test("priorTimes resolves a bench record in cwd with a full-width baseline") {
     assume(new java.io.File("BENCH_r03.json").exists())
     val Some((file, times)) = Bench.priorTimes()
-    assert(file.matches("BENCH_r\\d+\\.json"))
+    assert(file.matches("BENCH_SELF(_r\\d+)?\\.json|BENCH_r\\d+\\.json"))
+    // r12 verdict #1: a driver tail parses to as few as 34 cold timings
+    // once graph_served eats the bounded capture; the committed full
+    // record must win so the regression baseline stays all-queries wide
     assert(times.size > 50, s"expected 50+ query timings, got ${times.size}")
     assert(times.contains("w6_range_rolling") && times("w6_range_rolling") > 0)
     assert(times.contains("a1_groupby_sum_top5") && times("a1_groupby_sum_top5") > 0)
+  }
+
+  test("priorTimes prefers the committed full record over a truncated driver tail (r12 verdict #1)") {
+    assume(sys.env.get("SPARK_GRAFT_PREV_BENCH").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("benchspec_full").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    // newest driver tail: head-truncated, only one surviving cold pair
+    write("BENCH_r12.json",
+      """{"n":12,"rc":0,"tail":"93,\"q2\":1.0},\"graph_persist_sec\":3.2,\"errors\":[]}\n","parsed":null}""")
+    // full record from the same round's own run: complete queries map
+    write("BENCH_SELF.json",
+      """{"metric":"total","value":3.0,"unit":"sec","queries":{"q1":0.5,"q2":1.25,"q3":1.25},"errors":[],"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.priorTimes(dir) ==
+      Some(("BENCH_SELF.json", Map("q1" -> 0.5, "q2" -> 1.25, "q3" -> 1.25))))
+  }
+
+  test("priorTimes skips a full record from a different sf when expectSf is set") {
+    assume(sys.env.get("SPARK_GRAFT_PREV_BENCH").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("benchspec_sf").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    // an iteration run at sf0.01 left behind — must NOT become the
+    // sf0.1 baseline (every query would read as a 10x regression)
+    write("BENCH_SELF.json",
+      """{"metric":"total","value":0.3,"unit":"sec","queries":{"q1":0.05},"errors":[],"sf":"/root/testdata/sf0.01"}""")
+    write("BENCH_SELF_r11.json",
+      """{"metric":"total","value":3.0,"unit":"sec","queries":{"q1":0.5},"errors":[],"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.priorTimes(dir, expectSf = Some("/root/testdata/sf0.1")) ==
+      Some(("BENCH_SELF_r11.json", Map("q1" -> 0.5))))
+    // without the filter the newest full record wins as before
+    assert(Bench.priorTimes(dir) ==
+      Some(("BENCH_SELF.json", Map("q1" -> 0.05))))
   }
 
   test("priorTimes survives the head-truncated BENCH_r05.json (r5 verdict #1)") {

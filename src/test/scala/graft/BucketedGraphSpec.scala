@@ -140,6 +140,52 @@ class BucketedGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("served adjacency: g2 is bit-identical, its base scan is bucketed, and the oriented relation legitimately re-partitions (r12 verdict #4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_adj_g2")
+    Seq("lineitem.parquet", "orders.parquet").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, t), dir.resolve(t))
+    }
+    val d = dir.toString
+    try {
+      val base = Graph.g2Triangles(spark, d).collect().map(_.toString).toSeq
+      assert(base.nonEmpty)
+      val tables = Graph.persistAdjacency(spark, d, buckets = 4)
+
+      // served g2 from a FRESH session lands on the same counts, bit
+      // for bit (integer arithmetic — plan-independent)
+      val fresh = spark.newSession()
+      assert(Graph.g2Triangles(fresh, d).collect().map(_.toString).toSeq
+        == base, "g2 diverged off the served table")
+
+      // the serving win g2 gets: the u<v base-edge derivation reads the
+      // persisted TABLE scan instead of re-aggregating lineitem (the
+      // fact-sized shuffle — the 5.41→3.72 s drop BENCH r12 records).
+      // Standalone, the planner rightly reads it un-bucketed ("disabled
+      // by query planner": no join here consumes the layout — full scan
+      // parallelism wins); the layout-consuming members are pinned by
+      // the g7/g8 test below.
+      val basePlan = Graph.coOrderEdges(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(basePlan.contains("graft_coadj"),
+        s"served g2 base edges do not read the persisted table:\n$basePlan")
+      assert(!basePlan.contains("lineitem"),
+        s"served g2 base edges still rebuild from the fact table:\n$basePlan")
+
+      // ...and the documented limit: g2's wedge key is the ORIENTED
+      // `src`, not the table's bucket key `u` — the orientation flips
+      // edges across buckets, so the wedge self-join CANNOT ride the
+      // layout the way g7's u-keyed one does (g2Triangles docstring).
+      // The full g2 plan therefore still exchanges; this is the
+      // checkpoint-vs-serving asymmetry, pinned as intended behavior.
+      val g2Plan = Graph.g2Triangles(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(g2Plan.contains("Exchange"),
+        "g2's oriented wedge join unexpectedly became exchange-free — " +
+          "revisit the docstring's posture (a src-bucketed table?)")
+    } finally Graph.dropAdjacency(spark, d)
+  }
+
   test("served adjacency: g7's wedge self-join is exchange-FREE (both sides bucketed); g8's vote join exchanges only the label side; results bit-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graph_adj_g78")
     Seq("lineitem.parquet", "orders.parquet").foreach { t =>

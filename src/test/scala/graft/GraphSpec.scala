@@ -193,6 +193,44 @@ class GraphSpec extends AnyFunSuite {
       s"wedge/closing joins re-read the fact tables:\n$plan")
   }
 
+  test("lpaLabels memo: g8/g9 share one propagation run; a corpus rewrite re-propagates bit-identically (r12 verdict #5)") {
+    // private tier copy so the mtime bump can't perturb other suites
+    val dir = java.nio.file.Files.createTempDirectory("lpa_memo")
+    Seq("lineitem.parquet", "orders.parquet").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, t), dir.resolve(t))
+    }
+    val d = dir.toString
+    // sorted: labels/g-outputs are compared as relations (no ORDER BY
+    // on the label state; partition order is not part of the contract)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    val first = Graph.lpaLabels(spark, d)
+    val baseLabels = rows(first)
+    val g8 = rows(Graph.g8Communities(spark, d))
+    val g9 = rows(Graph.g9Modularity(spark, d))
+    assert(baseLabels.nonEmpty && g8.nonEmpty && g9.nonEmpty)
+
+    // a HIT returns the SAME materialized state (eq, not just equal):
+    // g9 consumed g8's run, no second propagation happened
+    assert(Graph.lpaLabels(spark, d) eq first,
+      "second lpaLabels call re-propagated despite an unchanged corpus")
+
+    // staleness: an mtime bump moves the tier signature — the memo
+    // re-propagates (fresh DataFrame) and, the corpus bytes being
+    // unchanged, lands on bit-identical labels and query outputs
+    java.nio.file.Files.setLastModifiedTime(
+      dir.resolve("lineitem.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    val re = Graph.lpaLabels(spark, d)
+    assert(!(re eq first), "stale labels served after a corpus rewrite")
+    assert(rows(re) == baseLabels, "re-propagated labels diverged")
+    assert(rows(Graph.g8Communities(spark, d)) == g8)
+    assert(rows(Graph.g9Modularity(spark, d)) == g9)
+  }
+
   test("g1: no cartesian joins; edge relation is reused across iterations") {
     val df = Graph.g1Pagerank(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

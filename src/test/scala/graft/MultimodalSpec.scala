@@ -271,6 +271,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hot.isEmpty, s"hot-bucket pairs leaked past the cap: ${hot.take(5).toSeq}")
   }
 
+  test("mm7: banded-fetch recall floors at corpus tier (r12 verdict #4)") {
+    // the measured sf0.01 values, pinned as FLOORS (s11's precedent:
+    // the report is the oracle-gated query; the spec keeps the cap
+    // from silently eroding what the band join surfaces). Context for
+    // the absolute level: this corpus's closest DISTINCT-content rep
+    // pairs sit at Hamming >= 10 (text stand-in payloads — r12's mm5
+    // posture), far outside the <= MaxHamming promise zone where
+    // pigeonhole guarantees a clean band, so these floors measure
+    // banding's behavior BEYOND its guarantee, not the guarantee.
+    val got = graft.mm.Multimodal
+      .mm7RecallReport(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("top25") >= 1200L,
+      s"top25 banded recall fell below the measured floor: $got")
+    assert(got("top100") >= 700L,
+      s"top100 banded recall fell below the measured floor: $got")
+  }
+
   test("mm6: cross-modal integrity flags both disagreement directions on planted fixtures") {
     import spark.implicits._
     def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
