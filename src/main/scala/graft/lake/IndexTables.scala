@@ -112,6 +112,84 @@ object IndexTables {
     }
   }
 
+  /** The signature a served table is currently stamped with, if the
+    * table exists. Incremental maintainers read this BEFORE letting an
+    * increment land in the corpus: it is the `prevSig` handle
+    * [[appendIncrement]] demands, proving the index they probed is the
+    * one they are about to extend.
+    */
+  def stampOf(s: SparkSession, prefix: String, path: String): Option[String] = {
+    val table = tableName(prefix, path)
+    if (!s.catalog.tableExists(table)) None
+    else s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(SigProp)
+  }
+
+  /** INCREMENTAL index maintenance (r12 verdict #2): append an
+    * increment's derived index rows to the persisted table and re-stamp
+    * it to the corpus's NEW signature, instead of letting the signature
+    * mismatch invalidate the whole artifact and force a corpus-sized
+    * rebuild — the daily-crawl bill this removes is the g7/g8 sf10
+    * persist's 85 s, paid per increment under the rebuild posture.
+    *
+    * CALLER CONTRACT (what makes the append sound): between reading
+    * `prevSig` ([[stampOf]], before the corpus changed) and this call,
+    * the corpus at `path` changed by EXACTLY the increment whose
+    * derived rows `df` carries — nothing else touched it, and `df` is
+    * precisely the index relation of the new rows under the SAME
+    * parameters (hash family, shingling, weighting) the table was
+    * built with. Under that contract, append ≡ full rebuild on
+    * corpus ∪ increment for any row-decomposable index (band tables,
+    * bucket tables — per-doc rows), and ≡ up to a merge-aggregate for
+    * additive ones (the co-order adjacency, whose consumers sum
+    * weights per key on read; IncrementalIndexSpec pins all three).
+    *
+    * Mechanics: the increment lands as additional per-bucket files in
+    * the SAME bucket layout (repartition on the bucket cols first —
+    * the persist recipe — so each write task emits one bucket's file);
+    * bucketed reads absorb multi-file buckets, so downstream joins
+    * keep consuming the layout exchange-free. Append happens BEFORE
+    * the re-stamp: a crash between the two leaves new rows under the
+    * old stamp, which [[serve]] sees as a mismatch and drops — the
+    * safe direction (rebuild, never silent staleness). Single
+    * maintainer per (prefix, path) assumed, same as [[persist]]'s swap
+    * window. A `prevSig` mismatch throws IllegalStateException —
+    * someone else rewrote the corpus or re-persisted the table, and
+    * the caller must fall back to a full [[persist]].
+    *
+    * Deletions are NOT expressible as appends: this index family
+    * serves append-only corpora (curated stores admit, never retract);
+    * a retraction rewrites via [[persist]].
+    */
+  def appendIncrement(s: SparkSession, df: DataFrame, prefix: String,
+      path: String, prevSig: String): String = {
+    val table = tableName(prefix, path)
+    val stamp = stampOf(s, prefix, path)
+    if (!stamp.contains(prevSig))
+      throw new IllegalStateException(
+        s"appendIncrement($prefix, $path): table stamp $stamp != expected " +
+          s"$prevSig — corpus or table changed under the maintainer; " +
+          "fall back to a full persist")
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"appendIncrement: $table has no bucket spec"))
+    val cols = spec.bucketColumnNames
+    val newSig = CorpusIndexCache.signature(path)
+    df.repartition(spec.numBuckets, cols.map(df.col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .saveAsTable(table)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SigProp' = '$newSig')")
+    // session-cache wrappers hold the PRE-append scan in memory; evict
+    // so the next access re-reads the grown table
+    CorpusIndexCache.invalidateAll(path)
+    s.catalog.refreshTable(table)
+    table
+  }
+
   /** Drop the persisted table for (prefix, path), if any, and evict
     * every session-cache entry for the path so wrappers that cached a
     * scan of the dropped table rebuild instead of failing on a missing

@@ -58,6 +58,37 @@ object Graph {
     graft.lake.IndexTables.drop(s, CoAdjPrefix, d)
   }
 
+  /** The persisted co-order adjacency's current stamp — read BEFORE an
+    * increment of new orders lands in tier `d` (the
+    * [[appendAdjacencyIncrement]] handle).
+    */
+  def adjacencyStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, CoAdjPrefix, d)
+
+  /** INCREMENTAL adjacency maintenance (r12 verdict #2, graph leg):
+    * when a batch of NEW orders lands (order keys disjoint from the
+    * existing facts, each order's lines complete — co-order pairs are
+    * order-local, so whole orders are the natural increment grain),
+    * append the DELTA adjacency derived from just those lines and
+    * re-stamp, instead of the signature mismatch forcing the 85 s
+    * (sf10) full rebuild per increment. Unlike the band/bucket legs
+    * the adjacency is ADDITIVE, not row-decomposable: a delta row may
+    * repeat an existing (u, v) with a partial weight, and [[coAdj]]
+    * merges per key on read — exchange-free on the bucket layout (see
+    * its docstring). Equivalence (IncrementalIndexSpec): merged
+    * appended table ≡ coOrderWeighted over the full fact set, row for
+    * row, and every downstream query (g3/g4/g8…) lands bit-identically
+    * on either. The g1 edge table is NOT appendable — its rows carry
+    * the per-src out-weight denormalized, which a delta invalidates
+    * globally — so it keeps the rebuild posture; its serve simply goes
+    * stale and g1 falls back to the cold build until the next
+    * [[persistAdjacency]].
+    */
+  def appendAdjacencyIncrement(s: SparkSession, d: String,
+      deltaLineitem: DataFrame, prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s,
+      coOrderWeightedFrom(deltaLineitem), CoAdjPrefix, d, prevSig)
+
   /** g1's edge relation: the served bucketed table when one is persisted
     * and fresh (per-round join exchange-free on the edge side), else the
     * build-and-checkpoint form. A missing table costs one metastore
@@ -73,6 +104,17 @@ object Graph {
     */
   private[graft] def coAdj(s: SparkSession, d: String): DataFrame =
     graft.lake.IndexTables.serve(s, CoAdjPrefix, d)
+      // merge-on-read: incremental appends ([[appendAdjacencyIncrement]])
+      // land DELTA rows that may repeat an existing (u, v) key with a
+      // partial weight; summing per key restores the unique-key
+      // adjacency. The aggregate is EXCHANGE-FREE on the u-bucketed
+      // scan — HashPartitioning(u) already clusters (u, v) — and its
+      // output keeps the scan's partitioning, so every downstream
+      // u-keyed join (g7's wedge self-join, g8's vote join) stays as
+      // exchange-free as it was reading the raw table
+      // (BucketedGraphSpec pins both). On a freshly persisted table
+      // (one row per key) the merge is a values-identity.
+      .map(_.groupBy("u", "v").agg(sum("w").as("w")))
       .getOrElse(coOrderWeighted(s, d).localCheckpoint())
 
   /** g1: PageRank (Brin & Page 1998) on the bipartite order graph —
@@ -225,8 +267,17 @@ object Graph {
     * replaces the distinct + self-join form's three exchanges; the tiny
     * interpreted lambdas run on 1 row per order, not per lineitem.
     */
-  private[graft] def coOrderWeighted(s: SparkSession, d: String): DataFrame = {
-    val pairs = lineitem(s, d)
+  private[graft] def coOrderWeighted(s: SparkSession, d: String): DataFrame =
+    coOrderWeightedFrom(lineitem(s, d))
+
+  /** The same relation from an explicit lineitem frame — the
+    * incremental-maintenance entry point ([[appendAdjacencyIncrement]])
+    * derives a DELTA adjacency from just the new orders' lines through
+    * this, guaranteeing the delta is built by the very code that built
+    * the persisted table (the two cannot drift).
+    */
+  private[graft] def coOrderWeightedFrom(li: DataFrame): DataFrame = {
+    val pairs = li
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(

@@ -1101,6 +1101,56 @@ object Similarity {
       AdmTablePrefix, s"$d/embeddings.parquet", Seq("tbl", "bk"), buckets)
   }
 
+  /** Path-generic persist of an admission index over `corpus` (normed,
+    * [[normedEmbeddings]]' shape) under a FIXED `familyN` — the
+    * incremental entry point persists through this, then extends via
+    * [[appendAdmissionIndex]]. familyN is explicit because it is the
+    * build-time calibration every later prober must share.
+    */
+  def persistAdmissionIndexFor(s: SparkSession, corpusPath: String,
+      corpus: DataFrame, familyN: Long, buckets: Int = 32): String = {
+    VectorExpressions.ensureRegistered(s)
+    graft.lake.IndexTables.persist(s, embeddingBucketIndex(corpus, familyN),
+      AdmTablePrefix, corpusPath, Seq("tbl", "bk"), buckets)
+  }
+
+  /** The persisted admission index's current stamp — read BEFORE an
+    * increment lands (the [[appendAdmissionIndex]] handle).
+    */
+  def admissionIndexStamp(s: SparkSession, corpusPath: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, AdmTablePrefix, corpusPath)
+
+  /** The persisted admission index table for `corpusPath`, when present
+    * and fresh — the relation [[admitEmbeddingIncrement]] takes as
+    * `corpusIndex`.
+    */
+  def servedAdmissionIndex(s: SparkSession,
+      corpusPath: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, AdmTablePrefix, corpusPath)
+
+  /** INCREMENTAL admission-index maintenance (r12 verdict #2), the
+    * vector twin of [[graft.text.Dedup.appendBandIndex]]: after
+    * [[admitEmbeddingIncrement]] admits `admitted` and those vectors
+    * land in the corpus at `corpusPath`, append exactly their bucket
+    * rows — hashed with the ORIGINAL build-time `familyN`, the fixed
+    * hash family every prober of this index must share (the class
+    * invariant [[embeddingBucketIndex]] documents) — and re-stamp.
+    * Sound because the bucket table is per-vector row-decomposable
+    * under a fixed family; the full-rebuild comparator is therefore
+    * "rebuild on corpus ∪ admitted WITH the same familyN"
+    * (IncrementalIndexSpec). Re-sizing the family to the grown corpus
+    * is a REBUILD decision (every stored signature changes), exactly
+    * like re-training a quantizer — the maintainer re-persists when
+    * bitsFor(n) steps.
+    */
+  def appendAdmissionIndex(s: SparkSession, corpusPath: String,
+      admitted: DataFrame, familyN: Long, prevSig: String): String = {
+    VectorExpressions.ensureRegistered(s)
+    graft.lake.IndexTables.appendIncrement(s,
+      embeddingBucketIndex(admitted, familyN),
+      AdmTablePrefix, corpusPath, prevSig)
+  }
+
   /** The corpus-side (vec_id < 4n/5) admission index relation — one
     * definition shared by the session-cache build and the persisted
     * table, so the two forms cannot drift.

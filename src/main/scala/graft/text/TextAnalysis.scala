@@ -734,7 +734,124 @@ object TextAnalysis {
         salt = "bpe")
       .orderBy("doc_id")
 
+  /** Per-(doc, word-position) TRAINED token counts — t33's encode
+    * projection kept at word grain with the original split position,
+    * the unit source every trained-denomination packer/chunker
+    * composes (r12 verdict #3: t10/t17/t19 counted whitespace splits,
+    * so the packed context windows a training run consumes were
+    * metered in the wrong unit — long words under-charged, merge-heavy
+    * text over-charged, exactly the mismatch t34's budget fix named on
+    * the sampling side). Same scale shape as t33: the memoized merge
+    * list compiles into a codegen'd literal-replace chain over the
+    * word explode — no join, one corpus scan.
+    */
+  private def encodedWords(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrained(s, d)._2.map(m => (m._2, m._3))
+    val st = bpeApply(
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")), merges)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("lang"), col("pos"), col("w"),
+        (length(st) - length(replace(st, lit(" "), lit(""))) - 1)
+          .cast("long").as("nt"))
+  }
+
+  /** Per-doc trained token totals with the shard key — the t35/t36
+    * input relation (one doc_id-keyed partial-agg shuffle over
+    * [[encodedWords]]). Grouped on doc_id ALONE (lang rides as max —
+    * functionally dependent, one lang per doc) so the output stays
+    * doc_id-partitioned and t36's text join needs no re-exchange of
+    * this side.
+    */
+  private def trainedDocTokens(s: SparkSession, d: String): DataFrame =
+    encodedWords(s, d)
+      .groupBy("doc_id")
+      .agg(max("lang").as("lang"), sum("nt").as("n_tokens"))
+
+  /** t35: t10's sequence packing RE-DENOMINATED in trained BPE tokens —
+    * pack_id = (trained tokens accumulated before this doc, per lang
+    * shard) div budget, so a context window holds ≈ `budget` of the
+    * units the training run actually pays, not whitespace splits. Plan
+    * shape is t10's exactly (one shard-key exchange, one in-partition
+    * running sum) on top of t33's codegen'd encode projection; the
+    * trained counts come from the same memoized merge list as
+    * t33/t34, so sampler, packer, and encoder meter the SAME coin.
+    */
+  private[graft] val TrainedPackBudget = 2048L
+  def t35PackDocsTrained(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    trainedDocTokens(s, d)
+      .withColumn("tok_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"tok_before div ${TrainedPackBudget}L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** t36: t17's materialized pack payloads with t35's trained-unit
+    * boundaries — each (shard, pack) concatenates its member docs
+    * (doc_id order, `<eos>`-separated) and accounts its size in
+    * trained tokens. Same one-exchange-serves-both shape as t17
+    * (window hash on lang satisfies the pack agg's clustering);
+    * LlmPipelineSpec re-pins the payload boundary contract in trained
+    * units.
+    */
+  def t36PackPayloadsTrained(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    trainedDocTokens(s, d)
+      .join(documents(s, d).select("doc_id", "text"), "doc_id")
+      .withColumn("tok_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_before div ${TrainedPackBudget}L"))
+      .groupBy("lang", "pack_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        expr("""array_join(transform(
+            array_sort(collect_list(struct(doc_id, text))), x -> x.text),
+            ' <eos> ')""").as("payload"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** t37: budget-exact document SPLITTING at trained-token grain — the
+    * downstream splitter t10's docstring promises for over-budget
+    * docs, re-denominated: a doc's words are assigned to consecutive
+    * chunks by cumulative trained-token count (chunk_id = trained
+    * tokens before this word div budget), word-aligned, so every chunk
+    * fits a `TrainedChunkTokens`-unit context up to one word of
+    * spill — the boundary a token-limited embedder or trainer actually
+    * enforces. Distinct from t19, which stays the OVERLAPPING
+    * whitespace window (the RAG retrieval convention); this is the
+    * partitioning form whose unit had to become trained tokens.
+    * Plan: one doc_id-keyed exchange serves the running sum AND the
+    * chunk agg (subset clustering), over the codegen'd encode
+    * projection — high-cardinality window grain (doc_id), never a
+    * global sort.
+    */
+  private[graft] val TrainedChunkTokens = 160L
+  def t37ChunkDocsTrained(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    encodedWords(s, d)
+      .withColumn("tok_before", coalesce(sum("nt").over(w), lit(0L)))
+      .withColumn("chunk_id",
+        expr(s"tok_before div ${TrainedChunkTokens}L"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).cast("int").as("n_chunk_words"),
+        sum("nt").as("n_chunk_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " x -> x.w), ' ')").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_pack_docs_trained" -> (t35PackDocsTrained _),
+    "t36_pack_payloads_trained" -> (t36PackPayloadsTrained _),
+    "t37_chunk_docs_trained" -> (t37ChunkDocsTrained _),
     "t34_bpe_budget_sample" -> (t34BpeBudgetSample _),
     "t33_bpe_encode"   -> (t33BpeEncode _),
     "t32_bigram_lm"    -> (t32BigramLm _),
@@ -846,6 +963,53 @@ object TextAnalysis {
        |)""".stripMargin
   }
 
+  /** Positional variant of [[bpeEncodeCtes]]: per-(doc, split-position)
+    * trained token counts `encp(doc_id, pos, w, nt)` — the oracle twin
+    * of [[encodedWords]] (parallel unnest zips positionally in DuckDB,
+    * the t32 pattern; empties are filtered but keep their original
+    * positions, exactly like the Spark posexplode+filter). Shared by
+    * the t37 oracle.
+    */
+  private lazy val bpeEncodePosCtes: String = {
+    val applied = (1 to BpeMerges).foldLeft(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, i) =>
+      (1 to BpeReplacePasses).foldLeft(acc)((a, _) =>
+        s"replace($a, m$i.pat, m$i.rep)")
+    }
+    val mergeFrom = (1 to BpeMerges).map(i => s"m$i").mkString(", ")
+    s"""$bpeChainDuck,
+       |dwp AS (
+       |  SELECT doc_id, pos, w FROM (
+       |    SELECT doc_id,
+       |      unnest(range(len(ws))) AS pos,
+       |      unnest(list_transform(range(len(ws)), i -> ws[i+1])) AS w
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |          FROM documents))
+       |  WHERE w <> ''
+       |), encp AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    length(st) - length(replace(st, ' ', '')) - 1 AS nt
+       |  FROM (SELECT dwp.doc_id, dwp.pos, dwp.w, $applied AS st
+       |        FROM dwp, $mergeFrom)
+       |)""".stripMargin
+  }
+
+  /** The t35/t36 shard-windowed pack assignment over `encagg` + the
+    * documents join — shared CTE suffix of the two trained-packing
+    * oracles.
+    */
+  private lazy val trainedPackCtes: String =
+    s"""pd AS (
+       |  SELECT e.doc_id, d.lang, d.text, e.n_tokens
+       |  FROM encagg e JOIN documents d USING (doc_id)
+       |), pk AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tok_before
+       |  FROM pd
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // parallel unnest of equal-length lists zips positionally in DuckDB
     // (verified) — the two list_transforms share one range generator
@@ -875,6 +1039,36 @@ object TextAnalysis {
       s"""WITH $bpeEncodeCtes
          |SELECT doc_id, n_words, n_chars, n_tokens FROM encagg
          |ORDER BY doc_id""".stripMargin,
+    "t35_pack_docs_trained" ->
+      s"""WITH $bpeEncodeCtes,
+         |$trainedPackCtes
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(tok_before // $TrainedPackBudget AS BIGINT) AS pack_id
+         |FROM pk ORDER BY doc_id""".stripMargin,
+    "t36_pack_payloads_trained" ->
+      s"""WITH $bpeEncodeCtes,
+         |$trainedPackCtes
+         |SELECT lang, CAST(tok_before // $TrainedPackBudget AS BIGINT)
+         |    AS pack_id,
+         |  CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS payload
+         |FROM pk GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+    "t37_chunk_docs_trained" ->
+      s"""WITH $bpeEncodePosCtes,
+         |ck AS (
+         |  SELECT doc_id, pos, w, nt,
+         |    COALESCE(sum(nt) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_before
+         |  FROM encp
+         |)
+         |SELECT doc_id,
+         |  CAST(tok_before // $TrainedChunkTokens AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS INTEGER) AS n_chunk_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_chunk_tokens,
+         |  string_agg(w, ' ' ORDER BY pos) AS chunk
+         |FROM ck GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
     "t34_bpe_budget_sample" ->
       s"""WITH $bpeEncodeCtes,
          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM encagg)

@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-increment maintenance cost of the persisted index tables
+  * (r12 verdict #2's measurement half): for each corpus tier, split
+  * ~1% of the corpus off as "today's increment", persist the index on
+  * the other ~99%, then measure
+  *
+  *   - `append_sec`   — extending the persisted table with just the
+  *                      increment's derived rows + re-stamp
+  *                      (`IndexTables.appendIncrement`), and
+  *   - `rebuild_sec`  — the full re-persist on corpus ∪ increment the
+  *                      old signature-invalidation posture forced,
+  *
+  * for the three maintained artifacts: the text band index, the
+  * embedding admission index, and the co-order adjacency. The claim
+  * under test: append cost tracks the INCREMENT size while rebuild
+  * cost tracks the CORPUS — the gap must WIDEN with tier (at 100 TB
+  * with daily 0.1% crawls the ratio is the nightly bill).
+  * IncrementalIndexSpec pins that append ≡ rebuild in VALUE; this
+  * records what the equivalence buys in time.
+  *
+  *   sbt "runMain graft.tools.IncrementBench /root/testdata/sf0.1 /tmp/graft_sf1"
+  *
+  * Output: one JSON line per run (commit as INDEX_INCREMENT_R*.json).
+  */
+object IncrementBench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_increment_wh")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/tmp/graft_increment_db;create=true")
+      .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = dirs.filter(d => new java.io.File(d).exists()).map { d =>
+      // ---- band index (documents) ----------------------------------
+      val bandJson = {
+        val tmp = java.nio.file.Files.createTempDirectory("incb_band")
+        val p = s"$tmp/corpus.parquet"
+        val docs = graft.lake.Tables.documents(spark, d)
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 0).write.parquet(p)
+        val corpus = spark.read.parquet(p)
+        val nCorpus = corpus.count()
+        val persistSec = time(
+          graft.text.Dedup.persistBandIndexFor(spark, p, corpus))
+        val sig = graft.text.Dedup.bandIndexStamp(spark, p).get
+        val inc = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .localCheckpoint()
+        val nInc = inc.count()
+        inc.write.mode("append").parquet(p)
+        val appendSec = time(
+          graft.text.Dedup.appendBandIndex(spark, p, inc, sig))
+        val rebuildSec = time(graft.text.Dedup.persistBandIndexFor(
+          spark, p, spark.read.parquet(p)))
+        graft.lake.IndexTables.drop(spark, "band", p)
+        f""""band":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+      }
+
+      // ---- embedding admission index -------------------------------
+      val admJson = {
+        val tmp = java.nio.file.Files.createTempDirectory("incb_adm")
+        val p = s"$tmp/corpus.parquet"
+        val e = spark.read.parquet(s"$d/embeddings.parquet")
+        def normed(df: org.apache.spark.sql.DataFrame) =
+          graft.sim.Similarity.withNorm(df.select("vec_id", "embedding"))
+        e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+          .select("vec_id", "embedding").write.parquet(p)
+        val corpus = normed(spark.read.parquet(p))
+        val familyN = corpus.count()
+        val persistSec = time(graft.sim.Similarity
+          .persistAdmissionIndexFor(spark, p, corpus, familyN))
+        val sig = graft.sim.Similarity.admissionIndexStamp(spark, p).get
+        val inc = normed(e.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select("vec_id", "embedding")).localCheckpoint()
+        val nInc = inc.count()
+        inc.select("vec_id", "embedding").write.mode("append").parquet(p)
+        val appendSec = time(graft.sim.Similarity
+          .appendAdmissionIndex(spark, p, inc, familyN, sig))
+        val rebuildSec = time(graft.sim.Similarity.persistAdmissionIndexFor(
+          spark, p, normed(spark.read.parquet(p)), familyN))
+        graft.lake.IndexTables.drop(spark, "adm", p)
+        f""""admission":{"corpus_rows":$familyN,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+      }
+
+      // ---- co-order adjacency (lineitem) ---------------------------
+      val adjJson = if (!new java.io.File(s"$d/lineitem.parquet").exists()) ""
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("incb_adj")
+        val td = tmp.toString
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+        // whole orders are the increment grain (co-order pairs are
+        // order-local)
+        li.filter(pmod(col("l_orderkey"), lit(100)) =!= 0)
+          .write.parquet(s"$td/lineitem.parquet")
+        // the coadj-only comparator: what the append actually avoids
+        // (persistAdjacency also writes the g1 edge table, which keeps
+        // the rebuild posture — measured separately as persist_both)
+        def persistCoadj(): Unit = graft.lake.IndexTables.persist(spark,
+          graft.queries.Graph.coOrderWeightedFrom(
+            spark.read.parquet(s"$td/lineitem.parquet")),
+          "coadj", td, Seq("u"))
+        val persistSec = time(persistCoadj())
+        val sig = graft.lake.IndexTables.stampOf(spark, "coadj", td).get
+        val delta = li.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+          .localCheckpoint()
+        val nDelta = delta.count()
+        delta.write.mode("append").parquet(s"$td/lineitem.parquet")
+        val appendSec = time(graft.queries.Graph
+          .appendAdjacencyIncrement(spark, td, delta, sig))
+        val rebuildSec = time(persistCoadj())
+        graft.lake.IndexTables.drop(spark, "coadj", td)
+        f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+      }
+
+      s""""$d":{$bandJson,$admJson$adjJson}"""
+    }
+    println(rows.mkString(
+      "{\"metric\":\"index_increment\",\"tiers\":{", ",", "}}"))
+    spark.stop()
+  }
+}

@@ -42,6 +42,68 @@ class ChunkingSpec extends AnyFunSuite {
     assert(overlapBad == 0, "overlap accounting off for some long doc")
   }
 
+  test("trained-unit packing/chunking: one coin with t33; pack and chunk boundaries hold in trained tokens (r12 verdict #3)") {
+    import org.apache.spark.sql.functions._
+    val budget = TextAnalysis.TrainedPackBudget
+    val chunkB = TextAnalysis.TrainedChunkTokens
+
+    // (a) the packer meters the SAME coin as the encoder/sampler:
+    // t35's per-doc n_tokens equals t33's, row for row
+    val enc = TextAnalysis.t33BpeEncode(spark, sf)
+      .select("doc_id", "n_tokens")
+    val packed = TextAnalysis.t35PackDocsTrained(spark, sf)
+    assert(packed.select("doc_id", "n_tokens").except(enc).isEmpty,
+      "t35 counts a different token coin than t33")
+
+    // (b) t10's greedy boundary contract, re-pinned in trained units:
+    // within a shard, pack_id = floor(cumulative trained tokens /
+    // budget) — so every pack's START sits in its budget window, and a
+    // pack overflows the budget by at most its last member
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val bad = packed
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("pack_id") =!= expr(s"tok_before div ${budget}L"))
+      .count()
+    assert(bad == 0, "some doc's trained pack_id breaks the greedy formula")
+
+    // (c) payloads agree with the assignment: per (lang, pack) the
+    // payload row's accounting equals the packer's group
+    val fromT35 = packed.groupBy("lang", "pack_id")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum("n_tokens").as("pack_tokens"))
+    val fromT36 = TextAnalysis.t36PackPayloadsTrained(spark, sf)
+      .select("lang", "pack_id", "n_docs", "pack_tokens")
+    assert(fromT36.except(fromT35).isEmpty && fromT35.except(fromT36).isEmpty,
+      "t36 payload accounting diverged from t35's assignment")
+    // ...and a pack's payload carries exactly n_docs <eos>-separated docs
+    val eosBad = TextAnalysis.t36PackPayloadsTrained(spark, sf)
+      .filter(size(split(col("payload"), " <eos> ", -1)) =!= col("n_docs"))
+      .count()
+    assert(eosBad == 0, "payload <eos> structure disagrees with n_docs")
+
+    // (d) chunk splitting covers each doc exactly and fits the budget
+    // up to one word of spill (word-aligned boundaries)
+    val chunks = TextAnalysis.t37ChunkDocsTrained(spark, sf)
+    val cover = chunks.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("sum_tok"))
+      .join(enc, "doc_id")
+      .filter(col("sum_tok") =!= col("n_tokens")).count()
+    assert(cover == 0, "chunks do not cover their doc's trained tokens")
+    // every chunk start sits inside its budget window, so a chunk can
+    // exceed the budget only by its LAST word's cost: n_chunk_tokens <
+    // B + max word nt in the chunk, and word nt <= its char length
+    // (each merge only shrinks), so the longest word bounds the spill
+    val spillBad = chunks
+      .withColumn("max_word_len",
+        expr("array_max(transform(split(chunk, ' '), x -> length(x)))"))
+      .filter(col("n_chunk_tokens") >= lit(chunkB) + col("max_word_len"))
+      .count()
+    assert(spillBad == 0, "a chunk exceeds budget beyond one-word spill")
+  }
+
   test("domain filter keeps exactly the docs of kept sources") {
     val card = TextAnalysis.t20SourceFilter(spark, sf)
     val keptSources = card.filter(col("kept")).select("source")

@@ -142,6 +142,45 @@ class WinnowingSpec extends AnyFunSuite {
       "the (doc_id, h) distinct must not add an exchange after the doc_id window")
   }
 
+  test("d14 decontamination: near-verbatim-with-edits leaks recovered; clean docs untouched; d8's exact-shingle screen misses the same plant (r12 verdict #8)") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong potions under the ancient oak tree " +
+      "at midnight every single winter solstice festival night"
+    // the leak: the same item with every 4th word RE-CASED (so EVERY
+    // exact 5-gram window contains an edit — d8's case-sensitive
+    // screen goes fully blind), whitespace reflowed, and one word
+    // swapped mid-text; under d14's normalization the text differs
+    // from the benchmark by the single swap, leaving long runs
+    val leaked = bench.split(" ").zipWithIndex.map { case (w, i) =>
+      val cased = if (i % 4 == 0) w.toUpperCase else w
+      if (cased == "midnight") "noon" else cased
+    }.mkString(" ").replace("brown fox", "brown  fox")
+    val clean = "completely unrelated text about databases indexes " +
+      "partitions shuffles joins aggregates windows and watermarks " +
+      "running on large distributed clusters every day of the year"
+    val training = Seq((0L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val benchmark = Seq((1L, bench)).toDF("doc_id", "text")
+
+    val flagged = graft.text.Winnowing.decontaminate(training, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flagged.contains(0L),
+      s"the edited near-verbatim leak was not recovered: $flagged")
+    assert(flagged(0L) >= 3L, s"leak shared too few fingerprints: $flagged")
+    assert(!flagged.contains(2L), s"clean doc falsely flagged: $flagged")
+
+    // the motivating gap: d8's exact 5-gram screen misses this plant
+    // (case + whitespace edits break every overlapping shingle window
+    // around them, and the doc is short enough that none survives at
+    // d8's threshold) — winnowing's normalized-run guarantee is what
+    // recovers it
+    val d8 = graft.text.Dedup.crossContamination(
+      training, benchmark, n = 5)
+    assert(!d8.collect().map(_.getLong(0)).contains(0L),
+      "fixture regression: d8's exact screen now catches the plant — " +
+        "strengthen the edits so d14's advantage stays demonstrated")
+  }
+
   test("density: fingerprints per doc near the 2/(W+1) law on real documents") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val stats = Winnowing.fingerprints(docs)
