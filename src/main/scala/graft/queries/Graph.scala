@@ -528,7 +528,7 @@ object Graph {
     * canonical center), mirrored exactly by the oracle's min-reachable
     * closure.
     */
-  private val MinCoOrders = 3
+  private[graft] val MinCoOrders = 3
   def g5Components(s: SparkSession, d: String): DataFrame = {
     val strong = coAdj(s, d)
       .filter(col("u") < col("v") && col("w") >= MinCoOrders)
@@ -794,9 +794,17 @@ object Graph {
     * label join on the edge side is u-keyed, so the served bucketed
     * adjacency feeds it exchange-free like g8's rounds.
     */
-  def g9Modularity(s: SparkSession, d: String): DataFrame = {
-    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    val labels = lpaLabels(s, d) // (node, label) — memoized, g8's run
+  def g9Modularity(s: SparkSession, d: String): DataFrame =
+    modularityOf(coAdj(s, d).filter(col("w") >= MinCoOrders),
+      lpaLabels(s, d))
+
+  /** g9's computation over an ARBITRARY (node, label) partition —
+    * factored out so refinement passes (g11) and specs gauge any
+    * partition with the same integer contract. `adj` carries both
+    * directions of each edge.
+    */
+  private[graft] def modularityOf(adj: DataFrame,
+      labels: DataFrame): DataFrame = {
     val edges = adj.filter(col("u") < col("v"))  // each edge once
     val wTot = edges.agg(sum("w").as("tw"))
     val deg = adj.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
@@ -856,7 +864,93 @@ object Graph {
       .limit(20)
   }
 
+  /** One Louvain-style LOCAL-MOVE round (Blondel et al. 2008) over an
+    * existing partition: every node evaluates moving into each
+    * NEIGHBOR community and adopts the best strictly-positive
+    * modularity gain, min-label on ties — the standard refinement step
+    * after LPA (g8's communities are connectivity-driven; this is the
+    * first move the modularity objective itself would make).
+    *
+    * Gain, exactly (no floors): for node i currently in a, candidate c,
+    *   ΔQ(i→c) ∝ G = (k_ic − k_ia)·2W − deg_i·(deg_c − deg_a + deg_i)
+    * where k_ix is i's edge mass into x and deg_x the community degree
+    * mass — G is ΔQ scaled by the positive constant 2W², so sign and
+    * ORDER are exact in integer arithmetic; computed in decimal(38,0)
+    * (HUGEINT in the oracle) so no wrap at any W (g9's posture).
+    * SYNCHRONOUS adopt: all gains are evaluated against the CURRENT
+    * partition and applied at once — deterministic and relational,
+    * the same one-shot update shape as g8's monotone round (sequential
+    * Louvain's per-node ordering is not expressible cross-engine).
+    * Synchronous moves lose sequential Louvain's per-move monotonicity
+    * THEOREM, but each adopted move had strictly positive gain against
+    * the evaluated state; GraphSpec measures the partition's exact
+    * modularity BEFORE and AFTER on the corpus and pins the
+    * non-decrease (via [[modularityOf]]'s machinery recomputed in
+    * plain Scala).
+    *
+    * Plan shape: g8's vote-round skeleton exactly — the k_ic relation
+    * is ONE edge⋈label equi-join on the served adjacency's bucket key
+    * `u` (exchange-free edge side when the table is fresh) + one
+    * (node, nlabel) partial agg; community masses are label-keyed
+    * aggs of the node-sized degree relation; the argmax is the same
+    * min-struct partial agg (no window over the candidate stream).
+    */
+  private[graft] def louvainRefine(adj: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val deg = adj.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
+    val wTot = adj.filter(col("u") < col("v")).agg(sum("w").as("tw"))
+    val degC = deg.join(labels, "node")
+      .groupBy("label").agg(sum("wd").as("dc"))
+    val kic = adj
+      .join(labels.select(col("node").as("u"), col("label").as("nlabel")),
+        "u")
+      .groupBy(col("v").as("node"), col("nlabel"))
+      .agg(sum("w").as("k"))
+      .localCheckpoint() // two consumers: own-community mass + candidates
+    val base = labels.join(deg, "node")
+      .join(degC.select(col("label"), col("dc").as("dca")), "label")
+      .join(kic.select(col("node").as("kn"), col("nlabel"),
+          col("k").as("ka")),
+        col("node") === col("kn") && col("nlabel") === col("label"), "left")
+      .select(col("node"), col("label"), col("wd"), col("dca"),
+        coalesce(col("ka"), lit(0L)).as("ka"))
+    val cand = base.as("b")
+      .join(kic.as("c"), col("b.node") === col("c.node") &&
+        col("c.nlabel") =!= col("b.label"))
+      .join(degC.select(col("label").as("nlabel"), col("dc").as("dcc")),
+        "nlabel")
+      .crossJoin(broadcast(wTot))
+      .select(col("b.node").as("node"), col("nlabel"),
+        expr("(cast(k as decimal(38,0)) - ka) * 2 * tw" +
+          " - cast(wd as decimal(38,0)) * (dcc - dca + wd)").as("gain"))
+    val best = cand
+      .groupBy("node")
+      .agg(min(struct((-col("gain")).as("ng"), col("nlabel").as("nlabel")))
+        .as("m"))
+      .filter(col("m.ng") < 0) // strictly positive gain only
+      .select(col("node"), col("m.nlabel").as("proposal"))
+    labels.join(best, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("proposal"), col("label")).as("label"))
+  }
+
+  /** g11: the refined community histogram — g8's output shape over the
+    * partition after one local-move round, so the two are directly
+    * comparable (and g9's gauge applies to either via
+    * [[modularityOf]]). Labels come from the memoized LPA run.
+    */
+  def g11LouvainRefine(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    louvainRefine(adj, lpaLabels(s, d))
+      .groupBy("label").agg(count(lit(1)).as("comm_size"))
+      .groupBy("comm_size")
+      .agg(count(lit(1)).as("n_communities"),
+        min("label").as("min_label"), max("label").as("max_label"))
+      .orderBy("comm_size")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_louvain_refine" -> (g11LouvainRefine _),
     "g10_resource_alloc" -> (g10ResourceAlloc _),
     "g9_modularity" -> (g9Modularity _),
     "g8_communities" -> (g8Communities _),
@@ -907,6 +1001,48 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    "g11_louvain_refine" ->
+      s"""WITH $lpaChainDuck,
+         |deg AS (
+         |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS wd
+         |  FROM und GROUP BY u
+         |), twx AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e),
+         |degc AS (
+         |  SELECT l.label, CAST(sum(d.wd) AS BIGINT) AS dc
+         |  FROM deg d JOIN l$LpaRounds l ON d.node = l.node GROUP BY 1
+         |), kic AS MATERIALIZED (
+         |  SELECT und.v AS node, lu.label AS nlabel,
+         |    CAST(sum(und.w) AS BIGINT) AS k
+         |  FROM und JOIN l$LpaRounds lu ON und.u = lu.node GROUP BY 1, 2
+         |), base AS (
+         |  SELECT l.node, l.label, d.wd, dca.dc AS dca,
+         |    COALESCE(k.k, 0) AS ka
+         |  FROM l$LpaRounds l JOIN deg d ON d.node = l.node
+         |       JOIN degc dca ON dca.label = l.label
+         |       LEFT JOIN kic k ON k.node = l.node AND k.nlabel = l.label
+         |), cand AS (
+         |  SELECT b.node, c.nlabel,
+         |    (CAST(c.k AS HUGEINT) - b.ka) * 2 * t.tw
+         |      - CAST(b.wd AS HUGEINT) * (dcc.dc - b.dca + b.wd) AS gain
+         |  FROM base b JOIN kic c ON c.node = b.node AND c.nlabel <> b.label
+         |       JOIN degc dcc ON dcc.label = c.nlabel
+         |       CROSS JOIN twx t
+         |), best AS (
+         |  SELECT node, nlabel FROM (
+         |    SELECT node, nlabel, gain, row_number() OVER (
+         |      PARTITION BY node ORDER BY gain DESC, nlabel ASC) AS rn
+         |    FROM cand)
+         |  WHERE rn = 1 AND gain > 0
+         |), ref AS (
+         |  SELECT b.node, COALESCE(best.nlabel, b.label) AS label
+         |  FROM base b LEFT JOIN best ON best.node = b.node
+         |)
+         |SELECT comm_size, CAST(count(*) AS BIGINT) AS n_communities,
+         |  CAST(min(label) AS BIGINT) AS min_label,
+         |  CAST(max(label) AS BIGINT) AS max_label
+         |FROM (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+         |      FROM ref GROUP BY label)
+         |GROUP BY comm_size ORDER BY comm_size""".stripMargin,
     "g10_resource_alloc" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -374,6 +374,63 @@ object Streams {
         joinViewBatch(spark, statePath, viewPath, key, aCols, bCols) _)
   }
 
+  /** One adjacency micro-batch: the batch build
+    * ([[graft.queries.Graph.coOrderWeightedFrom]]) runs VERBATIM on the
+    * batch's lineitem rows and the delta lands in its own `batch_id=`
+    * partition via dynamic overwrite — a replayed batch overwrites
+    * itself, so recovery re-runs are bit-identical (the joinViewBatch
+    * posture). Factored out so the replay spec can re-drive a batch
+    * body directly.
+    */
+  private[graft] def adjacencyBatch(deltaPath: String)(
+      batch: DataFrame, bid: Long): Unit =
+    graft.queries.Graph.coOrderWeightedFrom(batch.localCheckpoint())
+      .withColumn("batch_id", lit(bid))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(deltaPath)
+
+  /** Streaming GRAPH maintenance (r12 verdict stretch #10) — the stream
+    * twin of [[graft.queries.Graph.appendAdjacencyIncrement]]: a stream
+    * of new orders' lineitem rows maintains the co-order adjacency one
+    * micro-batch at a time, each batch contributing its delta edge
+    * weights. The merged adjacency ([[streamedAdjacency]] — the same
+    * per-key weight sum `coAdj` applies to an appended table) always
+    * equals the one-shot batch build over everything streamed so far
+    * (StreamingSpec pins the parity across micro-batches and per-batch
+    * replay idempotency).
+    *
+    * Contracts (the appendAdjacencyIncrement grain): each micro-batch
+    * carries WHOLE orders — co-order pairs are order-local, so an
+    * order's lines must not straddle batches — and order keys are
+    * disjoint across batches (new orders, the CDC shape). Steady-state
+    * cost per batch is batch-sized only: the delta build never touches
+    * prior batches' partitions.
+    */
+  def adjacencyStream(lineitems: DataFrame, deltaPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    lineitems.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(adjacencyBatch(deltaPath) _)
+
+  /** The maintained adjacency over the streamed delta store: per-key
+    * weight merge, schema-pinned (an empty or footerless store must
+    * read as zero edges, not throw — the admitEmbeddingStream lesson).
+    */
+  def streamedAdjacency(spark: SparkSession, deltaPath: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(deltaPath).drop("batch_id")
+      .groupBy("u", "v").agg(sum("w").as("w"))
+  }
+
   /** Streaming EMBEDDING admission — [[graft.sim.Similarity.admitEmbeddingIncrement]]
     * as a continuously-running gate, the vector twin of [[admitStream]]:
     * each micro-batch of (vec_id, embedding) candidates is

@@ -75,7 +75,9 @@ object IncrementBench {
       }
 
       // ---- embedding admission index -------------------------------
-      val admJson = {
+      val admJson = if (!new java.io.File(s"$d/embeddings.parquet").exists())
+        """"admission":null"""
+      else {
         val tmp = java.nio.file.Files.createTempDirectory("incb_adm")
         val p = s"$tmp/corpus.parquet"
         val e = spark.read.parquet(s"$d/embeddings.parquet")

@@ -231,6 +231,44 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(Graph.g9Modularity(spark, d)) == g9)
   }
 
+  test("g11 local move: exact modularity non-decreasing vs g8's partition; every adopted move had positive gain (r12 verdict stretch #9)") {
+    import org.apache.spark.sql.functions._
+    val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
+      .localCheckpoint()
+    val before = Graph.lpaLabels(spark, sf)
+    val after = Graph.louvainRefine(adj, before)
+
+    // exact plain-Scala modularity (double arithmetic on the collected
+    // graph — no ppm floors, so the comparison is the REAL objective)
+    val edges = adj.filter(col("u") < col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w2 = 2.0 * edges.map(_._3).sum
+    def q(labels: Map[Long, Long]): Double = {
+      val inC = edges.groupMapReduce(e =>
+        if (labels(e._1) == labels(e._2)) Some(labels(e._1)) else None)(
+        _._3.toDouble)(_ + _)
+      val degC = edges.flatMap(e =>
+        Seq(labels(e._1) -> e._3.toDouble, labels(e._2) -> e._3.toDouble))
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      degC.map { case (c, dc) =>
+        inC.getOrElse(Some(c), 0.0) / (w2 / 2) - math.pow(dc / w2, 2)
+      }.sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lb = toMap(before)
+    val la = toMap(after)
+    assert(la.keySet == lb.keySet, "refinement changed the node set")
+    val qb = q(lb)
+    val qa = q(la)
+    assert(qa >= qb - 1e-12,
+      f"local-move round DECREASED modularity: $qb%.6f -> $qa%.6f — " +
+        "the synchronous adopt lost its empirical monotonicity on this " +
+        "corpus; stage the movers (see g11 docstring)")
+    assert(la.exists { case (n, l) => lb(n) != l },
+      "fixture regression: the local-move round moved nothing")
+  }
+
   test("g1: no cartesian joins; edge relation is reused across iterations") {
     val df = Graph.g1Pagerank(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -660,6 +660,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("adjacencyStream: streamed co-order adjacency equals batch rebuild across 3 micro-batches; replay is idempotent (r12 verdict stretch #10)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = tmp("adjstream")
+    val deltaPath = s"$base/delta"
+    // (l_orderkey, l_partkey) rows; whole orders per batch, disjoint
+    // order keys across batches — the documented CDC grain
+    val ms = MemoryStream[(Long, Long)]
+    val li = ms.toDF().toDF("l_orderkey", "l_partkey")
+    val q = Streams.adjacencyStream(li, deltaPath, s"$base/ckpt").start()
+    def merged(): Seq[(Long, Long, Long)] =
+      Streams.streamedAdjacency(spark, deltaPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def parity(): Unit = {
+      val want = graft.queries.Graph.coOrderWeightedFrom(
+          all.toSeq.toDF("l_orderkey", "l_partkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(merged() == want,
+        s"streamed adjacency diverged from the batch rebuild")
+    }
+    try {
+      // batch 0: orders 1 (parts 10,20,30) and 2 (parts 10,20)
+      val b0 = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+      ms.addData(b0: _*); all ++= b0
+      q.processAllAvailable(); parity()
+      // batch 1: order 3 repeats the (10,20) pair — weights must MERGE
+      // across batches, not collide
+      val b1 = Seq((3L, 10L), (3L, 20L), (3L, 40L))
+      ms.addData(b1: _*); all ++= b1
+      q.processAllAvailable(); parity()
+      assert(merged().contains((10L, 20L, 3L)),
+        "cross-batch weight merge failed for the repeated pair")
+      // batch 2: an order with a duplicate line (collect_set dedups)
+      val b2 = Seq((4L, 50L), (4L, 50L), (4L, 60L))
+      ms.addData(b2: _*); all ++= b2
+      q.processAllAvailable(); parity()
+
+      // replay idempotency: re-drive batch 1's exact body with its
+      // original batch id — the partition overwrites itself
+      val before = merged()
+      Streams.adjacencyBatch(deltaPath)(
+        b1.toDF("l_orderkey", "l_partkey"), 1L)
+      assert(merged() == before, "replayed batch changed the adjacency")
+    } finally q.stop()
+  }
+
   test("joinViewStream: sequential maintenance equals the one-shot join; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
