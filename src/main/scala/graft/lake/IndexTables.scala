@@ -177,7 +177,11 @@ object IndexTables {
       s"appendIncrement: $table has no bucket spec"))
     val cols = spec.bucketColumnNames
     val newSig = CorpusIndexCache.signature(path)
-    df.repartition(spec.numBuckets, cols.map(df.col): _*)
+    // align the increment's columns to the table's schema ORDER by
+    // name: saveAsTable append resolution must not depend on the
+    // builder happening to project in table order
+    val aligned = df.select(meta.schema.fieldNames.map(df.col): _*)
+    aligned.repartition(spec.numBuckets, cols.map(aligned.col): _*)
       .write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)

@@ -606,6 +606,54 @@ object Similarity {
       AnnTablePrefix, s"$d/embeddings.parquet", Seq("tbl", "bk"), buckets)
   }
 
+  /** The persisted ANN index's current stamp — read BEFORE an increment
+    * lands in `d`'s embeddings (the [[appendAnnIndex]] handle).
+    */
+  def annIndexStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, AnnTablePrefix, s"$d/embeddings.parquet")
+
+  /** INCREMENTAL maintenance of the served ANN index (r12 verdict #2,
+    * the family's most-probed artifact): after `admitted` vectors land
+    * in `d`'s embeddings parquet, append exactly their
+    * (vec_id, tbl, bk, embedding, nrm) rows and re-stamp — instead of
+    * the signature mismatch forcing the corpus-sized rebuild.
+    *
+    * THE FAMILY-STEP GUARD, and why this index needs one where the
+    * admission index doesn't: annf's probe queries (s2's self-join,
+    * s10/s14's fetches) size their hash family from the LIVE corpus
+    * count ([[bitsFor]]/[[extraTablesFor]] of `embeddingCount`), so
+    * the table is only probe-compatible while the grown count lands on
+    * the SAME calibration as the build. The smoothed ladder steps on
+    * ~12.5% corpus growth (one more table gains a bit), at which point
+    * appended rows would sit in buckets the probes never visit — a
+    * silent recall hole, the worst failure mode. So the append REFUSES
+    * (IllegalStateException) when the calibration stepped, and the
+    * maintainer re-persists — the same decision point as re-training a
+    * quantizer. Daily 0.1–1% crawls append ~dozens of times between
+    * steps; the guard turns the rare step from silent recall loss into
+    * an explicit rebuild.
+    */
+  def appendAnnIndex(s: SparkSession, d: String, admitted: DataFrame,
+      prevSig: String): String = {
+    VectorExpressions.ensureRegistered(s)
+    val path = s"$d/embeddings.parquet"
+    val nNew = embeddingCount(s, d) // post-append corpus count
+    val nOld = nNew - admitted.count()
+    if (bitsFor(nNew) != bitsFor(nOld) ||
+        extraTablesFor(nNew) != extraTablesFor(nOld))
+      throw new IllegalStateException(
+        s"appendAnnIndex: hash-family calibration stepped ($nOld -> $nNew " +
+          "vectors) — appended rows would be invisible to live-count " +
+          "probes; re-persist the index (persistAnnIndex)")
+    val rows = admitted
+      .select(col("vec_id"),
+        posexplode(expr(bucketsSql(bitsFor(nNew), extraTablesFor(nNew))))
+          .as(Seq("tbl", "bk")))
+      .join(withNorm(admitted.select("vec_id", "embedding")), "vec_id")
+    graft.lake.IndexTables.appendIncrement(s, rows, AnnTablePrefix, path,
+      prevSig)
+  }
+
 
   /** The int8-pruned scored-candidates VARIANT (not shipped — see
     * [[s2AnnLsh]]'s adjudication): every candidate pair joins the

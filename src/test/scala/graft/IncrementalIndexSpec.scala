@@ -164,6 +164,70 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally graft.lake.IndexTables.drop(spark, "adm", p)
   }
 
+  // ---- ANN float index ---------------------------------------------
+
+  test("ANN index: append ≡ rebuild under an unchanged family; served and cold s2 bit-identical off the appended table") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("inc_annf").toString
+    val p = s"$dir/embeddings.parquet"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").localCheckpoint()
+    val n = e.count()
+    e.filter(col("vec_id") < 4L * n / 5L).write.parquet(p)
+    try {
+      Similarity.persistAnnIndex(spark, dir, buckets = 4)
+      val prevSig = Similarity.annIndexStamp(spark, dir).get
+      val admitted = e.filter(col("vec_id") >= 4L * n / 5L).localCheckpoint()
+      // the increment lands in the corpus (full schema), then appends
+      admitted.write.mode("append").parquet(p)
+      Similarity.appendAnnIndex(spark, dir, admitted, prevSig)
+
+      // appended table == a from-scratch index over the grown corpus
+      // (same family: 400 -> 500 vectors is far below any ladder step)
+      val served = graft.lake.IndexTables.serve(spark, "annf", p).get
+      val grown = spark.read.parquet(p).select("vec_id", "embedding")
+      val expect = Similarity.embeddingBucketIndex(
+        Similarity.withNorm(grown), familyN = n)
+      assert(rowSet(served.select("vec_id", "tbl", "bk")) ==
+        rowSet(expect.select("vec_id", "tbl", "bk")),
+        "appended ANN table != full rebuild bucket rows")
+
+      // end to end: s2 off the appended served table equals s2 cold
+      // (table dropped, session caches evicted) — bit-identical
+      val s2Served = Similarity.s2AnnLsh(spark.newSession(), dir)
+        .collect().map(_.toString).toSeq
+      graft.lake.IndexTables.drop(spark, "annf", p)
+      val s2Cold = Similarity.s2AnnLsh(spark.newSession(), dir)
+        .collect().map(_.toString).toSeq
+      assert(s2Served == s2Cold,
+        "s2 diverged between the appended served table and a cold build")
+    } finally graft.lake.IndexTables.drop(spark, "annf", p)
+  }
+
+  test("ANN index: a hash-family STEP refuses the append (silent recall loss becomes an explicit rebuild)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("inc_annf_step").toString
+    val p = s"$dir/embeddings.parquet"
+    // 3900 -> 4100 vectors crosses k = n/BaseN = 2: bitsFor steps 4 -> 5,
+    // so live-count probes would hash into buckets the appended rows
+    // never populated — the guard must throw, not append
+    def synth(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("vec_id"),
+        expr("cast(transform(sequence(0, 63)," +
+          " j -> pmod(id * 31 + j, 97) / 97.0) as array<float>)")
+          .as("embedding"),
+        lit(0).cast("int").as("label"))
+    synth(0L, 3900L).write.parquet(p)
+    try {
+      Similarity.persistAnnIndex(spark, dir, buckets = 4)
+      val prevSig = Similarity.annIndexStamp(spark, dir).get
+      val admitted = synth(3900L, 4100L).localCheckpoint()
+      admitted.write.mode("append").parquet(p)
+      intercept[IllegalStateException] {
+        Similarity.appendAnnIndex(spark, dir, admitted, prevSig)
+      }
+    } finally graft.lake.IndexTables.drop(spark, "annf", p)
+  }
+
   // ---- graph co-order adjacency ------------------------------------
 
   test("adjacency: append delta orders + merge-on-read ≡ rebuild on the full facts; downstream queries bit-identical; merge is exchange-free on the bucket layout") {
