@@ -194,6 +194,43 @@ object IndexTables {
     table
   }
 
+  /** COMPACT a served index table: every [[appendIncrement]] adds one
+    * file per touched bucket, and while bucketed reads absorb
+    * multi-file buckets correctly, scan cost and the per-bucket sorted
+    * metadata degrade as files accumulate — the standard LSM-style
+    * maintenance debt. Compaction re-persists the table's own rows
+    * through the normal staging swap (the source scan materializes
+    * into staging BEFORE the target drops), landing one sorted file
+    * per bucket again. The corpus is untouched, so the fresh stamp
+    * equals the current one — serving continuity, same rows, same
+    * layout contract (IncrementalIndexSpec pins all three). Returns
+    * None when no fresh table is serving (nothing to compact).
+    */
+  def compact(s: SparkSession, prefix: String, path: String): Option[String] =
+    serve(s, prefix, path).map { _ =>
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          tableName(prefix, path)))
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+        s"compact: ${tableName(prefix, path)} has no bucket spec"))
+      // Read the source UN-bucketed for the rewrite: with bucketed
+      // reading on, the planner elides persist's aligning repartition
+      // against the scan's bucket partitioning and THEN disables the
+      // bucketed scan itself (a write is not a "beneficial" consumer),
+      // leaving multi-bucket tasks that write a file per bucket each —
+      // observed as a 4-bucket compaction landing 7 files. Un-bucketed,
+      // the scan reports no partitioning and the repartition survives.
+      val key = "spark.sql.sources.bucketing.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try persist(s, s.table(tableName(prefix, path)), prefix, path,
+        spec.bucketColumnNames, spec.numBuckets)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
   /** Drop the persisted table for (prefix, path), if any, and evict
     * every session-cache entry for the path so wrappers that cached a
     * scan of the dropped table rebuild instead of failing on a missing

@@ -519,6 +519,13 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Probe-set size for mm7's brute baseline — s11's bounded-query
+    * posture: recall estimates concentrate fast in the probe count,
+    * and the bound is what keeps the brute leg LINEAR in the corpus
+    * (probes × reps, never reps²).
+    */
+  private[graft] val RecallProbes = 25
+
   /** mm7: image-family recall report (r12 verdict #4 — s11's precedent
     * applied to mm5's banded fetch): how many of the TRUE closest
     * rep-grain pairs by brute Hamming does the capped band join
@@ -531,16 +538,18 @@ object Multimodal {
     * Hamming threshold — on this corpus's text-stand-in payloads a
     * fixed real-image cut like ≤3 bits can be vacuously empty, and a
     * recall over an empty truth set gauges nothing; mm5's ranked
-    * posture). MultimodalSpec pins the measured top-100 value as a
-    * floor.
+    * posture). MultimodalSpec pins the measured values as floors.
     *
-    * Scale shape: the banded leg is mm5's production fetch; the brute
-    * leg is deliberately quadratic at REP grain (distinct content
-    * only — clone mass is contracted first, so a 100-copy hot image
-    * costs one row) and exists to measure the index: at 100 TB run it
-    * on a sampled rep set, exactly s11's stated posture for its brute
-    * leg. The top-k cut is TakeOrderedAndProject (no global sort
-    * materializes), and the row_number window runs over ≤ 100 rows.
+    * Scale shape — the brute leg is PROBE-BOUNDED, exactly like s11's
+    * brute top-3 (`q_id < 10`): the [[RecallProbes]] smallest rep ids
+    * anchor the baseline, so brute volume is probes × reps — linear in
+    * the corpus (the first, unbounded form measured bexp 1.61 at the
+    * 10× step; this one re-measured 1.0) — with the probe rows
+    * broadcast into a stream over the rep relation. Reps, not raw
+    * media: clone mass is contracted first, so a 100-copy hot image
+    * costs one brute row. The top-k cut is TakeOrderedAndProject (no
+    * global sort materializes) and the row_number window runs over
+    * ≤ 100 rows. The banded leg is mm5's production fetch, untouched.
     */
   def mm7RecallReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -548,10 +557,16 @@ object Multimodal {
       mediaTable(s, d).select(col("media_id"), col("payload")).as[Media])
       .localCheckpoint() // two consumers: brute reps + banded fetch
     val reps = hashes.groupBy("phash").agg(min("media_id").as("media_id"))
-    val brute = reps.as("x").join(reps.as("y"),
-        col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .localCheckpoint() // two consumers: probe cut + brute stream
+    val probes = reps.orderBy("media_id").limit(RecallProbes)
+      .select(col("media_id").as("pa"), col("phash").as("ha"))
+    val brute = broadcast(probes).join(
+        reps.select(col("media_id").as("pb"), col("phash").as("hb")),
+        col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("media_a"),
+        greatest(col("pa"), col("pb")).as("media_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .distinct() // two probes pairing with each other appear once
     val top = brute
       .orderBy(asc("hamming"), asc("media_a"), asc("media_b")).limit(100)
       .withColumn("rk", row_number().over(
@@ -640,10 +655,14 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "mm7_recall_report" ->
       s"""WITH $phashPairsCtes,
-         |br AS (
-         |  SELECT x.rep AS media_a, y.rep AS media_b,
-         |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-         |  FROM pg x JOIN pg y ON x.rep < y.rep
+         |prb AS (
+         |  SELECT rep AS pa, phash AS ha FROM pg
+         |  ORDER BY rep LIMIT $RecallProbes
+         |), br AS (
+         |  SELECT DISTINCT least(pa, y.rep) AS media_a,
+         |    greatest(pa, y.rep) AS media_b,
+         |    CAST(bit_count(xor(ha, y.phash)) AS BIGINT) AS hamming
+         |  FROM prb JOIN pg y ON y.rep <> prb.pa
          |), topp AS MATERIALIZED (
          |  SELECT media_a, media_b,
          |    row_number() OVER (ORDER BY hamming, media_a, media_b) AS rk

@@ -164,6 +164,36 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally graft.lake.IndexTables.drop(spark, "adm", p)
   }
 
+  test("compact: multi-file buckets from appends collapse back to one file per bucket; rows, stamp, and serving unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_compact")
+    val p = s"$dir/corpus.parquet"
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    val n = docs.count()
+    docs.filter(col("doc_id") < n / 2).write.parquet(p)
+    try {
+      Dedup.persistBandIndexFor(spark, p, spark.read.parquet(p), buckets = 4)
+      val prevSig = Dedup.bandIndexStamp(spark, p).get
+      val inc = docs.filter(col("doc_id") >= n / 2).localCheckpoint()
+      inc.write.mode("append").parquet(p)
+      Dedup.appendBandIndex(spark, p, inc, prevSig)
+
+      val before = Dedup.servedBandIndex(spark, p).get
+      val rowsBefore = rowSet(before)
+      val filesBefore = before.select(input_file_name()).distinct().count()
+      assert(filesBefore > 4,
+        s"append did not add per-bucket files (got $filesBefore)")
+      val stamp = Dedup.bandIndexStamp(spark, p).get
+
+      graft.lake.IndexTables.compact(spark, "band", p)
+      val after = Dedup.servedBandIndex(spark, p).get
+      assert(rowSet(after) == rowsBefore, "compaction changed the rows")
+      assert(after.select(input_file_name()).distinct().count() == 4,
+        "compaction did not land one file per bucket")
+      assert(Dedup.bandIndexStamp(spark, p).contains(stamp),
+        "compaction moved the stamp despite an unchanged corpus")
+    } finally graft.lake.IndexTables.drop(spark, "band", p)
+  }
+
   // ---- ANN float index ---------------------------------------------
 
   test("ANN index: append ≡ rebuild under an unchanged family; served and cold s2 bit-identical off the appended table") {
