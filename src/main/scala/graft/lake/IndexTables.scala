@@ -231,6 +231,51 @@ object IndexTables {
       }
     }
 
+  /** RETRACT keys from a served index table — the deletion counterpart
+    * of [[appendIncrement]] (a GDPR-style takedown, a poisoned-document
+    * purge): rewrite the table WITHOUT the retracted keys' rows and
+    * re-stamp to the corpus's post-deletion signature. Deletions are
+    * not expressible as appends in this immutable-file layout, so the
+    * cost is honestly a corpus-sized rewrite (one staging pass — the
+    * [[compact]] machinery, so the rewrite also compacts); what the
+    * API buys over drop-and-rebuild is that the DERIVATION never
+    * re-runs — no re-hashing, re-shingling, or re-aggregation of the
+    * surviving corpus, just a filtered file rewrite. Same caller
+    * contract as append: between reading `prevSig` and this call the
+    * corpus changed by EXACTLY the removal of `keys`' rows.
+    * Equivalence (IncrementalIndexSpec): retracted table ≡ full
+    * rebuild on corpus ∖ keys, for any index whose rows are keyed by
+    * the retracted unit (per-doc band rows, per-vector bucket rows).
+    */
+  def deleteKeys(s: SparkSession, prefix: String, path: String,
+      keyCol: String, keys: DataFrame, prevSig: String): String = {
+    val table = tableName(prefix, path)
+    val stamp = stampOf(s, prefix, path)
+    if (!stamp.contains(prevSig))
+      throw new IllegalStateException(
+        s"deleteKeys($prefix, $path): table stamp $stamp != expected " +
+          s"$prevSig — corpus or table changed under the maintainer; " +
+          "fall back to a full persist")
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"deleteKeys: $table has no bucket spec"))
+    // un-bucketed source read — compact's lesson: bucketed reading lets
+    // the planner elide persist's aligning repartition and then disable
+    // the scan, misaligning the bucketed write
+    val key = "spark.sql.sources.bucketing.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try persist(s,
+      s.table(table).join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(keyCol), "left_anti"),
+      prefix, path, spec.bucketColumnNames, spec.numBuckets)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Drop the persisted table for (prefix, path), if any, and evict
     * every session-cache entry for the path so wrappers that cached a
     * scan of the dropped table rebuild instead of failing on a missing

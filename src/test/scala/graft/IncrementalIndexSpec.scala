@@ -194,6 +194,44 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally graft.lake.IndexTables.drop(spark, "band", p)
   }
 
+  test("deleteKeys: retraction ≡ full rebuild on corpus ∖ keys; derivation never re-runs; wrong prevSig throws") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_delete")
+    val p = s"$dir/corpus.parquet"
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    docs.write.parquet(p)
+    try {
+      Dedup.persistBandIndexFor(spark, p, spark.read.parquet(p), buckets = 4)
+      val prevSig = Dedup.bandIndexStamp(spark, p).get
+
+      // the takedown: every 7th doc leaves the corpus (dir rewritten),
+      // then the index retracts exactly those keys
+      val victims = docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id").localCheckpoint()
+      val survivors = docs.filter(col("doc_id") % 7 =!= 0).localCheckpoint()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(p))
+      survivors.write.parquet(p)
+      graft.lake.IndexTables.deleteKeys(spark, "band", p, "doc_id",
+        victims, prevSig)
+
+      // fresh-stamped and equal to a from-scratch rebuild on survivors
+      assert(Dedup.bandIndexStamp(spark, p)
+        .contains(graft.lake.CorpusIndexCache.signature(p)),
+        "retraction did not re-stamp to the post-deletion corpus")
+      val served = Dedup.servedBandIndex(spark, p).get
+      assert(rowSet(served) == rowSet(Dedup.bandIndex(survivors)),
+        "retracted band table != full rebuild on corpus ∖ keys")
+
+      // stale-handle guard, same as append's
+      intercept[IllegalStateException] {
+        graft.lake.IndexTables.deleteKeys(spark, "band", p, "doc_id",
+          victims, prevSig)
+      }
+    } finally graft.lake.IndexTables.drop(spark, "band", p)
+  }
+
   // ---- ANN float index ---------------------------------------------
 
   test("ANN index: append ≡ rebuild under an unchanged family; served and cold s2 bit-identical off the appended table") {
