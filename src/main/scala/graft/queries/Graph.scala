@@ -949,7 +949,40 @@ object Graph {
       .orderBy("comm_size")
   }
 
+  /** g12: the COMMUNITY GRAPH — Louvain's contraction artifact, built
+    * over the refined partition (g11's labels): communities become
+    * super-nodes, each original edge aggregates onto its
+    * (community, community) pair. Self-pairs (comm_a = comm_b) are the
+    * contraction's SELF-LOOPS — the internal mass the next Louvain
+    * level must carry to keep modularity well-defined — and inter-pairs
+    * are the community interaction map a curation pass reads ("which
+    * segments actually trade with each other"). Top-20 by aggregated
+    * weight, deterministic total order.
+    *
+    * Plan shape: the g9 inC skeleton — the u<v edge relation joins the
+    * node-sized refined labels TWICE (u-keyed, riding the served
+    * bucket layout on the edge side) and partial-aggregates onto the
+    * community-pair domain (≪ edges); TakeOrderedAndProject for the
+    * cut. Labels come from the memoized LPA run + one gain round —
+    * g11's exact state, so g11 and g12 price one propagation between
+    * them per session.
+    */
+  def g12CommunityGraph(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    val labels = louvainRefine(adj, lpaLabels(s, d))
+    adj.filter(col("u") < col("v"))
+      .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
+      .select(least(col("la"), col("lb")).as("comm_a"),
+        greatest(col("la"), col("lb")).as("comm_b"), col("w"))
+      .groupBy("comm_a", "comm_b")
+      .agg(count(lit(1)).as("n_edges"), sum("w").as("total_w"))
+      .orderBy(desc("total_w"), asc("comm_a"), asc("comm_b"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_community_graph" -> (g12CommunityGraph _),
     "g11_louvain_refine" -> (g11LouvainRefine _),
     "g10_resource_alloc" -> (g10ResourceAlloc _),
     "g9_modularity" -> (g9Modularity _),
@@ -1000,43 +1033,59 @@ object Graph {
        |$rounds""".stripMargin
   }
 
+  /** g11's gain round as CTEs ending in `ref(node, label)` — appended
+    * to [[lpaChainDuck]]; shared by the g11 and g12 oracles.
+    */
+  private lazy val louvainChainDuck: String =
+    s"""$lpaChainDuck,
+       |deg AS (
+       |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS wd
+       |  FROM und GROUP BY u
+       |), twx AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e),
+       |degc AS (
+       |  SELECT l.label, CAST(sum(d.wd) AS BIGINT) AS dc
+       |  FROM deg d JOIN l$LpaRounds l ON d.node = l.node GROUP BY 1
+       |), kic AS MATERIALIZED (
+       |  SELECT und.v AS node, lu.label AS nlabel,
+       |    CAST(sum(und.w) AS BIGINT) AS k
+       |  FROM und JOIN l$LpaRounds lu ON und.u = lu.node GROUP BY 1, 2
+       |), base AS (
+       |  SELECT l.node, l.label, d.wd, dca.dc AS dca,
+       |    COALESCE(k.k, 0) AS ka
+       |  FROM l$LpaRounds l JOIN deg d ON d.node = l.node
+       |       JOIN degc dca ON dca.label = l.label
+       |       LEFT JOIN kic k ON k.node = l.node AND k.nlabel = l.label
+       |), cand AS (
+       |  SELECT b.node, c.nlabel,
+       |    (CAST(c.k AS HUGEINT) - b.ka) * 2 * t.tw
+       |      - CAST(b.wd AS HUGEINT) * (dcc.dc - b.dca + b.wd) AS gain
+       |  FROM base b JOIN kic c ON c.node = b.node AND c.nlabel <> b.label
+       |       JOIN degc dcc ON dcc.label = c.nlabel
+       |       CROSS JOIN twx t
+       |), best AS (
+       |  SELECT node, nlabel FROM (
+       |    SELECT node, nlabel, gain, row_number() OVER (
+       |      PARTITION BY node ORDER BY gain DESC, nlabel ASC) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1 AND gain > 0
+       |), ref AS MATERIALIZED (
+       |  SELECT b.node, COALESCE(best.nlabel, b.label) AS label
+       |  FROM base b LEFT JOIN best ON best.node = b.node
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "g12_community_graph" ->
+      s"""WITH $louvainChainDuck
+         |SELECT least(la.label, lb.label) AS comm_a,
+         |  greatest(la.label, lb.label) AS comm_b,
+         |  CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(e.w) AS BIGINT) AS total_w
+         |FROM e JOIN ref la ON e.a = la.node
+         |       JOIN ref lb ON e.b = lb.node
+         |GROUP BY 1, 2
+         |ORDER BY total_w DESC, comm_a, comm_b LIMIT 20""".stripMargin,
     "g11_louvain_refine" ->
-      s"""WITH $lpaChainDuck,
-         |deg AS (
-         |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS wd
-         |  FROM und GROUP BY u
-         |), twx AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e),
-         |degc AS (
-         |  SELECT l.label, CAST(sum(d.wd) AS BIGINT) AS dc
-         |  FROM deg d JOIN l$LpaRounds l ON d.node = l.node GROUP BY 1
-         |), kic AS MATERIALIZED (
-         |  SELECT und.v AS node, lu.label AS nlabel,
-         |    CAST(sum(und.w) AS BIGINT) AS k
-         |  FROM und JOIN l$LpaRounds lu ON und.u = lu.node GROUP BY 1, 2
-         |), base AS (
-         |  SELECT l.node, l.label, d.wd, dca.dc AS dca,
-         |    COALESCE(k.k, 0) AS ka
-         |  FROM l$LpaRounds l JOIN deg d ON d.node = l.node
-         |       JOIN degc dca ON dca.label = l.label
-         |       LEFT JOIN kic k ON k.node = l.node AND k.nlabel = l.label
-         |), cand AS (
-         |  SELECT b.node, c.nlabel,
-         |    (CAST(c.k AS HUGEINT) - b.ka) * 2 * t.tw
-         |      - CAST(b.wd AS HUGEINT) * (dcc.dc - b.dca + b.wd) AS gain
-         |  FROM base b JOIN kic c ON c.node = b.node AND c.nlabel <> b.label
-         |       JOIN degc dcc ON dcc.label = c.nlabel
-         |       CROSS JOIN twx t
-         |), best AS (
-         |  SELECT node, nlabel FROM (
-         |    SELECT node, nlabel, gain, row_number() OVER (
-         |      PARTITION BY node ORDER BY gain DESC, nlabel ASC) AS rn
-         |    FROM cand)
-         |  WHERE rn = 1 AND gain > 0
-         |), ref AS (
-         |  SELECT b.node, COALESCE(best.nlabel, b.label) AS label
-         |  FROM base b LEFT JOIN best ON best.node = b.node
-         |)
+      s"""WITH $louvainChainDuck
          |SELECT comm_size, CAST(count(*) AS BIGINT) AS n_communities,
          |  CAST(min(label) AS BIGINT) AS min_label,
          |  CAST(max(label) AS BIGINT) AS max_label

@@ -918,7 +918,7 @@ object Dedup {
     * named `pairs(doc_a, doc_b)` → `comp(id, component)`. Spliced after
     * [[candidateCtes]] under a WITH RECURSIVE header.
     */
-  private def closureCtes(src: String) =
+  private[text] def closureCtes(src: String) =
     s"""und AS (
       |  SELECT doc_a AS a, doc_b AS b FROM $src
       |  UNION SELECT doc_b, doc_a FROM $src

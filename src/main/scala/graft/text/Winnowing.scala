@@ -185,6 +185,42 @@ object Winnowing {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  /** t38: DECONTAMINATED leakage-safe split — the composition a real
+    * training run needs before either piece is useful alone: t18
+    * assigns docs to train/val/test at near-dup COMPONENT grain (so a
+    * dup cluster never straddles splits), and d14 flags training docs
+    * contaminated by the benchmark; this query forces every component
+    * containing a contaminated member WHOLLY into 'train', so no
+    * benchmark-tainted content can reach val/test even through an
+    * uncontaminated near-duplicate of a contaminated doc (the
+    * two-hop leak neither operator alone closes — the component is
+    * the unit of contamination, not the doc). Clean components keep
+    * t18's exact coin assignment, so the query degrades to t18's
+    * split wherever d14 is silent.
+    *
+    * Scale shape: t18's machinery untouched (LSH candidate graph +
+    * CC + component-keyed coin) plus d14's broadcast fingerprint
+    * probe; the force rule is one broadcast semi-annotation of the
+    * (tiny) contaminated-component list — no new corpus-sized stage.
+    */
+  def t38DecontaminatedSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val bench = docs.filter(col("doc_id") % 2 === 1)
+    val base = Dedup.splitByComponent(train, Dedup.candidatePairsFor(train))
+      .select("doc_id", "component", "split")
+    val hot = base
+      .join(decontaminate(train, bench).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("component").distinct()
+      .withColumn("contaminated", lit(true))
+    base.join(broadcast(hot), Seq("component"), "left")
+      .select(col("doc_id"), col("component"),
+        when(col("contaminated"), lit("train")).otherwise(col("split"))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   /** The doc-grain join-every-copy form — retained as the contraction's
     * equivalence baseline (spec-pinned identical output).
     */
@@ -202,7 +238,8 @@ object Winnowing {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_winnowing" -> (t29WinnowingPairs _),
-    "d14_decontaminate" -> (d14Decontaminate _))
+    "d14_decontaminate" -> (d14Decontaminate _),
+    "t38_decontaminated_split" -> (t38DecontaminatedSplit _))
 
   /** The fingerprint CTE chain over a normalized, parity-filtered
     * documents subset, with `p`-prefixed names so the training and
@@ -236,6 +273,31 @@ object Winnowing {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "t38_decontaminated_split" ->
+      ("WITH RECURSIVE td AS (SELECT * FROM documents WHERE doc_id % 2 = 0),\n" +
+        Dedup.candidateCtes("td") + ",\n" +
+        Dedup.closureCtes("pairs") + ",\n" +
+        fpCtesDuck("t", 0) + ",\n" + fpCtesDuck("b", 1) + s""",
+         |hits AS (
+         |  SELECT t.doc_id FROM tfp t JOIN bfp b ON t.h = b.h
+         |  GROUP BY t.doc_id, b.doc_id HAVING count(*) >= 3
+         |), hotc AS (
+         |  SELECT DISTINCT COALESCE(c.component, h.doc_id) AS component
+         |  FROM (SELECT DISTINCT doc_id FROM hits) h
+         |  LEFT JOIN comp c ON h.doc_id = c.id
+         |), sbase AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         |    CAST('0x' || substr(md5(
+         |      CAST(COALESCE(c.component, d.doc_id) AS VARCHAR) || 'split'),
+         |      1, 8) AS BIGINT) % 1000000 AS coin
+         |  FROM td d LEFT JOIN comp c ON d.doc_id = c.id
+         |)
+         |SELECT doc_id, component,
+         |  CASE WHEN component IN (SELECT component FROM hotc) THEN 'train'
+         |       WHEN coin < 100000 THEN 'val'
+         |       WHEN coin < 200000 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM sbase ORDER BY doc_id""".stripMargin),
     "d14_decontaminate" ->
       s"""WITH ${fpCtesDuck("t", 0)},
          |${fpCtesDuck("b", 1)},

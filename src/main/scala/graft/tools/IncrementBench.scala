@@ -70,8 +70,20 @@ object IncrementBench {
           graft.text.Dedup.appendBandIndex(spark, p, inc, sig))
         val rebuildSec = time(graft.text.Dedup.persistBandIndexFor(
           spark, p, spark.read.parquet(p)))
+        // lifecycle companions on the same table: compaction (after the
+        // append left multi-file buckets) and a 1%-of-keys retraction
+        val compactSec = time(
+          graft.lake.IndexTables.compact(spark, "band", p))
+        val sig2 = graft.text.Dedup.bandIndexStamp(spark, p).get
+        val all = spark.read.parquet(p).localCheckpoint()
+        val victims = all.filter(pmod(col("doc_id"), lit(100)) === 1)
+          .select("doc_id").localCheckpoint()
+        all.filter(pmod(col("doc_id"), lit(100)) =!= 1)
+          .write.mode("overwrite").parquet(p)
+        val deleteSec = time(graft.lake.IndexTables.deleteKeys(
+          spark, "band", p, "doc_id", victims, sig2))
         graft.lake.IndexTables.drop(spark, "band", p)
-        f""""band":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+        f""""band":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f,"compact_sec":$compactSec%.3f,"delete_sec":$deleteSec%.3f}"""
       }
 
       // ---- embedding admission index -------------------------------

@@ -269,6 +269,33 @@ class GraphSpec extends AnyFunSuite {
       "fixture regression: the local-move round moved nothing")
   }
 
+  test("g12 contraction: edge mass and edge count conserved; self-loops carry the internal weight") {
+    import org.apache.spark.sql.functions._
+    val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
+      .localCheckpoint()
+    val labels = Graph.louvainRefine(adj, Graph.lpaLabels(spark, sf))
+    val edges = adj.filter(col("u") < col("v"))
+    // the FULL contracted relation (the query's top-20 is its head):
+    // every original edge lands on exactly one community pair, so the
+    // contraction is a partition of the edge set — Σ n_edges = |E| and
+    // Σ total_w = W, or the next Louvain level computes modularity
+    // over a different graph than this one
+    val contracted = edges
+      .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"), col("w"))
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).as("n"), sum("w").as("tw"))
+      .localCheckpoint()
+    val want = edges.agg(count(lit(1)), sum("w")).head()
+    val got = contracted.agg(sum("n"), sum("tw")).head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1),
+      s"contraction lost edge mass: $got vs $want")
+    assert(contracted.filter(col("ca") === col("cb")).count() > 0,
+      "no self-loops — the contraction dropped internal community mass")
+  }
+
   test("g1: no cartesian joins; edge relation is reused across iterations") {
     val df = Graph.g1Pagerank(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -181,6 +181,37 @@ class WinnowingSpec extends AnyFunSuite {
         "strengthen the edits so d14's advantage stays demonstrated")
   }
 
+  test("t38: contaminated components forced wholly to train; clean components keep t18's coin; the force provably changes something") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01" // d14 flags 11 docs at this tier
+    val docs = graft.lake.Tables.documents(spark, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val bench = docs.filter(col("doc_id") % 2 === 1)
+    val out = graft.text.Winnowing.t38DecontaminatedSplit(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = out.map(r => r._1 -> r).toMap
+    val flagged = graft.text.Winnowing.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty)
+    val hotComponents = flagged.map(id => byDoc(id)._2)
+    // 1. every member of a contaminated component is in train
+    val leak = out.filter(r => hotComponents(r._2) && r._3 != "train")
+    assert(leak.isEmpty, s"contaminated-component members left train: $leak")
+    // 2. clean components carry t18's exact assignment
+    val base = graft.text.Dedup.splitByComponent(train,
+        graft.text.Dedup.candidatePairsFor(train))
+      .select("doc_id", "component", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val baseByDoc = base.map(r => r._1 -> r).toMap
+    val drift = out.filter(r => !hotComponents(r._2) && r != baseByDoc(r._1))
+    assert(drift.isEmpty, s"clean components drifted from t18: ${drift.take(3).toSeq}")
+    // 3. fixture strength: the force rule actually moved something —
+    // at least one contaminated component's base coin said val/test
+    assert(base.exists(r => hotComponents(r._2) && r._3 != "train"),
+      "no contaminated component had a val/test base coin — the force " +
+        "rule is vacuous on this tier; pick a tier where it bites")
+  }
+
   test("density: fingerprints per doc near the 2/(W+1) law on real documents") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val stats = Winnowing.fingerprints(docs)
