@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** [[QueryTime]]'s served-table twin: persist the graph adjacency
+  * tables once, time named graph queries N times back to back OFF the
+  * served tables (the bench's graph_served protocol), drop. Exists to
+  * adjudicate served-column drift the same way QueryTime adjudicates
+  * cold-column drift — every sample printed, not just the min.
+  *
+  *   sbt "runMain graft.tools.ServedQueryTime g4_cheapest_path"
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 (default), SPARK_GRAFT_SAMPLES=5
+  */
+object ServedQueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else Seq("g4_cheapest_path")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_servedqt_wh")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/tmp/graft_servedqt_db;create=true")
+      .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(name: String): Unit =
+      graft.queries.Graph.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    try {
+      graft.queries.Graph.dropAdjacency(spark, sfDir)
+      val t0 = System.nanoTime()
+      graft.queries.Graph.persistAdjacency(spark, sfDir)
+      println(f"persist: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      names.foreach(noop) // warm the served plans + JIT once
+      names.foreach { name =>
+        val ts = (1 to n).map { _ =>
+          val s0 = System.nanoTime()
+          noop(name)
+          (System.nanoTime() - s0) / 1e9
+        }
+        println(s"$name served: " +
+          ts.map(t => f"$t%.2f").mkString(" ") +
+          f" (min ${ts.min}%.2f s)")
+      }
+    } finally graft.queries.Graph.dropAdjacency(spark, sfDir)
+    spark.stop()
+  }
+}
