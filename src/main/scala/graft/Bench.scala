@@ -97,34 +97,56 @@ object Bench {
     // tables, so the bench records BOTH: persist once (cost recorded),
     // re-time every graph query served, drop. A failure here must not
     // kill the main record (served column just reads absent).
-    val (persistSec, servedMap) =
+    // WAVE-DRIFT HARDENING (r13 verdict #8): the machine's co-tenant
+    // waves span several minutes — longer than three back-to-back
+    // samples of one query, and sometimes longer than a whole
+    // contiguous served block — so min-of-3-consecutive let one wave
+    // own the column (two rounds each spent an adjudication on a
+    // g4-served outlier). Protocol now: TWO persist epochs, each with
+    // two full passes over the sorted family; a query's four samples
+    // are separated by a full family pass within an epoch and by
+    // drop + re-persist across epochs, so a wave must persist across
+    // the entire served block to bias the min. All samples land in the
+    // full record ("graph_served_samples") so the spread is auditable.
+    val (persistSec, servedSamples) =
       try {
-        graft.queries.Graph.dropAdjacency(spark, sfDir)
-        val t0 = System.nanoTime()
-        graft.queries.Graph.persistAdjacency(spark, sfDir)
-        val p = (System.nanoTime() - t0) / 1e9
-        // one failing query records -1 like timedPass does — it must not
-        // throw the whole served column away (ADVICE r12 #2)
-        val m = graft.queries.Graph.queries.toSeq.sortBy(_._1).map {
-          case (n, fn) =>
-            val ts = (1 to passes).flatMap { _ =>
+        val names = graft.queries.Graph.queries.toSeq.sortBy(_._1)
+        val epochs = (1 to 2).map { _ =>
+          graft.queries.Graph.dropAdjacency(spark, sfDir)
+          val t0 = System.nanoTime()
+          graft.queries.Graph.persistAdjacency(spark, sfDir)
+          val p = (System.nanoTime() - t0) / 1e9
+          // one failing query records no sample like timedPass — it
+          // must not throw the whole served column away (ADVICE r12 #2)
+          val ss = (1 to 2).map { _ =>
+            names.map { case (n, fn) =>
               val s0 = System.nanoTime()
               try { runNoop(fn(spark, sfDir))
-                    Some((System.nanoTime() - s0) / 1e9) }
-              catch { case _: Throwable => None }
-            }
-            n -> (if (ts.isEmpty) -1.0 else ts.min)
+                    n -> Some((System.nanoTime() - s0) / 1e9) }
+              catch { case _: Throwable => n -> None }
+            }.toMap
+          }
+          (p, ss)
         }
-        (p, m)
-      } catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
+        val perQ = names.map { case (n, _) =>
+          n -> epochs.flatMap(_._2).flatMap(_(n)).toList
+        }
+        (epochs.map(_._1).min, perQ)
+      } catch { case _: Throwable => (-1.0, Seq.empty[(String, List[Double])]) }
       finally {
         // the persisted tables must not leak into the next session even
         // when the persist itself threw (ADVICE r12 #2)
         try graft.queries.Graph.dropAdjacency(spark, sfDir)
         catch { case _: Throwable => () }
       }
+    val servedMap = servedSamples.map { case (n, ts) =>
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
     val servedJson = servedMap.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val servedSamplesJson = servedSamples.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -143,16 +165,29 @@ object Bench {
         }
         regs.mkString("{", ",", s""","prior":"$file"}""").replace("{,", "{")
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"graph_served_samples":$servedSamplesJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the complete line FIRST: the driver captures a BOUNDED
     // 2000-char tail of stdout (measured from every BENCH_r*.json), and
     // the full 141-query map cannot fit it — the query NAMES alone total
     // ~2040 chars. The file artifact is the full per-query record.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SELF.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    // TWO copies (r13 verdict #3): the mutable BENCH_SELF.json (the
+    // driver's post-close run overwrites it — a round-mechanics
+    // clobber two rounds of judges had to adjudicate) and a
+    // round-stamped BENCH_SELF_r{N}.json the driver never touches,
+    // N = newest closed driver tail + 1 (env SPARK_GRAFT_BENCH_OUT
+    // overrides the stamped name outright for ad-hoc runs).
+    val stamped = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val closed = Option(new java.io.File(".").listFiles()).toList.flatten
+        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+        .map(_.replaceAll("\\D", "").toInt).foldLeft(0)(math.max)
+      f"BENCH_SELF_r${closed + 1}%02d.json"
+    })
+    Seq("BENCH_SELF.json", stamped).foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    }
     // LAST stdout line (build.sbt turns sbt's "[success]" epilogue off):
     // a compact summary guaranteed to fit the driver's tail window and
     // parse as one JSON object — total/passes/errors/regressions plus a
@@ -190,12 +225,26 @@ object Bench {
       .map(f => List(new java.io.File(f)))
       .getOrElse {
         val all = Option(dir.listFiles()).toList.flatten
-        val fullRecs = all.filter(_.getName.matches("BENCH_SELF(_r\\d+)?\\.json"))
-          .sortBy(_.getName).reverse // BENCH_SELF_rNN desc, then BENCH_SELF
-        val self = fullRecs.partition(_.getName == "BENCH_SELF.json")
         val tails = all.filter(_.getName.matches("BENCH_r\\d+\\.json"))
           .sortBy(_.getName).reverse
-        self._1 ++ self._2 ++ tails
+        // Prefer round-stamped full records of CLOSED rounds (a driver
+        // tail BENCH_rN.json exists for them) over the mutable
+        // BENCH_SELF.json: the mutable file is overwritten by every
+        // run, so preferring it makes the baseline this round's own
+        // previous run after the first iteration — a regression
+        // introduced early in the round bakes itself into the baseline
+        // and stops being flagged (ADVICE r13 #2's ratchet). The
+        // current round's own stamp (no tail yet) is excluded for the
+        // same reason. BENCH_SELF.json stays as a last resort before
+        // the bounded driver tails.
+        val closed = tails.map(_.getName.replaceAll("\\D", "").toInt)
+          .foldLeft(0)(math.max)
+        val fullRecs = all.filter(_.getName.matches("BENCH_SELF(_r\\d+)?\\.json"))
+          .sortBy(_.getName).reverse // BENCH_SELF_rNN desc, then BENCH_SELF
+        val (selfMut, stamped) = fullRecs.partition(_.getName == "BENCH_SELF.json")
+        val committed = stamped.filter(
+          _.getName.replaceAll("\\D", "").toInt <= closed)
+        committed ++ selfMut ++ stamped.filterNot(committed.contains) ++ tails
       }
     val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
     candidates.iterator.flatMap { f =>

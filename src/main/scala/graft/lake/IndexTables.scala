@@ -223,12 +223,25 @@ object IndexTables {
       val key = "spark.sql.sources.bucketing.enabled"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "false")
-      try persist(s, s.table(tableName(prefix, path)), prefix, path,
-        spec.bucketColumnNames, spec.numBuckets)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      val t =
+        try persist(s, s.table(tableName(prefix, path)), prefix, path,
+          spec.bucketColumnNames, spec.numBuckets)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      // The corpus signature is UNCHANGED across a compaction, so
+      // session-cache wrappers (Similarity.floatBucketIndex,
+      // Dedup.corpusBandIndex) keyed on (path, signature) still read
+      // "fresh" while their cached plan references the PRE-compact
+      // files the swap just deleted — a later probe would throw
+      // FileNotFoundException once the persisted blocks age out
+      // (ADVICE r13 #1). appendIncrement already evicts for exactly
+      // this reason; deleteKeys is safe only because the signature
+      // changes. Mirror the append posture.
+      CorpusIndexCache.invalidateAll(path)
+      s.catalog.refreshTable(t)
+      t
     }
 
   /** RETRACT keys from a served index table — the deletion counterpart

@@ -189,46 +189,63 @@ object TextAnalysis {
   /** Sequence packing (t10): assign each doc to a fixed token-budget
     * context window — the batching step between curation and training.
     * Greedy-in-order packing is inherently sequential; the scalable
-    * relational form packs PER SHARD (lang here; any bounded-size shard
-    * key works): pack_id = (tokens accumulated before this doc) div
-    * budget. One shuffle on the shard key, one in-partition running
-    * sum — same cost as any window query, no driver loop. Docs longer
-    * than the budget still get a pack (their own, plus spillover —
-    * the downstream splitter's contract, same as real pipelines).
+    * relational form is the DISTRIBUTED PREFIX SUM over (lang, doc_id)
+    * order ([[graft.ops.PrefixSum.runningBefore]] — r13 verdict #1:
+    * the previous `Window.partitionBy("lang")` running sum was a
+    * single-task-per-language sort, a ~20 TB-one-reducer ceiling on a
+    * real cluster; the two-pass form is bit-identical and every window
+    * task holds ≤ 4096 rows at any corpus size): pack_id = (tokens
+    * accumulated before this doc) div budget. Docs longer than the
+    * budget still get a pack (their own, plus spillover — the
+    * downstream splitter's contract, same as real pipelines).
     * Deterministic given the (shard, doc_id) order, hence
-    * oracle-checkable.
+    * oracle-checkable. The slim per-doc totals are checkpointed once —
+    * the prefix sum consumes them twice (subtotals + main pass) and
+    * the tokenize must not run twice.
     */
-  def t10PackDocs(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks(s, d)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("tok_before",
-        coalesce(sum("n_tokens").over(w), lit(0L)))
+  def t10PackDocs(s: SparkSession, d: String, budget: Int = 2048): DataFrame =
+    packAssignment(
+      toks(s, d).withColumn("n_tokens", size(col("toks")))
+        .select("doc_id", "lang", "n_tokens").localCheckpoint(),
+      budget.toLong)
+      .orderBy("doc_id")
+
+  /** The shared packing step: exclusive prefix sum of `n_tokens` over
+    * (lang, doc_id) order → pack_id — t10 in whitespace units, t35 in
+    * trained-BPE units (same formula, same plan; ChunkingSpec pins the
+    * boundary contract for both). Unordered — each caller applies its
+    * own output order.
+    */
+  private def packAssignment(slim: DataFrame, budget: Long): DataFrame =
+    graft.ops.PrefixSum.runningBefore(
+        slim, "lang", "doc_id", "n_tokens", "tok_before")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"tok_before div ${budget}L").as("pack_id"))
-      .orderBy("doc_id")
-  }
 
   /** t17: materialized pack payloads — the step after [[t10PackDocs]]'
     * assignment: each (shard, pack) concatenates its member docs (in
     * doc_id order, `<eos>`-separated) into the actual training-context
-    * payload, with doc/token accounting. One shuffle on the shard key
-    * serves both the running-sum window and the pack aggregation
-    * (same-key clustering); `collect_list` is per-pack bounded — a pack
-    * holds ≈ budget tokens by construction, so the agg buffer is
-    * context-window-sized, never corpus-sized. Rebuild order is forced
-    * by array_sort on (doc_id, text) structs (collect_list itself is
-    * unordered).
+    * payload, with doc/token accounting. The assignment is the shared
+    * distributed prefix sum ([[packAssignment]]); text joins back on
+    * doc_id AFTER it, so the heavy payload column rides two bounded
+    * exchanges (doc_id join + pack agg) and never enters a window.
+    * `collect_list` is per-pack bounded — a pack holds ≈ budget tokens
+    * by construction, so the agg buffer is context-window-sized, never
+    * corpus-sized. Rebuild order is forced by array_sort on
+    * (doc_id, text) structs (collect_list itself is unordered).
     */
-  def t17PackPayloads(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks(s, d)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("tok_before",
-        coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"tok_before div ${budget}L"))
+  def t17PackPayloads(s: SparkSession, d: String, budget: Int = 2048): DataFrame =
+    packPayloads(
+      packAssignment(
+        toks(s, d).withColumn("n_tokens", size(col("toks")))
+          .select("doc_id", "lang", "n_tokens").localCheckpoint(),
+        budget.toLong),
+      documents(s, d))
+
+  /** The shared payload step over a pack assignment (t17/t36). */
+  private def packPayloads(assigned: DataFrame, docs: DataFrame): DataFrame =
+    assigned
+      .join(docs.select("doc_id", "text"), "doc_id")
       .groupBy("lang", "pack_id")
       .agg(
         count(lit(1)).cast("int").as("n_docs"),
@@ -237,7 +254,6 @@ object TextAnalysis {
             array_sort(collect_list(struct(doc_id, text))), x -> x.text),
             ' <eos> ')""").as("payload"))
       .orderBy("lang", "pack_id")
-  }
 
   /** t19: overlapping token-window chunking (size 40, stride 30) — the
     * doc→chunk explode that precedes embedding/RAG indexing. Pure
@@ -774,48 +790,32 @@ object TextAnalysis {
     * pack_id = (trained tokens accumulated before this doc, per lang
     * shard) div budget, so a context window holds ≈ `budget` of the
     * units the training run actually pays, not whitespace splits. Plan
-    * shape is t10's exactly (one shard-key exchange, one in-partition
-    * running sum) on top of t33's codegen'd encode projection; the
-    * trained counts come from the same memoized merge list as
-    * t33/t34, so sampler, packer, and encoder meter the SAME coin.
+    * shape is t10's exactly (the shared distributed prefix sum —
+    * r13 verdict #1 — over the checkpointed per-doc trained totals,
+    * which the BPE encode must produce only once) on top of t33's
+    * codegen'd encode projection; the trained counts come from the
+    * same memoized merge list as t33/t34, so sampler, packer, and
+    * encoder meter the SAME coin.
     */
   private[graft] val TrainedPackBudget = 2048L
-  def t35PackDocsTrained(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    trainedDocTokens(s, d)
-      .withColumn("tok_before",
-        coalesce(sum("n_tokens").over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"tok_before div ${TrainedPackBudget}L").as("pack_id"))
+  def t35PackDocsTrained(s: SparkSession, d: String): DataFrame =
+    packAssignment(trainedDocTokens(s, d).localCheckpoint(),
+      TrainedPackBudget)
       .orderBy("doc_id")
-  }
 
   /** t36: t17's materialized pack payloads with t35's trained-unit
     * boundaries — each (shard, pack) concatenates its member docs
     * (doc_id order, `<eos>`-separated) and accounts its size in
-    * trained tokens. Same one-exchange-serves-both shape as t17
-    * (window hash on lang satisfies the pack agg's clustering);
-    * LlmPipelineSpec re-pins the payload boundary contract in trained
-    * units.
+    * trained tokens. Same assignment-then-join shape as t17 (the text
+    * payload joins on doc_id after the prefix sum and never enters a
+    * window); LlmPipelineSpec re-pins the payload boundary contract
+    * in trained units.
     */
-  def t36PackPayloadsTrained(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    trainedDocTokens(s, d)
-      .join(documents(s, d).select("doc_id", "text"), "doc_id")
-      .withColumn("tok_before",
-        coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"tok_before div ${TrainedPackBudget}L"))
-      .groupBy("lang", "pack_id")
-      .agg(
-        count(lit(1)).cast("int").as("n_docs"),
-        sum("n_tokens").as("pack_tokens"),
-        expr("""array_join(transform(
-            array_sort(collect_list(struct(doc_id, text))), x -> x.text),
-            ' <eos> ')""").as("payload"))
-      .orderBy("lang", "pack_id")
-  }
+  def t36PackPayloadsTrained(s: SparkSession, d: String): DataFrame =
+    packPayloads(
+      packAssignment(trainedDocTokens(s, d).localCheckpoint(),
+        TrainedPackBudget),
+      documents(s, d))
 
   /** t37: budget-exact document SPLITTING at trained-token grain — the
     * downstream splitter t10's docstring promises for over-budget

@@ -161,13 +161,24 @@ object Winnowing {
     * bounded by matching fingerprints, never |train|×|bench| pairs.
     * Output: (doc_id, n_benchmarks, max_shared) per contaminated
     * training doc.
+    *
+    * `benchmarkIsSmall` gates the broadcast HINT (ADVICE r13 #4): the
+    * forced broadcast is right for a genuinely external benchmark
+    * suite (fingerprints of ~10⁴ docs — KBs), but d14/t38 bind the
+    * benchmark to the odd HALF of the corpus for oracle parity, and a
+    * half-corpus fingerprint set grows with the tier — at 100 TB it
+    * blows the driver/8 GB broadcast ceiling. Those callers pass
+    * false and AQE picks broadcast-vs-shuffle from the measured size
+    * (at bench tiers it still broadcasts; at a tier where it can't,
+    * a shuffled equi-join is the correct plan, not an OOM).
     */
   def decontaminate(training: DataFrame, benchmark: DataFrame,
-      minShared: Long = 3L): DataFrame = {
+      minShared: Long = 3L, benchmarkIsSmall: Boolean = true): DataFrame = {
     val tf = fingerprints(normalized(training)).select("doc_id", "h")
-    val bf = fingerprints(normalized(benchmark))
+    val bf0 = fingerprints(normalized(benchmark))
       .select(col("doc_id").as("bench_id"), col("h"))
-    tf.join(broadcast(bf), "h")
+    val bf = if (benchmarkIsSmall) broadcast(bf0) else bf0
+    tf.join(bf, "h")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -182,7 +193,8 @@ object Winnowing {
   def d14Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     decontaminate(docs.filter(col("doc_id") % 2 === 0),
-      docs.filter(col("doc_id") % 2 === 1))
+      docs.filter(col("doc_id") % 2 === 1),
+      benchmarkIsSmall = false) // half-corpus benchmark: AQE sizes the join
   }
 
   /** t38: DECONTAMINATED leakage-safe split — the composition a real
@@ -210,7 +222,8 @@ object Winnowing {
     val base = Dedup.splitByComponent(train, Dedup.candidatePairsFor(train))
       .select("doc_id", "component", "split")
     val hot = base
-      .join(decontaminate(train, bench).select("doc_id"),
+      .join(decontaminate(train, bench, benchmarkIsSmall = false)
+          .select("doc_id"),
         Seq("doc_id"), "left_semi")
       .select("component").distinct()
       .withColumn("contaminated", lit(true))

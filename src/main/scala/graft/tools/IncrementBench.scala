@@ -68,12 +68,14 @@ object IncrementBench {
         inc.write.mode("append").parquet(p)
         val appendSec = time(
           graft.text.Dedup.appendBandIndex(spark, p, inc, sig))
-        val rebuildSec = time(graft.text.Dedup.persistBandIndexFor(
-          spark, p, spark.read.parquet(p)))
-        // lifecycle companions on the same table: compaction (after the
-        // append left multi-file buckets) and a 1%-of-keys retraction
+        // compact is timed HERE — immediately after the append, while
+        // the buckets genuinely hold multiple files (ADVICE r13 #3: the
+        // old ordering measured it after the rebuild leg had already
+        // re-persisted one file per bucket, timing a no-op compaction)
         val compactSec = time(
           graft.lake.IndexTables.compact(spark, "band", p))
+        val rebuildSec = time(graft.text.Dedup.persistBandIndexFor(
+          spark, p, spark.read.parquet(p)))
         val sig2 = graft.text.Dedup.bandIndexStamp(spark, p).get
         val all = spark.read.parquet(p).localCheckpoint()
         val victims = all.filter(pmod(col("doc_id"), lit(100)) === 1)

@@ -80,6 +80,34 @@ class IndexTableLifecycleSpec extends AnyFunSuite {
     } finally IndexTables.drop(spark, "annf", path)
   }
 
+  test("compact evicts the session caches — a cached wrapper probe survives the file swap") {
+    // ADVICE r13 #1: compact rewrites the table's FILES while the
+    // corpus signature stays unchanged, so a wrapper entry keyed on
+    // (path, signature) still reads "fresh" while its cached plan
+    // references the deleted pre-compact files — the next probe throws
+    // FileNotFoundException once the persisted blocks age out.
+    // compact must evict like appendIncrement does.
+    val d = tempCorpus()
+    val path = s"$d/embeddings.parquet"
+    try {
+      Similarity.persistAnnIndex(spark, d, buckets = 4)
+      val baseline = Similarity.s3EmbeddingNeardup(spark, d)
+        .collect().map(_.toString).toSeq
+      val builds0 = Similarity.floatBucketIndexCache.builds.get()
+      assert(IndexTables.compact(spark, "annf", path).isDefined,
+        "a fresh table must compact")
+      // probe THROUGH the cached wrapper: must rebuild (eviction), not
+      // reuse a plan over the swapped-out files — and produce the
+      // identical result off the compacted table
+      val after = Similarity.s3EmbeddingNeardup(spark, d)
+        .collect().map(_.toString).toSeq
+      assert(after == baseline,
+        "post-compact probe diverged from the pre-compact result")
+      assert(Similarity.floatBucketIndexCache.builds.get() == builds0 + 1,
+        "compact did not evict the cached table-scan plan")
+    } finally IndexTables.drop(spark, "annf", path)
+  }
+
   test("a crash between persist statements leaves a recoverable state") {
     // Simulate the two crash windows persist's docstring claims are
     // safe: (a) after the staging write but before the swap — the

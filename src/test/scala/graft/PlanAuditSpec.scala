@@ -388,15 +388,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "eventsBetween changed the selected row set vs the derived-column filter")
   }
 
-  test("t17 packing: ONE shard hash exchange serves both window and pack agg") {
-    // window on (lang) and groupBy(lang, pack_id): the window's hash
-    // exchange on lang satisfies the agg's clustering (subset key), so
-    // the plan is hash(lang) + the output sort — 2 exchanges, plus a
-    // possible AQE artifact but never a second hash on the agg keys
+  test("t17 packing: prefix-sum plan — bounded exchanges, no per-lang corpus window") {
+    // r13 verdict #1 retired the old one-exchange-serves-both shape:
+    // its window hashed the CORPUS on lang (5 values — a single task
+    // per language at cluster scale). The prefix-sum form pays more
+    // exchanges, every one of them key-bounded: subtotal agg +
+    // offsets window (reduced relation) + in-bucket window + doc_id
+    // text join + pack agg + output sort. Pin the budget and that no
+    // corpus-sized window hashes on lang alone (PrefixSumSpec pins the
+    // window keys node-by-node for t35).
     val df = graft.text.TextAnalysis.t17PackPayloads(spark, sf)
     val n = TestSpark.countShuffles(df)
-    assert(n == 2, s"expected lang hash + output sort, got $n:\n" +
+    assert(n <= 8, s"t17 exchange budget blown, got $n:\n" +
       df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__ps_b"),
+      s"prefix-sum bucket column missing from the t17 plan:\n$plan")
   }
 
   test("d9 substring dedup: survivor election is a same-key shuffle join at scale (no forced broadcast)") {
