@@ -981,7 +981,126 @@ object Graph {
       .limit(20)
   }
 
+  /** The FULL contracted adjacency (g12's artifact un-truncated), in
+    * [[louvainRefine]]'s self-loop convention: inter-community pairs
+    * carry both directions; a community's internal mass rides ONE
+    * (C, C, 2·in_C) row (degree grain — see the refine docstring).
+    * Built from the same two label joins as g12 (u-keyed, riding the
+    * served bucket layout) + the community-pair partial agg; the
+    * output is community-pair-sized, ≪ edges.
+    */
+  private[graft] def contractedAdjacency(adj: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val cg = adj.filter(col("u") < col("v"))
+      .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"), col("w"))
+      .groupBy("ca", "cb").agg(sum("w").as("w"))
+    val inter = cg.filter(col("ca") =!= col("cb"))
+    inter.select(col("ca").as("u"), col("cb").as("v"), col("w"))
+      .unionByName(inter.select(col("cb").as("u"), col("ca").as("v"),
+        col("w")))
+      .unionByName(cg.filter(col("ca") === col("cb"))
+        .select(col("ca").as("u"), col("cb").as("v"),
+          (col("w") * 2).as("w")))
+  }
+
+  /** One agglomerative MERGE round over a contracted community graph
+    * in [[contractedAdjacency]]'s convention — the level-2 move rule:
+    * every community's best merge partner by EXACT pairwise modularity
+    * gain  G(C, D) = 2W·w_CD − deg_C·deg_D  (ΔQ of merging C and D
+    * scaled by the positive constant 2W² — sign and order exact in
+    * integer arithmetic; decimal(38,0) against wrap, HUGEINT in the
+    * oracle), adopted only for MUTUAL best pairs (C's best is D AND
+    * D's best is C), merged label = min(C, D).
+    *
+    * WHY not [[louvainRefine]] run on the super-graph (the naive level
+    * 2): synchronous node-grain adoption is only EMPIRICALLY monotone,
+    * and on a tiny dense super-graph the pathology it risks actually
+    * bites — measured at sf0.001, every one of 33 super-nodes proposed
+    * a move at once and the round DECREASED exact modularity 0.3446 →
+    * 0.3368 (gains are evaluated against a partition that no longer
+    * exists once everyone moves). Mutual-best merging makes the
+    * non-decrease a THEOREM: mutual-best pairs form a matching (best
+    * is unique per community), so adopted merges touch disjoint
+    * community pairs; Q is a sum of per-community terms, so the
+    * round's total ΔQ is EXACTLY Σ of the adopted pair gains, each
+    * strictly positive. Progress is pinned by the spec's fixture (the
+    * corpus merges 33 → 23 communities at sf0.001): min-label
+    * tie-breaks make the top positive pair mutual in practice.
+    *
+    * Returns (node = community, label = merged community). Plan: one
+    * degree agg + one 1-row broadcast total + two community-keyed
+    * joins + a min-struct argmax + the mutuality self-join — ALL on
+    * the community-pair relation, ≪ the node graph.
+    */
+  private[graft] def mergeCommunitiesRound(adj2: DataFrame): DataFrame = {
+    val deg2 = adj2.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
+    val wTot = adj2.filter(col("u") <= col("v"))
+      .agg(sum(when(col("u") === col("v"), expr("w div 2"))
+        .otherwise(col("w"))).as("tw"))
+    val pairs = adj2.filter(col("u") < col("v"))
+      .join(deg2.select(col("node").as("u"), col("wd").as("du")), "u")
+      .join(deg2.select(col("node").as("v"), col("wd").as("dv")), "v")
+      .crossJoin(broadcast(wTot))
+      .select(col("u"), col("v"),
+        expr("2 * cast(tw as decimal(38,0)) * w" +
+          " - cast(du as decimal(38,0)) * dv").as("gain"))
+    val cands = pairs.select(col("u").as("c"), col("v").as("p"), col("gain"))
+      .unionByName(
+        pairs.select(col("v").as("c"), col("u").as("p"), col("gain")))
+    val best = cands.filter(col("gain") > 0)
+      .groupBy("c")
+      .agg(min(struct((-col("gain")).as("ng"), col("p").as("p"))).as("m"))
+      .select(col("c"), col("m.p").as("bp"))
+    val mutual = best.as("x")
+      .join(best.as("y"),
+        col("x.bp") === col("y.c") && col("y.bp") === col("x.c") &&
+          col("x.c") < col("y.c"))
+      .select(col("x.c").as("ca"), col("y.c").as("cb"))
+    deg2.select(col("node"))
+      .join(broadcast(mutual), col("node") === col("cb"), "left")
+      .select(col("node"), coalesce(col("ca"), col("node")).as("label"))
+  }
+
+  /** g13: LOUVAIN LEVEL 2 (r13 verdict #4 — the hierarchy g12's
+    * conservation properties exist for): contract g11's partition into
+    * the community graph (g12's artifact, full — self-loops carrying
+    * internal mass), run [[mergeCommunitiesRound]]'s provably-monotone
+    * whole-community merge on it, map the community-of-community
+    * labels back to the original nodes, and gauge the two-level
+    * partition with [[modularityOf]] on the ORIGINAL graph (g9's
+    * integer ppm contract). Because the contraction conserves edge
+    * mass, degree mass, and total weight (GraphSpec pins all three), a
+    * pair gain on the contracted graph IS the gain of merging those
+    * two communities in the original graph — level 2 raises modularity
+    * where level 1's node-grain moves could not (a node-at-a-time pass
+    * sticks at local optima a community-at-a-time merge escapes;
+    * that is Louvain's point). GraphSpec pins exact-modularity
+    * non-decrease of the mapped-back partition vs g11's.
+    *
+    * Plan shape: the contraction is g12's (two u-keyed label joins
+    * riding the served bucket layout + community-pair agg) and the
+    * merge round runs entirely on the community-pair relation — orders
+    * of magnitude smaller than the node graph, so the extra level
+    * costs a fraction of level 1. One louvainRefine round is shared
+    * with g11/g12 per session via the memoized LPA labels.
+    */
+  def g13LouvainLevel2(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    val l1 = louvainRefine(adj, lpaLabels(s, d)).localCheckpoint()
+    val adj2 = contractedAdjacency(adj, l1).localCheckpoint()
+    val l2c = mergeCommunitiesRound(adj2)
+    val labels2 = l1
+      .join(l2c.select(col("node").as("label"), col("label").as("l2")),
+        "label")
+      .select(col("node"), col("l2").as("label"))
+    modularityOf(adj, labels2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_louvain_level2" -> (g13LouvainLevel2 _),
     "g12_community_graph" -> (g12CommunityGraph _),
     "g11_louvain_refine" -> (g11LouvainRefine _),
     "g10_resource_alloc" -> (g10ResourceAlloc _),
@@ -1073,7 +1192,85 @@ object Graph {
        |  FROM base b LEFT JOIN best ON best.node = b.node
        |)""".stripMargin
 
+  /** g13's level-2 chain: [[louvainChainDuck]]'s `ref` contracted into
+    * the community graph (self-loops at degree grain, 2·in — the
+    * [[contractedAdjacency]] convention), the mutual-best pairwise
+    * merge round run on it (exact pair gain 2W·w_CD − deg_C·deg_D in
+    * HUGEINT; row_number's (gain DESC, p ASC) is the Spark side's
+    * min-struct argmax), and the merged labels mapped back to nodes as
+    * `ref2(node, label)`.
+    */
+  private lazy val level2ChainDuck: String =
+    s"""$louvainChainDuck,
+       |cg AS MATERIALIZED (
+       |  SELECT least(la.label, lb.label) AS ca,
+       |    greatest(la.label, lb.label) AS cb,
+       |    CAST(sum(e.w) AS BIGINT) AS w
+       |  FROM e JOIN ref la ON e.a = la.node
+       |         JOIN ref lb ON e.b = lb.node
+       |  GROUP BY 1, 2
+       |), adj2 AS MATERIALIZED (
+       |  SELECT ca AS u, cb AS v, w FROM cg WHERE ca <> cb
+       |  UNION ALL SELECT cb, ca, w FROM cg WHERE ca <> cb
+       |  UNION ALL SELECT ca, ca, 2 * w FROM cg WHERE ca = cb
+       |), deg2 AS (
+       |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS wd
+       |  FROM adj2 GROUP BY 1
+       |), tw2x AS (
+       |  SELECT CAST(sum(CASE WHEN u = v THEN w // 2 ELSE w END)
+       |    AS BIGINT) AS tw
+       |  FROM adj2 WHERE u <= v
+       |), pg AS (
+       |  SELECT a.u, a.v,
+       |    2 * CAST(t.tw AS HUGEINT) * a.w
+       |      - CAST(du.wd AS HUGEINT) * dv.wd AS gain
+       |  FROM adj2 a JOIN deg2 du ON du.node = a.u
+       |       JOIN deg2 dv ON dv.node = a.v
+       |       CROSS JOIN tw2x t
+       |  WHERE a.u < a.v
+       |), cand2 AS (
+       |  SELECT u AS c, v AS p, gain FROM pg
+       |  UNION ALL SELECT v, u, gain FROM pg
+       |), best2 AS (
+       |  SELECT c, p FROM (
+       |    SELECT c, p, gain, row_number() OVER (
+       |      PARTITION BY c ORDER BY gain DESC, p ASC) AS rn
+       |    FROM cand2 WHERE gain > 0)
+       |  WHERE rn = 1
+       |), mutual AS (
+       |  SELECT x.c AS ca, y.c AS cb FROM best2 x JOIN best2 y
+       |  ON x.p = y.c AND y.p = x.c AND x.c < y.c
+       |), ref2c AS (
+       |  SELECT d.node, COALESCE(m.ca, d.node) AS label
+       |  FROM deg2 d LEFT JOIN mutual m ON d.node = m.cb
+       |), ref2 AS MATERIALIZED (
+       |  SELECT r.node, r2.label
+       |  FROM ref r JOIN ref2c r2 ON r.label = r2.node
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "g13_louvain_level2" ->
+      s"""WITH $level2ChainDuck,
+         |degc3 AS (
+         |  SELECT l.label, CAST(sum(d.wd) AS BIGINT) AS deg_w,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg d JOIN ref2 l ON d.node = l.node GROUP BY 1
+         |), inc3 AS (
+         |  SELECT la.label, CAST(sum(e.w) AS BIGINT) AS in_w
+         |  FROM e JOIN ref2 la ON e.a = la.node
+         |         JOIN ref2 lb ON e.b = lb.node
+         |  WHERE la.label = lb.label GROUP BY 1
+         |)
+         |SELECT degc3.label AS community, n_nodes,
+         |  CAST(COALESCE(in_w, 0) AS BIGINT) AS internal_w, deg_w,
+         |  CAST(CAST(COALESCE(in_w, 0) AS HUGEINT) * 1000000 // t.tw
+         |    - ((CAST(deg_w AS HUGEINT) * 1000000
+         |        // (2 * CAST(t.tw AS HUGEINT)))
+         |       * (CAST(deg_w AS HUGEINT) * 1000000
+         |          // (2 * CAST(t.tw AS HUGEINT)))) // 1000000
+         |    AS BIGINT) AS q_contrib_ppm
+         |FROM degc3 LEFT JOIN inc3 USING (label) CROSS JOIN twx t
+         |ORDER BY community""".stripMargin,
     "g12_community_graph" ->
       s"""WITH $louvainChainDuck
          |SELECT least(la.label, lb.label) AS comm_a,

@@ -269,6 +269,69 @@ class GraphSpec extends AnyFunSuite {
       "fixture regression: the local-move round moved nothing")
   }
 
+  test("g13 level 2: mapped-back partition's exact modularity ≥ g11's; contraction conserves degree and total weight") {
+    import org.apache.spark.sql.functions._
+    val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
+      .localCheckpoint()
+    val l1 = Graph.louvainRefine(adj, Graph.lpaLabels(spark, sf))
+      .localCheckpoint()
+    val adj2 = Graph.contractedAdjacency(adj, l1).localCheckpoint()
+
+    // the contraction invariants the level-2 gains rely on: Σ degree
+    // and total edge weight (self-loops at w div 2) equal the original
+    // graph's — otherwise level 2 optimizes a different objective
+    val degSum = adj.agg(sum("w")).head.getLong(0)
+    val degSum2 = adj2.agg(sum("w")).head.getLong(0)
+    assert(degSum2 == degSum,
+      s"contraction changed total degree mass: $degSum2 != $degSum")
+    val w1 = adj.filter(col("u") < col("v")).agg(sum("w")).head.getLong(0)
+    val w2c = adj2.filter(col("u") <= col("v"))
+      .agg(sum(when(col("u") === col("v"), expr("w div 2"))
+        .otherwise(col("w")))).head.getLong(0)
+    assert(w2c == w1, s"contraction changed total edge weight: $w2c != $w1")
+
+    // level-2 mutual-best merge on the contracted graph, mapped back.
+    // (The naive alternative — louvainRefine run synchronously on the
+    // super-graph — DECREASED exact modularity here, 0.3446 -> 0.3368:
+    // all 33 super-nodes moved at once. The merge round's docstring
+    // carries the theorem this spec verifies empirically.)
+    val l2c = Graph.mergeCommunitiesRound(adj2)
+    val labels2 = l1
+      .join(l2c.select(col("node").as("label"), col("label").as("l2")),
+        "label")
+      .select(col("node"), col("l2").as("label"))
+
+    // exact plain-Scala modularity (the g11 test's gauge — no floors)
+    val edges = adj.filter(col("u") < col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w2 = 2.0 * edges.map(_._3).sum
+    def q(labels: Map[Long, Long]): Double = {
+      val inC = edges.groupMapReduce(e =>
+        if (labels(e._1) == labels(e._2)) Some(labels(e._1)) else None)(
+        _._3.toDouble)(_ + _)
+      val degC = edges.flatMap(e =>
+        Seq(labels(e._1) -> e._3.toDouble, labels(e._2) -> e._3.toDouble))
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      degC.map { case (c, dc) =>
+        inC.getOrElse(Some(c), 0.0) / (w2 / 2) - math.pow(dc / w2, 2)
+      }.sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m1 = toMap(l1)
+    val m2 = toMap(labels2)
+    assert(m2.keySet == m1.keySet, "level 2 changed the node set")
+    val q1 = q(m1)
+    val q2 = q(m2)
+    assert(q2 >= q1 - 1e-12,
+      f"level 2 DECREASED modularity: $q1%.6f -> $q2%.6f — the " +
+        "synchronous whole-community adopt lost monotonicity here")
+    // fixture: on this corpus level 2 genuinely merges communities
+    // (33 -> 21 at sf0.001) — a vacuous no-move pass would pin nothing
+    assert(m2.values.toSet.size < m1.values.toSet.size,
+      "fixture regression: level 2 merged no communities at this tier")
+  }
+
   test("g12 contraction: edge mass and edge count conserved; self-loops carry the internal weight") {
     import org.apache.spark.sql.functions._
     val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
