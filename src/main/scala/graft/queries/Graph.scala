@@ -27,8 +27,8 @@ object Graph {
     * adjacency artifacts (r10 verdict #1 — the persistAnnIndex
     * treatment applied to the graph family).
     */
-  private val G1Prefix = "g1edges"
-  private val CoAdjPrefix = "coadj"
+  private[graft] val G1Prefix = "g1edges"
+  private[graft] val CoAdjPrefix = "coadj"
 
   /** Persist the family's two adjacency relations as signature-stamped
     * bucketed catalog TABLES — [[edgesWithOut]] bucketed on `src` and
@@ -47,7 +47,17 @@ object Graph {
     */
   def persistAdjacency(s: SparkSession, d: String,
       buckets: Int = 32): Seq[String] = Seq(
-    graft.lake.IndexTables.persist(s, edgesWithOut(s, d), G1Prefix, d,
+    // the g1 table stores the PLAIN weighted edges (src, dst, w) — NOT
+    // edgesWithOut's denormalized per-src out-weight (r13 verdict #3b:
+    // a denormalized wout is invalidated GLOBALLY by any delta, which
+    // forced the whole-table rebuild posture). The out-weight is
+    // recovered on read by [[g1Edges]]' merge-on-read — an src-keyed
+    // agg + self-join that ride the bucket layout exchange-free (the
+    // coAdj recipe) — which makes the table APPENDABLE: a delta may
+    // repeat an existing (src, dst) with a partial weight and the
+    // per-key sum restores the unique-key relation.
+    graft.lake.IndexTables.persist(s,
+      g1EdgeRelationFrom(lineitem(s, d), orders(s, d)), G1Prefix, d,
       Seq("src"), buckets),
     graft.lake.IndexTables.persist(s, coOrderWeighted(s, d), CoAdjPrefix, d,
       Seq("u"), buckets))
@@ -89,14 +99,71 @@ object Graph {
     graft.lake.IndexTables.appendIncrement(s,
       coOrderWeightedFrom(deltaLineitem), CoAdjPrefix, d, prevSig)
 
-  /** g1's edge relation: the served bucketed table when one is persisted
-    * and fresh (per-round join exchange-free on the edge side), else the
-    * build-and-checkpoint form. A missing table costs one metastore
-    * existence check — the signature walk only runs when a table exists.
+  /** g1's edge relation with the per-src out-weight attached: the
+    * served bucketed table when one is persisted and fresh (per-round
+    * join exchange-free on the edge side), else the build-and-
+    * checkpoint form. The served path is merge-on-read (the coAdj
+    * recipe): appended deltas may repeat an (src, dst) key with a
+    * partial weight, so the per-key sum restores the unique-key edges,
+    * and the out-weight normalization — the aggregate the old
+    * denormalized layout baked into the files — is recomputed as an
+    * src-keyed agg + join. All three steps (merge agg, outW agg, the
+    * join) are clustered on `src`, the bucket key, so the served scan
+    * feeds them exchange-free and each PageRank round still joins the
+    * edge side without an Exchange (BucketedGraphSpec pins it).
+    * A missing table costs one metastore existence check — the
+    * signature walk only runs when a table exists.
     */
   private def g1Edges(s: SparkSession, d: String): DataFrame =
     graft.lake.IndexTables.serve(s, G1Prefix, d)
+      .map { t =>
+        val edges = t.groupBy("src", "dst").agg(sum("w").as("w"))
+        edges.join(edges.groupBy("src").agg(sum("w").as("wout")), "src")
+      }
       .getOrElse(edgesWithOut(s, d).localCheckpoint())
+
+  /** The plain weighted edge relation of g1's bipartite graph —
+    * (src, dst, w) both directions, NO out-weight — from explicit fact
+    * frames: the persist artifact AND the incremental delta derive
+    * through this one body (the coOrderWeightedFrom posture: builder
+    * and maintainer cannot drift). For a delta of NEW orders, pass the
+    * delta's lineitem and orders slices: the ok-join is order-local,
+    * so delta edges = full-fact edges of exactly those orders.
+    */
+  private[graft] def g1EdgeRelationFrom(li: DataFrame,
+      ord: DataFrame): DataFrame = {
+    val e0 = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"))
+      .join(ord.select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck")), "ok")
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
+    e0.select((col("ck") * 2).cast("long").as("src"),
+        (col("sk") * 2 + 1).cast("long").as("dst"), col("w"))
+      .unionByName(e0.select((col("sk") * 2 + 1).cast("long").as("src"),
+        (col("ck") * 2).cast("long").as("dst"), col("w")))
+  }
+
+  /** INCREMENTAL g1 edge maintenance (r13 verdict #3b): when a batch
+    * of NEW orders lands (keys disjoint, lines complete — the
+    * [[appendAdjacencyIncrement]] grain), append the delta edge rows
+    * derived from just those orders' lines and re-stamp. The un-
+    * denormalized layout makes this sound: edge weights are ADDITIVE
+    * per (src, dst) (counts of order-local join rows), deltas merge by
+    * the per-key sum on read, and the out-weight is recomputed from
+    * the merged relation — nothing in the files depends on global
+    * state. IncrementalIndexSpec pins append ≡ rebuild and g1's ranks
+    * bit-identical on either.
+    */
+  def appendG1Increment(s: SparkSession, d: String, deltaLineitem: DataFrame,
+      deltaOrders: DataFrame, prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s,
+      g1EdgeRelationFrom(deltaLineitem, deltaOrders), G1Prefix, d, prevSig)
+
+  /** The persisted g1 edge table's current stamp — the prevSig handle
+    * for [[appendG1Increment]], read BEFORE the increment lands.
+    */
+  def g1Stamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, G1Prefix, d)
 
   /** The co-order family's adjacency (u, v, w): served bucketed table
     * when present, else built and checkpointed (three consumers — g3's
@@ -163,15 +230,7 @@ object Graph {
     * shuffle paid exactly once; never fact-rescanned).
     */
   private[graft] def edgesWithOut(s: SparkSession, d: String): DataFrame = {
-    val e0 = lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk"))
-      .join(orders(s, d).select(col("o_orderkey").as("ok"),
-        col("o_custkey").as("ck")), "ok")
-      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
-    val edges = e0.select((col("ck") * 2).cast("long").as("src"),
-        (col("sk") * 2 + 1).cast("long").as("dst"), col("w"))
-      .unionByName(e0.select((col("sk") * 2 + 1).cast("long").as("src"),
-        (col("ck") * 2).cast("long").as("dst"), col("w")))
+    val edges = g1EdgeRelationFrom(lineitem(s, d), orders(s, d))
     val outW = edges.groupBy("src").agg(sum("w").as("wout"))
     edges.join(outW, "src")
   }
@@ -722,14 +781,121 @@ object Graph {
     * sweep lazily.
     */
   private val lpaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, DataFrame)]()
-  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    (SparkSession, String), (String, IndexedSeq[DataFrame])]()
+  private[graft] def lpaStates(s: SparkSession, d: String): IndexedSeq[DataFrame] = {
     lpaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val sig = graft.lake.CorpusIndexCache.signature(d)
     lpaCache.compute((s, d), (_, cur) =>
       if (cur != null && cur._1 == sig) cur
-      else (sig, labelPropagation(
+      else (sig, labelPropagationStates(
         coAdj(s, d).filter(col("w") >= MinCoOrders), LpaRounds)))._2
+  }
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaStates(s, d).last
+
+  /** The tier signature the memoized LPA states were propagated on —
+    * the prevSig handle for [[warmLpaAfterAppend]], read BEFORE an
+    * increment lands in the tier (the [[adjacencyStamp]] posture).
+    */
+  def lpaStamp(s: SparkSession, d: String): Option[String] =
+    Option(lpaCache.get((s, d))).map(_._1)
+
+  /** WARM-START LPA after an adjacency increment (r13 verdict #3a):
+    * instead of re-running all [[LpaRounds]] rounds over the whole
+    * grown graph (the memoized labels' tier signature changed, so the
+    * next lpaLabels call recomputes from scratch), re-propagate ONLY
+    * where the delta can have had any effect, reading the memoized
+    * per-round states everywhere else — and the result is BIT-IDENTICAL
+    * to the from-scratch run, by synchronous-iteration locality, not
+    * an approximation: round i's label at node v depends only on round
+    * i−1 labels within one hop, so after a delta touching node set D,
+    * L'_i(v) can differ from the memoized L_i(v) only for v within i
+    * hops of D. The warm pass therefore recomputes round i on the
+    * i-hop frontier ball A_i (A_0 = D, A_i = A_{i−1} ∪ N(A_{i−1}) on
+    * the grown graph) and stitches A_i's fresh labels over the
+    * memoized round-i state. IncrementalIndexSpec pins warm ≡
+    * from-scratch on the grown graph, and the downstream g8 histogram
+    * bit-identical on either.
+    *
+    * Caller contract (the [[appendAdjacencyIncrement]] one): between
+    * the memoized propagation (`prevSig` = [[lpaStamp]] then) and this
+    * call, tier `d` changed by EXACTLY `deltaLineitem`'s new orders.
+    * A stale prevSig throws — fall back to the full recompute
+    * (lpaLabels does it implicitly on its next call).
+    *
+    * Cost shape: per round, one frontier expansion (edge semi-join)
+    * plus a vote join RESTRICTED to ball destinations — for a small
+    * increment on a sparse graph the ball stays a small fraction of
+    * the graph, so the warm pass costs O(ball edges · rounds), not
+    * O(|E| · rounds). Threshold crossings are safe conservatively: a
+    * pair whose merged weight crossed [[MinCoOrders]] is itself a
+    * delta pair, so both endpoints are in D.
+    */
+  def warmLpaAfterAppend(s: SparkSession, d: String,
+      deltaLineitem: DataFrame, prevSig: String): DataFrame = {
+    val cur = lpaCache.get((s, d))
+    if (cur == null || cur._1 != prevSig)
+      throw new IllegalStateException(
+        s"warmLpaAfterAppend($d): memoized LPA stamp " +
+          s"${Option(cur).map(_._1)} != expected $prevSig — corpus " +
+          "changed under the maintainer; fall back to a full recompute")
+    val touched = coOrderWeightedFrom(deltaLineitem)
+      .select(col("u").as("node")).distinct()
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    val states = warmLpaStates(adj, cur._2, touched)
+    lpaCache.put((s, d),
+      (graft.lake.CorpusIndexCache.signature(d), states))
+    states.last
+  }
+
+  /** The exact bounded re-propagation [[warmLpaAfterAppend]] documents:
+    * `prior` is the full per-round state history on the pre-delta
+    * graph; `touched` the delta-incident nodes; `adj` the GROWN
+    * adjacency. Returns the grown graph's full state history.
+    */
+  private[graft] def warmLpaStates(adj: DataFrame,
+      prior: IndexedSeq[DataFrame], touched: DataFrame): IndexedSeq[DataFrame] = {
+    def overridden(base: DataFrame, upd: DataFrame): DataFrame =
+      base.select(col("node"), col("label").as("ol"))
+        .join(upd.select(col("node"), col("label").as("nl")),
+          Seq("node"), "full_outer")
+        .select(col("node"), coalesce(col("nl"), col("ol")).as("label"))
+    // D ∩ nodes(adj): a delta endpoint whose merged edges all sit
+    // below the weight threshold is NOT a node of the propagation
+    // graph — seeding it would add an isolated identity-labeled row
+    // the from-scratch run never has (caught by the equivalence spec)
+    var affected = touched.select("node").distinct()
+      .join(adj.select(col("u").as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .localCheckpoint()
+    // L'_0 is identity everywhere; new nodes enter through the override
+    var state = overridden(prior(0),
+      affected.withColumn("label", col("node"))).localCheckpoint()
+    val out = IndexedSeq.newBuilder[DataFrame]
+    out += state
+    (1 until prior.size).foreach { i =>
+      affected = affected.unionByName(
+          adj.join(affected.withColumnRenamed("node", "u"), "u")
+            .select(col("v").as("node")))
+        .distinct().localCheckpoint()
+      val proposal = adj
+        .join(affected.select(col("node").as("v")), Seq("v"), "left_semi")
+        .join(state.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), col("label"), col("w"))
+        .groupBy("node", "label").agg(sum("w").as("votes"))
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("label")))
+          .as("m"))
+        .select(col("node"), col("m.label").as("proposal"))
+      val upd = state.join(affected, Seq("node"), "left_semi")
+        .join(proposal, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("proposal"), col("label")))
+            .as("label"))
+      state = overridden(prior(i), upd).localCheckpoint()
+      out += state
+    }
+    out.result()
   }
 
   def g8Communities(s: SparkSession, d: String): DataFrame = {
@@ -747,9 +913,21 @@ object Graph {
     * against a plain-Scala reference on random graphs
     * (GraphPropertySpec).
     */
-  def labelPropagation(adj: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(adj: DataFrame, rounds: Int): DataFrame =
+    labelPropagationStates(adj, rounds).last
+
+  /** [[labelPropagation]] with the full per-round state history
+    * retained (states 0..rounds, each checkpointed) — the memo
+    * [[warmLpaAfterAppend]]'s bounded re-propagation stitches against.
+    * Keeping the history costs nothing extra: every round was already
+    * checkpointed to truncate lineage.
+    */
+  private[graft] def labelPropagationStates(adj: DataFrame,
+      rounds: Int): IndexedSeq[DataFrame] = {
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    val out = IndexedSeq.newBuilder[DataFrame]
+    out += labels
     (1 to rounds).foreach { _ =>
       // plurality proposal per node: argmax Σw over neighbor labels,
       // min label on ties — a partial-aggregable min-struct, no window
@@ -766,8 +944,9 @@ object Graph {
           least(col("label"), coalesce(col("proposal"), col("label")))
             .as("label"))
         .localCheckpoint()
+      out += labels
     }
-    labels
+    out.result()
   }
 
   /** g9: MODULARITY of g8's partition (Newman & Girvan 2004) — the

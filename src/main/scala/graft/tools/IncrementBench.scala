@@ -116,34 +116,59 @@ object IncrementBench {
         f""""admission":{"corpus_rows":$familyN,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
       }
 
-      // ---- co-order adjacency (lineitem) ---------------------------
+      // ---- co-order adjacency + g1 edges + warm LPA (lineitem) -----
       val adjJson = if (!new java.io.File(s"$d/lineitem.parquet").exists()) ""
       else {
+        import graft.queries.Graph
         val tmp = java.nio.file.Files.createTempDirectory("incb_adj")
         val td = tmp.toString
         val li = spark.read.parquet(s"$d/lineitem.parquet")
+        val ord = spark.read.parquet(s"$d/orders.parquet")
         // whole orders are the increment grain (co-order pairs are
-        // order-local)
+        // order-local; g1 edges join lines to their own order)
         li.filter(pmod(col("l_orderkey"), lit(100)) =!= 0)
           .write.parquet(s"$td/lineitem.parquet")
-        // the coadj-only comparator: what the append actually avoids
-        // (persistAdjacency also writes the g1 edge table, which keeps
-        // the rebuild posture — measured separately as persist_both)
+        ord.filter(pmod(col("o_orderkey"), lit(100)) =!= 0)
+          .write.parquet(s"$td/orders.parquet")
         def persistCoadj(): Unit = graft.lake.IndexTables.persist(spark,
-          graft.queries.Graph.coOrderWeightedFrom(
+          Graph.coOrderWeightedFrom(
             spark.read.parquet(s"$td/lineitem.parquet")),
-          "coadj", td, Seq("u"))
+          Graph.CoAdjPrefix, td, Seq("u"))
+        def persistG1(): Unit = graft.lake.IndexTables.persist(spark,
+          Graph.g1EdgeRelationFrom(
+            spark.read.parquet(s"$td/lineitem.parquet"),
+            spark.read.parquet(s"$td/orders.parquet")),
+          Graph.G1Prefix, td, Seq("src"))
         val persistSec = time(persistCoadj())
-        val sig = graft.lake.IndexTables.stampOf(spark, "coadj", td).get
+        val persistG1Sec = time(persistG1())
+        // memoize the pre-delta LPA history (the warm pass's input)
+        val lpaBuildSec = time(Graph.lpaLabels(spark, td))
+        val sig = Graph.adjacencyStamp(spark, td).get
+        val sigG1 = Graph.g1Stamp(spark, td).get
+        val sigLpa = Graph.lpaStamp(spark, td).get
         val delta = li.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+          .localCheckpoint()
+        val deltaOrd = ord.filter(pmod(col("o_orderkey"), lit(100)) === 0)
           .localCheckpoint()
         val nDelta = delta.count()
         delta.write.mode("append").parquet(s"$td/lineitem.parquet")
-        val appendSec = time(graft.queries.Graph
+        deltaOrd.write.mode("append").parquet(s"$td/orders.parquet")
+        val appendSec = time(Graph
           .appendAdjacencyIncrement(spark, td, delta, sig))
+        val appendG1Sec = time(Graph
+          .appendG1Increment(spark, td, delta, deltaOrd, sigG1))
+        // warm LPA rides the just-appended served adjacency; the full
+        // comparator is the from-scratch propagation on the grown graph
+        val lpaWarmSec = time(Graph
+          .warmLpaAfterAppend(spark, td, delta, sigLpa))
+        val lpaFullSec = time(Graph.labelPropagation(
+          Graph.coOrderWeightedFrom(
+              spark.read.parquet(s"$td/lineitem.parquet"))
+            .filter(col("w") >= Graph.MinCoOrders), 5))
         val rebuildSec = time(persistCoadj())
-        graft.lake.IndexTables.drop(spark, "coadj", td)
-        f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+        val rebuildG1Sec = time(persistG1())
+        Graph.dropAdjacency(spark, td)
+        f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f},"g1_edges":{"persist_sec":$persistG1Sec%.3f,"append_sec":$appendG1Sec%.3f,"rebuild_sec":$rebuildG1Sec%.3f},"lpa":{"build_sec":$lpaBuildSec%.3f,"warm_sec":$lpaWarmSec%.3f,"full_sec":$lpaFullSec%.3f}"""
       }
 
       s""""$d":{$bandJson,$admJson$adjJson}"""

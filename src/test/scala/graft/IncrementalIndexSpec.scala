@@ -354,4 +354,88 @@ class IncrementalIndexSpec extends AnyFunSuite {
         "g2 diverged between appended-served and cold rebuild")
     } finally Graph.dropAdjacency(spark, d)
   }
+
+  test("g1 edge table: append delta orders + merge-on-read ≡ rebuild; PageRank bit-identical served-appended vs cold; wrong prevSig throws") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_g1")
+    val d = dir.toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").localCheckpoint()
+    val ord = spark.read.parquet(s"$sf/orders.parquet").localCheckpoint()
+    val baseLi = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val deltaLi = li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+    val deltaOrd = ord.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    baseLi.write.parquet(s"$d/lineitem.parquet")
+    ord.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .write.parquet(s"$d/orders.parquet")
+    try {
+      Graph.persistAdjacency(spark, d, buckets = 4)
+      val prevSig = Graph.g1Stamp(spark, d).get
+
+      deltaLi.write.mode("append").parquet(s"$d/lineitem.parquet")
+      deltaOrd.write.mode("append").parquet(s"$d/orders.parquet")
+      Graph.appendG1Increment(spark, d, deltaLi, deltaOrd, prevSig)
+      // the co-adjacency table went stale (tier changed) — maintain it
+      // too so the serving set is coherent for the bit-identity checks
+      Graph.appendAdjacencyIncrement(spark, d, deltaLi,
+        Graph.adjacencyStamp(spark, d).get)
+
+      assert(Graph.g1Stamp(spark, d)
+        .contains(graft.lake.CorpusIndexCache.signature(d)),
+        "g1 append did not re-stamp to the grown tier")
+      // served merge-on-read (per-key sum + recomputed out-weights)
+      // equals the from-scratch denormalized relation on the full facts
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      val servedRank = rows(Graph.g1Pagerank(spark, d))
+      Graph.dropAdjacency(spark, d)
+      assert(rows(Graph.g1Pagerank(spark, d)) == servedRank,
+        "g1 ranks diverged between appended-served and cold rebuild")
+
+      // foreign-rewrite guard
+      Graph.persistAdjacency(spark, d, buckets = 4)
+      intercept[IllegalStateException] {
+        Graph.appendG1Increment(spark, d, deltaLi, deltaOrd, prevSig)
+      }
+    } finally Graph.dropAdjacency(spark, d)
+  }
+
+  test("warm-start LPA: bounded re-propagation after a delta ≡ from-scratch on the grown graph; g8 identical; stale stamp throws") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_lpa")
+    val d = dir.toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").localCheckpoint()
+    val baseLi = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val deltaLi = li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      .localCheckpoint()
+    baseLi.write.parquet(s"$d/lineitem.parquet")
+    try {
+      // memoize the pre-delta propagation (full history) + its stamp
+      Graph.lpaLabels(spark, d)
+      val prevSig = Graph.lpaStamp(spark, d).get
+
+      // the delta lands; warm re-propagation stitches the frontier ball
+      deltaLi.write.mode("append").parquet(s"$d/lineitem.parquet")
+      val warm = Graph.warmLpaAfterAppend(spark, d, deltaLi, prevSig)
+      val full = Graph.labelPropagation(
+        Graph.coOrderWeightedFrom(spark.read.parquet(s"$d/lineitem.parquet"))
+          .filter(col("w") >= Graph.MinCoOrders),
+        5)
+      assert(rowSet(warm) == rowSet(full),
+        "warm-start labels != from-scratch propagation on the grown graph")
+
+      // the refreshed memo now serves downstream consumers: g8 off the
+      // warm cache equals g8 off a cleared cache (full recompute)
+      val g8Warm = rowSet(Graph.g8Communities(spark, d))
+      // force a fresh propagation by touching the tier signature
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(d, "lineitem.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 7000))
+      assert(rowSet(Graph.g8Communities(spark, d)) == g8Warm,
+        "g8 off the warm memo diverged from a fresh propagation")
+
+      // stale handle: the memo moved on, the old stamp must throw
+      intercept[IllegalStateException] {
+        Graph.warmLpaAfterAppend(spark, d, deltaLi, prevSig)
+      }
+    } finally Graph.dropAdjacency(spark, d)
+  }
 }
