@@ -99,6 +99,31 @@ object Graph {
     graft.lake.IndexTables.appendIncrement(s,
       coOrderWeightedFrom(deltaLineitem), CoAdjPrefix, d, prevSig)
 
+  /** RETRACT whole orders from the persisted co-order adjacency at
+    * INCREMENT cost (r13 verdict #6): where [[graft.lake.IndexTables
+    * .deleteKeys]] is an honest corpus-sized rewrite (deletions are
+    * not expressible as appends in a row-keyed immutable layout), the
+    * ADDITIVE adjacency makes deletion algebraically free — the
+    * retracted orders' pair weights, NEGATED, land as ordinary delta
+    * rows through the very appendIncrement machinery, and [[coAdj]]'s
+    * per-key sum cancels them exactly: co-order pairs are order-local,
+    * so `coOrderWeightedFrom(retracted lines)` is precisely the
+    * contribution those orders made, a fully-retracted pair sums to
+    * zero, and the merge's w > 0 filter drops it — bit-equal to a
+    * rebuild on corpus ∖ orders (IncrementalIndexSpec pins it, plus
+    * the prevSig guard). Cost: one increment-sized append + restamp —
+    * no corpus rescan, no file rewrite; IncrementBench measures it
+    * against the rebuild the old posture forced. Same caller contract
+    * as the append: between prevSig and this call the corpus changed
+    * by EXACTLY the removal of these orders' lines.
+    */
+  def retractAdjacencyOrders(s: SparkSession, d: String,
+      retractedLineitem: DataFrame, prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s,
+      coOrderWeightedFrom(retractedLineitem)
+        .select(col("u"), col("v"), (-col("w")).as("w")),
+      CoAdjPrefix, d, prevSig)
+
   /** g1's edge relation with the per-src out-weight attached: the
     * served bucketed table when one is persisted and fresh (per-round
     * join exchange-free on the edge side), else the build-and-
@@ -180,8 +205,14 @@ object Graph {
       // u-keyed join (g7's wedge self-join, g8's vote join) stays as
       // exchange-free as it was reading the raw table
       // (BucketedGraphSpec pins both). On a freshly persisted table
-      // (one row per key) the merge is a values-identity.
-      .map(_.groupBy("u", "v").agg(sum("w").as("w")))
+      // (one row per key) the merge is a values-identity. The w > 0
+      // filter is the RETRACTION half of the additive contract
+      // ([[retractAdjacencyOrders]]): a fully-retracted pair sums to
+      // exactly zero and must vanish like a rebuilt table would drop
+      // it; live pairs are strictly positive counts, so the filter is
+      // an identity outside retraction.
+      .map(_.groupBy("u", "v").agg(sum("w").as("w"))
+        .filter(col("w") > 0))
       .getOrElse(coOrderWeighted(s, d).localCheckpoint())
 
   /** g1: PageRank (Brin & Page 1998) on the bipartite order graph —

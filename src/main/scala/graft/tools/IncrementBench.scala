@@ -167,8 +167,21 @@ object IncrementBench {
             .filter(col("w") >= Graph.MinCoOrders), 5))
         val rebuildSec = time(persistCoadj())
         val rebuildG1Sec = time(persistG1())
+        // retraction leg: take the just-appended delta back OUT as a
+        // negated increment (corpus shrinks by the same orders). The
+        // honest comparator is the rebuild — deleteKeys cannot express
+        // an order-grain retraction on the adjacency (its rows are not
+        // keyed by order), which is exactly why the negative-delta
+        // path exists.
+        val sigR = Graph.adjacencyStamp(spark, td).get
+        spark.read.parquet(s"$td/lineitem.parquet")
+          .filter(pmod(col("l_orderkey"), lit(100)) =!= 0)
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(s"$td/lineitem.parquet")
+        val retractSec = time(Graph
+          .retractAdjacencyOrders(spark, td, delta, sigR))
         Graph.dropAdjacency(spark, td)
-        f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f},"g1_edges":{"persist_sec":$persistG1Sec%.3f,"append_sec":$appendG1Sec%.3f,"rebuild_sec":$rebuildG1Sec%.3f},"lpa":{"build_sec":$lpaBuildSec%.3f,"warm_sec":$lpaWarmSec%.3f,"full_sec":$lpaFullSec%.3f}"""
+        f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f,"retract_sec":$retractSec%.3f},"g1_edges":{"persist_sec":$persistG1Sec%.3f,"append_sec":$appendG1Sec%.3f,"rebuild_sec":$rebuildG1Sec%.3f},"lpa":{"build_sec":$lpaBuildSec%.3f,"warm_sec":$lpaWarmSec%.3f,"full_sec":$lpaFullSec%.3f}"""
       }
 
       s""""$d":{$bandJson,$admJson$adjJson}"""

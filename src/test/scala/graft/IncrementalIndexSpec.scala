@@ -194,6 +194,54 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally graft.lake.IndexTables.drop(spark, "band", p)
   }
 
+  test("auto-maintain: append fires compaction past the file-debt threshold; serving continuous; rows ≡ rebuild throughout") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_maintain")
+    val p = s"$dir/corpus.parquet"
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    // base = slots 10..29; appends land slots 0..9 one at a time —
+    // with buckets = 4 and the default threshold 8 files/bucket, the
+    // debt crosses the line inside the loop and appendIncrement's
+    // auto-maintain must pay it without anyone scheduling it
+    val slot = pmod(col("doc_id"), lit(30))
+    docs.filter(slot >= 10).write.parquet(p)
+    try {
+      Dedup.persistBandIndexFor(spark, p, spark.read.parquet(p), buckets = 4)
+      var maxFpb = 0.0
+      var compacted = false
+      (0 until 10).foreach { i =>
+        val sig = Dedup.bandIndexStamp(spark, p).get
+        val inc = docs.filter(slot === i).localCheckpoint()
+        inc.write.mode("append").parquet(p)
+        val before =
+          graft.lake.IndexTables.filesPerBucket(spark, "band", p).get
+        Dedup.appendBandIndex(spark, p, inc, sig)
+        val after =
+          graft.lake.IndexTables.filesPerBucket(spark, "band", p).get
+        if (after < before) compacted = true
+        maxFpb = math.max(maxFpb, after)
+        // serving is continuous across the trigger: the table stays
+        // fresh and probeable right after every append
+        assert(Dedup.servedBandIndex(spark, p).isDefined,
+          s"table stopped serving after append $i")
+      }
+      assert(compacted,
+        "the debt never triggered a compaction across 10 appends")
+      assert(maxFpb <= graft.lake.IndexTables.CompactionFilesPerBucket + 1,
+        f"file debt $maxFpb%.1f outran the threshold — trigger too lazy")
+      // rows equal a from-scratch rebuild on the grown corpus
+      assert(rowSet(Dedup.servedBandIndex(spark, p).get) ==
+        rowSet(Dedup.bandIndex(spark.read.parquet(p))),
+        "maintained table != rebuild after the append+compact cycle")
+      // the explicit entry point: idle above threshold, fires below
+      assert(!graft.lake.IndexTables.maintain(spark, "band", p, 1e9),
+        "maintain compacted despite no debt")
+      assert(graft.lake.IndexTables.maintain(spark, "band", p, 0.0),
+        "maintain ignored a sub-threshold override")
+      assert(graft.lake.IndexTables.filesPerBucket(spark, "band", p)
+        .contains(1.0), "explicit maintain did not land 1 file/bucket")
+    } finally graft.lake.IndexTables.drop(spark, "band", p)
+  }
+
   test("deleteKeys: retraction ≡ full rebuild on corpus ∖ keys; derivation never re-runs; wrong prevSig throws") {
     val dir = java.nio.file.Files.createTempDirectory("inc_delete")
     val p = s"$dir/corpus.parquet"
@@ -352,6 +400,52 @@ class IncrementalIndexSpec extends AnyFunSuite {
         "g3 diverged between appended-served and cold rebuild")
       assert(rows(Graph.g2Triangles(spark, d)) == servedG2,
         "g2 diverged between appended-served and cold rebuild")
+    } finally Graph.dropAdjacency(spark, d)
+  }
+
+  test("adjacency retraction: negative-delta append ≡ rebuild on corpus ∖ orders; fully-retracted pairs vanish; wrong prevSig throws") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_adj_retract")
+    val d = dir.toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").localCheckpoint()
+    val keepLi = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val victimLi = li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      .localCheckpoint()
+    li.write.parquet(s"$d/lineitem.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "orders.parquet"),
+      dir.resolve("orders.parquet"))
+    try {
+      Graph.persistAdjacency(spark, d, buckets = 4)
+      val prevSig = Graph.adjacencyStamp(spark, d).get
+
+      // the takedown: victims leave the corpus, the negated delta lands
+      keepLi.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      Graph.retractAdjacencyOrders(spark, d, victimLi, prevSig)
+
+      assert(Graph.adjacencyStamp(spark, d)
+        .contains(graft.lake.CorpusIndexCache.signature(d)),
+        "retraction did not re-stamp to the shrunk tier")
+      val merged = Graph.coAdj(spark, d)
+      assert(rowSet(merged) == rowSet(Graph.coOrderWeightedFrom(keepLi)),
+        "retracted adjacency != rebuild on corpus ∖ orders")
+      // a pair co-ordered ONLY by victim orders must be gone, not a
+      // zero-weight tombstone
+      assert(merged.filter(col("w") <= 0).count() == 0,
+        "zero/negative-weight tombstones leaked into the served relation")
+
+      // downstream identical served-retracted vs cold rebuild
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      val servedG3 = rows(Graph.g3BfsDistance(spark, d))
+      Graph.dropAdjacency(spark, d)
+      assert(rows(Graph.g3BfsDistance(spark, d)) == servedG3,
+        "g3 diverged between retracted-served and cold rebuild")
+
+      // foreign-rewrite guard
+      Graph.persistAdjacency(spark, d, buckets = 4)
+      intercept[IllegalStateException] {
+        Graph.retractAdjacencyOrders(spark, d, victimLi, prevSig)
+      }
     } finally Graph.dropAdjacency(spark, d)
   }
 
