@@ -108,13 +108,21 @@ object Bench {
     // drop + re-persist across epochs, so a wave must persist across
     // the entire served block to bias the min. All samples land in the
     // full record ("graph_served_samples") so the spread is auditable.
+    // The served family covers BOTH persisted-index consumers: the
+    // graph queries (bucketed adjacency tables) and the winnowing
+    // queries t29/d14/t38 (fingerprint index tables, r13 stretch #10)
+    // — the column keeps its "graph_served" name for parseTimes
+    // compatibility.
     val (persistSec, servedSamples) =
       try {
-        val names = graft.queries.Graph.queries.toSeq.sortBy(_._1)
+        val names = (graft.queries.Graph.queries ++
+          graft.text.Winnowing.queries).toSeq.sortBy(_._1)
         val epochs = (1 to 2).map { _ =>
           graft.queries.Graph.dropAdjacency(spark, sfDir)
+          graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
           val t0 = System.nanoTime()
           graft.queries.Graph.persistAdjacency(spark, sfDir)
+          graft.text.Winnowing.persistFingerprintIndex(spark, sfDir)
           val p = (System.nanoTime() - t0) / 1e9
           // one failing query records no sample like timedPass — it
           // must not throw the whole served column away (ADVICE r12 #2)
@@ -137,6 +145,8 @@ object Bench {
         // the persisted tables must not leak into the next session even
         // when the persist itself threw (ADVICE r12 #2)
         try graft.queries.Graph.dropAdjacency(spark, sfDir)
+        catch { case _: Throwable => () }
+        try graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
         catch { case _: Throwable => () }
       }
     val servedMap = servedSamples.map { case (n, ts) =>

@@ -95,16 +95,28 @@ object Winnowing {
     * form (spec-pinned incl. a clone-cluster fixture).
     */
   def t29WinnowingPairs(s: SparkSession, d: String): DataFrame =
-    winnowingPairs(documents(s, d))
+    servedFingerprints(s, d) match {
+      case Some(fp) => winnowingPairsFromFp(fp)
+      case None => winnowingPairs(documents(s, d))
+    }
 
   /** Corpus API for t29 — see [[t29WinnowingPairs]]. */
-  def winnowingPairs(docs: DataFrame): DataFrame = {
-    // the fingerprint relation is computed ONCE (both self-join sides
-    // consume it; observed no ReuseExchange across aliased subtrees —
-    // the d10 shared-shingle lesson). Production persists this index
-    // next to the corpus, like the ANN bucket table. The set-grouping
-    // agg reuses the fingerprint pipeline's doc_id partitioning.
-    val grouped = fingerprints(docs)
+  def winnowingPairs(docs: DataFrame): DataFrame =
+    winnowingPairsFromFp(
+      fingerprints(docs).select("doc_id", "h").distinct())
+
+  /** t29's machinery over an explicit (doc_id, h) fingerprint relation
+    * — the entry point the SERVED index table takes ([[t29WinnowingPairs]]
+    * consumes [[persistFingerprintIndex]]'s table through this when one
+    * is fresh, skipping the gram-hash + window-min recompute entirely;
+    * WinnowingSpec pins table-served ≡ recompute).
+    */
+  private def winnowingPairsFromFp(fp: DataFrame): DataFrame = {
+    // the fingerprint relation is consumed by both self-join sides
+    // (observed no ReuseExchange across aliased subtrees — the d10
+    // shared-shingle lesson). The set-grouping agg reuses the doc_id
+    // partitioning (the served table is BUCKETED on doc_id).
+    val grouped = fp
       .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hs"))
       .groupBy("hs").agg(min("doc_id").as("doc_id"),
         sort_array(collect_list("doc_id")).as("members"))
@@ -173,10 +185,20 @@ object Winnowing {
     * a shuffled equi-join is the correct plan, not an OOM).
     */
   def decontaminate(training: DataFrame, benchmark: DataFrame,
-      minShared: Long = 3L, benchmarkIsSmall: Boolean = true): DataFrame = {
-    val tf = fingerprints(normalized(training)).select("doc_id", "h")
-    val bf0 = fingerprints(normalized(benchmark))
-      .select(col("doc_id").as("bench_id"), col("h"))
+      minShared: Long = 3L, benchmarkIsSmall: Boolean = true,
+      trainFp: Option[DataFrame] = None,
+      benchFp: Option[DataFrame] = None): DataFrame = {
+    // explicit distinct on (doc_id, h): the set grain both oracles
+    // declare (DISTINCT in fpCtesDuck) and the grain the persisted
+    // index table stores — a doc re-selecting one hash at two
+    // positions must count once. trainFp/benchFp take the SERVED
+    // normalized-fingerprint table ([[persistFingerprintIndex]]) so a
+    // fresh table skips both sides' gram-hash + window-min recompute.
+    val tf = trainFp.getOrElse(
+      fingerprints(normalized(training)).select("doc_id", "h").distinct())
+    val bf0 = benchFp.getOrElse(
+        fingerprints(normalized(benchmark)).select("doc_id", "h").distinct())
+      .withColumnRenamed("doc_id", "bench_id")
     val bf = if (benchmarkIsSmall) broadcast(bf0) else bf0
     tf.join(bf, "h")
       .groupBy("doc_id", "bench_id")
@@ -192,9 +214,12 @@ object Winnowing {
     */
   def d14Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    val fp = servedNormFingerprints(s, d)
     decontaminate(docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 === 1),
-      benchmarkIsSmall = false) // half-corpus benchmark: AQE sizes the join
+      benchmarkIsSmall = false, // half-corpus benchmark: AQE sizes the join
+      trainFp = fp.map(_.filter(col("doc_id") % 2 === 0)),
+      benchFp = fp.map(_.filter(col("doc_id") % 2 === 1)))
   }
 
   /** t38: DECONTAMINATED leakage-safe split — the composition a real
@@ -221,8 +246,11 @@ object Winnowing {
     val bench = docs.filter(col("doc_id") % 2 === 1)
     val base = Dedup.splitByComponent(train, Dedup.candidatePairsFor(train))
       .select("doc_id", "component", "split")
+    val fp = servedNormFingerprints(s, d)
     val hot = base
-      .join(decontaminate(train, bench, benchmarkIsSmall = false)
+      .join(decontaminate(train, bench, benchmarkIsSmall = false,
+          trainFp = fp.map(_.filter(col("doc_id") % 2 === 0)),
+          benchFp = fp.map(_.filter(col("doc_id") % 2 === 1)))
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
       .select("component").distinct()
@@ -248,6 +276,72 @@ object Winnowing {
       .filter(col("shared") >= 3)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- persisted fingerprint index (r13 verdict stretch #10) -------
+  // winnowingPairs' docstring named the production posture ("persists
+  // this index next to the corpus, like the ANN bucket table"); these
+  // apply the IndexTables lifecycle to it. TWO tables, one per text
+  // grain: `wfp` fingerprints the RAW text (t29's contract — overlap
+  // detection is case-sensitive) and `wfpn` the NORMALIZED text (the
+  // decontamination grain d14/t38 probe). Both are per-doc
+  // row-decomposable — a doc's fingerprints derive from its text
+  // alone — so appendIncrement is sound row-for-row, and both are
+  // bucketed on doc_id (the set-grouping/probe clustering; the h
+  // equi-join re-keys inherently). Stamped against documents.parquet.
+
+  private val FpPrefix = "wfp"
+  private val FpNormPrefix = "wfpn"
+  private def fpPath(d: String): String = s"$d/documents.parquet"
+
+  /** Persist both fingerprint index tables for tier `d`. */
+  def persistFingerprintIndex(s: SparkSession, d: String,
+      buckets: Int = 32): Seq[String] = {
+    val docs = documents(s, d)
+    Seq(
+      graft.lake.IndexTables.persist(s,
+        fingerprints(docs).select("doc_id", "h").distinct(),
+        FpPrefix, fpPath(d), Seq("doc_id"), buckets),
+      graft.lake.IndexTables.persist(s,
+        fingerprints(normalized(docs)).select("doc_id", "h").distinct(),
+        FpNormPrefix, fpPath(d), Seq("doc_id"), buckets))
+  }
+
+  /** Drop both fingerprint tables for tier `d`, if any. */
+  def dropFingerprintIndex(s: SparkSession, d: String): Unit = {
+    graft.lake.IndexTables.drop(s, FpPrefix, fpPath(d))
+    graft.lake.IndexTables.drop(s, FpNormPrefix, fpPath(d))
+  }
+
+  /** The raw-grain table's stamp — [[appendFingerprintIndex]]'s
+    * prevSig handle (both tables are persisted together, so one stamp
+    * witnesses both).
+    */
+  def fingerprintStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, FpPrefix, fpPath(d))
+
+  /** INCREMENTAL fingerprint maintenance: after `admitted` docs land
+    * in the corpus, append exactly their fingerprint rows to BOTH
+    * tables and re-stamp — fingerprints are per-doc local, so
+    * append ≡ rebuild row-for-row (WinnowingSpec pins it, plus the
+    * prevSig guard). Auto-maintain pays the file debt per
+    * [[graft.lake.IndexTables.maintain]]'s threshold.
+    */
+  def appendFingerprintIndex(s: SparkSession, d: String,
+      admitted: DataFrame, prevSig: String): Seq[String] = Seq(
+    graft.lake.IndexTables.appendIncrement(s,
+      fingerprints(admitted).select("doc_id", "h").distinct(),
+      FpPrefix, fpPath(d), prevSig),
+    graft.lake.IndexTables.appendIncrement(s,
+      fingerprints(normalized(admitted)).select("doc_id", "h").distinct(),
+      FpNormPrefix, fpPath(d), prevSig))
+
+  private[graft] def servedFingerprints(s: SparkSession,
+      d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, FpPrefix, fpPath(d))
+
+  private[graft] def servedNormFingerprints(s: SparkSession,
+      d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, FpNormPrefix, fpPath(d))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_winnowing" -> (t29WinnowingPairs _),

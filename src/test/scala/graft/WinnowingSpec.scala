@@ -212,6 +212,59 @@ class WinnowingSpec extends AnyFunSuite {
         "rule is vacuous on this tier; pick a tier where it bites")
   }
 
+  test("persisted fingerprint index: t29/d14/t38 table-served ≡ recompute; append ≡ rebuild; second probe equal; stale corpus refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("wfp_idx")
+    val d = dir.toString
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    val n = docs.count()
+    val base = docs.filter(col("doc_id") < 4L * n / 5L)
+    val inc = docs.filter(col("doc_id") >= 4L * n / 5L).localCheckpoint()
+    base.write.parquet(s"$d/documents.parquet")
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    try {
+      // cold baselines BEFORE any table exists
+      val cold = Seq("t29_winnowing", "d14_decontaminate",
+        "t38_decontaminated_split")
+        .map(q => q -> rows(Winnowing.queries(q)(spark, d))).toMap
+
+      Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
+      cold.foreach { case (q, want) =>
+        assert(rows(Winnowing.queries(q)(spark, d)) == want,
+          s"$q diverged when served from the fingerprint table")
+      }
+
+      // incremental: the admitted docs land, their rows append to BOTH
+      // grains, and everything still equals a from-scratch recompute
+      val prevSig = Winnowing.fingerprintStamp(spark, d).get
+      inc.write.mode("append").parquet(s"$d/documents.parquet")
+      Winnowing.appendFingerprintIndex(spark, d, inc, prevSig)
+      assert(Winnowing.fingerprintStamp(spark, d)
+        .contains(graft.lake.CorpusIndexCache.signature(
+          s"$d/documents.parquet")),
+        "append did not re-stamp to the grown corpus")
+      val servedGrown = rows(Winnowing.queries("t29_winnowing")(spark, d))
+      val servedD14 = rows(Winnowing.queries("d14_decontaminate")(spark, d))
+      Winnowing.dropFingerprintIndex(spark, d)
+      assert(rows(Winnowing.queries("t29_winnowing")(spark, d)) == servedGrown,
+        "t29 off the appended table != recompute on the grown corpus")
+      assert(rows(Winnowing.queries("d14_decontaminate")(spark, d)) == servedD14,
+        "d14 off the appended table != recompute on the grown corpus")
+
+      // foreign-rewrite guard + staleness
+      Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
+      intercept[IllegalStateException] {
+        Winnowing.appendFingerprintIndex(spark, d, inc, prevSig)
+      }
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(d, "documents.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 5000))
+      assert(Winnowing.servedFingerprints(spark, d).isEmpty,
+        "a stale-stamped fingerprint table still served")
+    } finally Winnowing.dropFingerprintIndex(spark, d)
+  }
+
   test("density: fingerprints per doc near the 2/(W+1) law on real documents") {
     val docs = graft.lake.Tables.documents(spark, sf)
     val stats = Winnowing.fingerprints(docs)
