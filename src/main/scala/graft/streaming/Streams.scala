@@ -247,6 +247,55 @@ object Streams {
     *   - Cross-batch duplicates are rejected because the admitted
     *     store is probed alongside the corpus.
     */
+  /** STREAMING DECONTAMINATION (r13 verdict stretch #9) — d14's stream
+    * twin, the [[admitStream]] posture applied to the benchmark
+    * screen: each micro-batch of candidate training docs is
+    * fingerprint-probed against the benchmark suite and the flagged
+    * contaminations land per batch. The screen is
+    * [[graft.text.Winnowing.decontaminate]] REUSED VERBATIM via
+    * foreachBatch, fed the benchmark's fingerprint set precomputed
+    * once here — streamed and batch decontamination share one
+    * implementation and cannot drift.
+    *
+    * Scale/robustness contracts (the admitStream set, minus state —
+    * decontamination is per-doc independent, so no cross-batch store
+    * is probed):
+    *   - the benchmark fingerprints are computed ONCE and broadcast
+    *     into every batch's equi-join (the genuinely-small external
+    *     benchmark posture — ~10⁴ docs, KBs of fingerprints);
+    *   - batch writes are IDEMPOTENT: each batch lands in its own
+    *     `batch_id=` partition via dynamic overwrite, so a replayed
+    *     micro-batch overwrites itself (StreamingSpec pins streamed ≡
+    *     batch d14 across ≥3 batches including a replay).
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      flaggedPath: String, checkpoint: String,
+      minShared: Long = 3L): DataStreamWriter[Row] = {
+    val bf = graft.text.Winnowing.normalizedFingerprints(benchmark)
+      .localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        decontaminateBatch(batch, bf, minShared)
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(flaggedPath)
+      }
+  }
+
+  /** One micro-batch of the streaming screen — exposed so a replayed
+    * batch can be driven directly in tests (idempotency is per-batch).
+    * `benchFp` is the precomputed (doc_id, h) benchmark fingerprint
+    * relation.
+    */
+  private[graft] def decontaminateBatch(batch: DataFrame,
+      benchFp: DataFrame, minShared: Long): DataFrame =
+    graft.text.Winnowing.decontaminate(batch, batch /* unused */,
+      minShared, benchmarkIsSmall = true, benchFp = Some(benchFp))
+
   def admitStream(docs: DataFrame, corpus: DataFrame, admittedPath: String,
       checkpoint: String, minJaccard: Double = 0.8,
       corpusBands: Option[DataFrame] = None): DataStreamWriter[Row] = {

@@ -196,8 +196,7 @@ object Winnowing {
     // fresh table skips both sides' gram-hash + window-min recompute.
     val tf = trainFp.getOrElse(
       fingerprints(normalized(training)).select("doc_id", "h").distinct())
-    val bf0 = benchFp.getOrElse(
-        fingerprints(normalized(benchmark)).select("doc_id", "h").distinct())
+    val bf0 = benchFp.getOrElse(normalizedFingerprints(benchmark))
       .withColumnRenamed("doc_id", "bench_id")
     val bf = if (benchmarkIsSmall) broadcast(bf0) else bf0
     tf.join(bf, "h")
@@ -301,8 +300,7 @@ object Winnowing {
       graft.lake.IndexTables.persist(s,
         fingerprints(docs).select("doc_id", "h").distinct(),
         FpPrefix, fpPath(d), Seq("doc_id"), buckets),
-      graft.lake.IndexTables.persist(s,
-        fingerprints(normalized(docs)).select("doc_id", "h").distinct(),
+      graft.lake.IndexTables.persist(s, normalizedFingerprints(docs),
         FpNormPrefix, fpPath(d), Seq("doc_id"), buckets))
   }
 
@@ -332,8 +330,16 @@ object Winnowing {
       fingerprints(admitted).select("doc_id", "h").distinct(),
       FpPrefix, fpPath(d), prevSig),
     graft.lake.IndexTables.appendIncrement(s,
-      fingerprints(normalized(admitted)).select("doc_id", "h").distinct(),
-      FpNormPrefix, fpPath(d), prevSig))
+      normalizedFingerprints(admitted), FpNormPrefix, fpPath(d), prevSig))
+
+  /** (doc_id, h) fingerprint set at the DECONTAMINATION grain
+    * (normalized text) — the one builder [[decontaminate]], the
+    * persisted `wfpn` table, and the streaming screen
+    * ([[graft.streaming.Streams.decontaminateStream]]) all share, so
+    * batch, served, and streamed probes cannot drift.
+    */
+  private[graft] def normalizedFingerprints(docs: DataFrame): DataFrame =
+    fingerprints(normalized(docs)).select("doc_id", "h").distinct()
 
   private[graft] def servedFingerprints(s: SparkSession,
       d: String): Option[DataFrame] =

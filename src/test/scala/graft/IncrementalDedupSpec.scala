@@ -91,6 +91,51 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream: streamed flags across 3 batches ≡ batch d14; replayed batch idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.Winnowing
+    val base = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    val docs = Tables.documents(spark, sf).localCheckpoint()
+    val train = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").localCheckpoint()
+    val bench = docs.filter(col("doc_id") % 2 === 1).localCheckpoint()
+
+    // the batch twin this must match, flag for flag
+    val want = Winnowing.decontaminate(train, bench)
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty, "fixture: the parity split flags nothing")
+
+    val chunks = (0 until 3).map(i =>
+      train.filter(pmod(col("doc_id"), lit(3)) === i)
+        .collect().map(r => (r.getLong(0), r.getString(1))))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.decontaminateStream(
+      ms.toDF().toDF("doc_id", "text"), bench,
+      s"$base/flagged", s"$base/ckpt").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      def flagged(): Set[String] = spark.read.parquet(s"$base/flagged")
+        .drop("batch_id").collect().map(_.toString).toSet
+      assert(flagged() == want,
+        "streamed flags != batch decontamination on the same split")
+
+      // replay: re-drive batch 1's body under its own batch_id — the
+      // dynamic partition overwrite must leave the store unchanged
+      val bf = Winnowing.normalizedFingerprints(bench).localCheckpoint()
+      graft.streaming.Streams.decontaminateBatch(
+          chunks(1).toSeq.toDF("doc_id", "text"), bf, 3L)
+        .withColumn("batch_id", lit(1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$base/flagged")
+      assert(flagged() == want, "a replayed batch changed the store")
+    } finally q.stop()
+  }
+
   test("admitStream survives an all-rejected first batch (schema-pinned read)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
