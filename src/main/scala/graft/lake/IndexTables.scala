@@ -221,12 +221,18 @@ object IndexTables {
     }
   }
 
-  /** Compaction trigger (r13 verdict #5): tools/CompactionBench's
-    * measured curve at sf1 shows probe latency degrading roughly
-    * linearly in files-per-bucket while compaction cost is flat
-    * (COMPACT_CURVE_R14.json — threshold chosen where accumulated
-    * probe overhead exceeds one compaction's cost within the next
-    * write cycle). Checking the debt costs one directory listing.
+  /** Compaction trigger (r13 verdict #5), calibrated from
+    * tools/CompactionBench's measured curve at the sf1 tier
+    * (COMPACT_CURVE_R14.json, 12 raw appends on the band index):
+    * bucket-join PROBE cost is flat across the debt (1.9–2.0 s —
+    * dominated by the increment's own hash compute), but the table
+    * SCAN cost grows near-linearly in files/bucket — 0.085 s
+    * compacted → 0.158 s at 8 files/bucket → 0.211 s at 13 (~2.5×) —
+    * and one compaction costs 1.47 s, recovering the compacted scan
+    * exactly. 8 sits where scan cost has roughly doubled and the
+    * rewrite amortizes to ~0.2 s per append — the debt never exceeds
+    * one doubling and compaction stays ≪ the appends it absorbs.
+    * Checking the debt costs one directory listing.
     */
   val CompactionFilesPerBucket = 8.0
 

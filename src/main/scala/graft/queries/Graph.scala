@@ -855,12 +855,20 @@ object Graph {
     * (lpaLabels does it implicitly on its next call).
     *
     * Cost shape: per round, one frontier expansion (edge semi-join)
-    * plus a vote join RESTRICTED to ball destinations — for a small
-    * increment on a sparse graph the ball stays a small fraction of
-    * the graph, so the warm pass costs O(ball edges · rounds), not
-    * O(|E| · rounds). Threshold crossings are safe conservatively: a
-    * pair whose merged weight crossed [[MinCoOrders]] is itself a
-    * delta pair, so both endpoints are in D.
+    * plus a vote join RESTRICTED to ball destinations — O(ball edges
+    * · rounds), not O(|E| · rounds). MEASURED caveat
+    * (INDEX_INCREMENT_R14, 1% delta): on the co-order graph the win
+    * is 2.2–3.6× (sf10: warm 49.5 s vs full 178.2 s), NOT the 20×+
+    * the other append legs show — a co-purchase graph is small-world,
+    * so the 5-hop ball saturates to most of the graph by the later
+    * rounds and the savings come from the cheap early rounds plus the
+    * served adjacency. The locality machinery pays off fully on
+    * graphs with genuine distance structure (road networks,
+    * time-sliced citation graphs); on small-world graphs it is a
+    * bounded constant-factor win, stated as measured. Threshold
+    * crossings are safe conservatively: a pair whose merged weight
+    * crossed [[MinCoOrders]] is itself a delta pair, so both
+    * endpoints are in D.
     */
   def warmLpaAfterAppend(s: SparkSession, d: String,
       deltaLineitem: DataFrame, prevSig: String): DataFrame = {
