@@ -57,6 +57,27 @@ class BenchSpec extends AnyFunSuite {
       Some(("BENCH_SELF.json", Map("q1" -> 0.05))))
   }
 
+  test("priorTimes: the current round's own stamp never becomes its baseline (ADVICE r13 #2 ratchet)") {
+    assume(sys.env.get("SPARK_GRAFT_PREV_BENCH").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("benchspec_ratchet").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    // round 13 closed (driver tail exists); round 14 is IN PROGRESS —
+    // its stamped record and the mutable BENCH_SELF.json are this
+    // round's own earlier runs, and preferring either bakes an early
+    // regression into the baseline. The committed r13 record must win.
+    write("BENCH_r13.json", """{"tail": "..."}""")
+    write("BENCH_SELF_r13.json",
+      """{"metric":"total","queries":{"q1":0.5},"errors":[],"sf":"/s"}""")
+    write("BENCH_SELF_r14.json",
+      """{"metric":"total","queries":{"q1":0.9},"errors":[],"sf":"/s"}""")
+    write("BENCH_SELF.json",
+      """{"metric":"total","queries":{"q1":0.9},"errors":[],"sf":"/s"}""")
+    assert(Bench.priorTimes(dir) ==
+      Some(("BENCH_SELF_r13.json", Map("q1" -> 0.5))))
+  }
+
   test("priorTimes survives the head-truncated BENCH_r05.json (r5 verdict #1)") {
     assume(new java.io.File("BENCH_r05.json").exists())
     val txt = new String(java.nio.file.Files.readAllBytes(
