@@ -856,16 +856,22 @@ object Graph {
     *
     * Cost shape: per round, one frontier expansion (edge semi-join)
     * plus a vote join RESTRICTED to ball destinations — O(ball edges
-    * · rounds), not O(|E| · rounds). MEASURED caveat
-    * (INDEX_INCREMENT_R14, 1% delta): on the co-order graph the win
-    * is 2.2–3.6× (sf10: warm 49.5 s vs full 178.2 s), NOT the 20×+
-    * the other append legs show — a co-purchase graph is small-world,
-    * so the 5-hop ball saturates to most of the graph by the later
-    * rounds and the savings come from the cheap early rounds plus the
-    * served adjacency. The locality machinery pays off fully on
-    * graphs with genuine distance structure (road networks,
-    * time-sliced citation graphs); on small-world graphs it is a
-    * bounded constant-factor win, stated as measured. Threshold
+    * · rounds), not O(|E| · rounds) — GUARDED by a saturation bail:
+    * the co-order graph is small-world, and INDEX_INCREMENT_R14
+    * measured the unguarded warm pass at sf10 as 49.5 s against
+    * 46.1 s for a plain re-propagation off the served adjacency (the
+    * 5-hop ball covers most of the graph, so "restricted" was a full
+    * round plus override machinery — strictly worse). Once the ball
+    * exceeds half the nodes the pass falls back to the from-scratch
+    * propagation (bit-identical by definition), capping warm-start's
+    * downside at the seed + expansions already paid while keeping the
+    * full locality win on graphs with genuine distance structure
+    * (road networks, time-sliced citation graphs; the stitching path
+    * is spec-driven on a path-graph fixture where the ball provably
+    * stays ≪ half). Re-measured with the guard
+    * (INDEX_INCREMENT_R14B, same session): sf10 warm 67.8 s vs
+    * 124.1 s plain re-propagation vs 140.3 s from-parquet — warm is
+    * never the worst option again. Threshold
     * crossings are safe conservatively: a pair whose merged weight
     * crossed [[MinCoOrders]] is itself a delta pair, so both
     * endpoints are in D.
@@ -899,13 +905,14 @@ object Graph {
         .join(upd.select(col("node"), col("label").as("nl")),
           Seq("node"), "full_outer")
         .select(col("node"), coalesce(col("nl"), col("ol")).as("label"))
+    val nodes = adj.select(col("u").as("node")).distinct().localCheckpoint()
+    val nNodes = nodes.count()
     // D ∩ nodes(adj): a delta endpoint whose merged edges all sit
     // below the weight threshold is NOT a node of the propagation
     // graph — seeding it would add an isolated identity-labeled row
     // the from-scratch run never has (caught by the equivalence spec)
     var affected = touched.select("node").distinct()
-      .join(adj.select(col("u").as("node")).distinct(),
-        Seq("node"), "left_semi")
+      .join(nodes, Seq("node"), "left_semi")
       .localCheckpoint()
     // L'_0 is identity everywhere; new nodes enter through the override
     var state = overridden(prior(0),
@@ -917,6 +924,19 @@ object Graph {
           adj.join(affected.withColumnRenamed("node", "u"), "u")
             .select(col("v").as("node")))
         .distinct().localCheckpoint()
+      // SATURATION GUARD (INDEX_INCREMENT_R14's honesty lesson): on a
+      // small-world graph the frontier ball can cover most of the
+      // graph within a few hops, at which point the "restricted" vote
+      // join is a full round PLUS the override machinery — measured
+      // at sf10 as warm 49.5 s vs 46.1 s for a plain re-propagation,
+      // i.e. strictly worse. Once the ball exceeds half the nodes,
+      // bail to the plain from-scratch propagation (bit-identical by
+      // definition): warm-start then costs at most the seed + the
+      // expansions already paid, and keeps its full locality win on
+      // graphs where the ball stays small. The count rides the
+      // checkpoint just materialized.
+      if (affected.count() * 2 > nNodes)
+        return labelPropagationStates(adj, prior.size - 1)
       val proposal = adj
         .join(affected.select(col("node").as("v")), Seq("v"), "left_semi")
         .join(state.withColumnRenamed("node", "u"), "u")

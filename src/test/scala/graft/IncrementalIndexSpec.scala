@@ -532,4 +532,28 @@ class IncrementalIndexSpec extends AnyFunSuite {
       }
     } finally Graph.dropAdjacency(spark, d)
   }
+
+  test("warm-start LPA on a genuine-locality graph: the stitching path (no saturation bail) ≡ from-scratch") {
+    // The corpus graph is small-world, so the saturation guard usually
+    // bails to the plain propagation there — which makes equivalence
+    // trivially true without exercising the frontier-ball stitching.
+    // A PATH graph has real distance structure: a delta at one end
+    // touches a ball of ≤ 2·rounds+1 of the 400 nodes (≪ half), so
+    // this drives the bounded re-propagation itself.
+    import spark.implicits._
+    def pathAdj(n: Long): DataFrame = {
+      val half = (0L until n - 1).map(i => (i, i + 1, 1L + (i % 3)))
+      (half ++ half.map(e => (e._2, e._1, e._3))).toDF("u", "v", "w")
+    }
+    val oldAdj = pathAdj(398).localCheckpoint()
+    val grown = pathAdj(400).localCheckpoint() // two nodes appended
+    val prior = Graph.labelPropagationStates(oldAdj, 5)
+    val touched = Seq(397L, 398L, 399L).toDF("node")
+    val warm = Graph.warmLpaStates(grown, prior, touched)
+    val full = Graph.labelPropagationStates(grown, 5)
+    warm.zip(full).zipWithIndex.foreach { case ((w, f), i) =>
+      assert(rowSet(w) == rowSet(f),
+        s"warm state $i != from-scratch state $i on the path graph")
+    }
+  }
 }
