@@ -242,7 +242,20 @@ object TextAnalysis {
         budget.toLong),
       documents(s, d))
 
-  /** The shared payload step over a pack assignment (t17/t36). */
+  /** The shared payload step over a pack assignment (t17/t36).
+    *
+    * Byte-law adjudication (SCALE_NEW_R14_10to100 read bexp ~1.19 for
+    * both payload queries): tools/PackBytesDiag decomposed the legs —
+    * the slim assignment is exactly linear (0.9 → 9.4 MB at 10×), and
+    * the jump is the text join's assignment side crossing the 10 MB
+    * auto-broadcast threshold between the tiers (join leg 0.9 MB
+    * broadcast at sf1 → 193 MB shuffled at sf10), i.e. the one-time
+    * broadcast→shuffle TRANSITION ScaleBench's no-broadcast protocol
+    * exists to separate, not a law: with broadcasts forced off on
+    * both tiers the exponents read 1.023 / 1.014
+    * (SCALE_R14_PACK_BCASTOFF.json) — linear on either side of the
+    * threshold.
+    */
   private def packPayloads(assigned: DataFrame, docs: DataFrame): DataFrame =
     assigned
       .join(docs.select("doc_id", "text"), "doc_id")
