@@ -1337,7 +1337,48 @@ object Graph {
     modularityOf(adj, labels2)
   }
 
+  /** g14: the MULTILEVEL LOUVAIN HIERARCHY — [[g13LouvainLevel2]]'s
+    * contract-and-merge step ITERATED [[MergeLevels]] times: each
+    * level re-contracts the ORIGINAL graph under the current
+    * partition and runs one mutual-best merge round on the community
+    * graph, so communities coarsen level by level exactly as
+    * sequential Louvain's outer loop coarsens them. Every level's
+    * ΔQ = Σ of its adopted strictly-positive pair gains (the
+    * [[mergeCommunitiesRound]] theorem), so modularity is
+    * non-decreasing ACROSS the whole hierarchy — GraphSpec gauges
+    * every level and pins the chain, including that the hierarchy
+    * ends ≥ g13's single level. A converged level adopts nothing
+    * (no positive mutual pair) and the remaining levels are
+    * identities — the unroll count is a depth budget, not a
+    * correctness knob. Output: g9's per-community gauge over the
+    * final partition.
+    *
+    * Plan shape: per level, g12's contraction (two u-keyed label
+    * joins riding the served bucket layout + community-pair agg) plus
+    * the merge round on the community-pair relation — each level's
+    * refine input is strictly smaller than the last, so the hierarchy
+    * costs ≈ one contraction per level, all ≪ the node graph. One
+    * louvainRefine round rides the memoized LPA labels per session,
+    * shared with g11/g12/g13.
+    */
+  private[graft] val MergeLevels = 3
+  def g14LouvainHierarchy(s: SparkSession, d: String): DataFrame = {
+    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
+    var labels = louvainRefine(adj, lpaLabels(s, d)).localCheckpoint()
+    (1 to MergeLevels).foreach { _ =>
+      val merged = mergeCommunitiesRound(
+        contractedAdjacency(adj, labels).localCheckpoint())
+      labels = labels
+        .join(merged.select(col("node").as("label"), col("label").as("l2")),
+          "label")
+        .select(col("node"), col("l2").as("label"))
+        .localCheckpoint()
+    }
+    modularityOf(adj, labels)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_louvain_hierarchy" -> (g14LouvainHierarchy _),
     "g13_louvain_level2" -> (g13LouvainLevel2 _),
     "g12_community_graph" -> (g12CommunityGraph _),
     "g11_louvain_refine" -> (g11LouvainRefine _),
@@ -1486,7 +1527,84 @@ object Graph {
        |  FROM ref r JOIN ref2c r2 ON r.label = r2.node
        |)""".stripMargin
 
+  /** One g14 merge level as CTEs: contract the ORIGINAL edge set under
+    * `refL{i-1}`, run the mutual-best merge, and chain the composed
+    * labels as `refL{i}` — the [[level2ChainDuck]] block suffixed and
+    * iterated (refL0 aliases the louvainChain's `ref`).
+    */
+  private def mergeLevelDuck(i: Int): String = {
+    val prev = if (i == 1) "ref" else s"refL${i - 1}"
+    s"""cg$i AS MATERIALIZED (
+       |  SELECT least(la.label, lb.label) AS ca,
+       |    greatest(la.label, lb.label) AS cb,
+       |    CAST(sum(e.w) AS BIGINT) AS w
+       |  FROM e JOIN $prev la ON e.a = la.node
+       |         JOIN $prev lb ON e.b = lb.node
+       |  GROUP BY 1, 2
+       |), adjL$i AS MATERIALIZED (
+       |  SELECT ca AS u, cb AS v, w FROM cg$i WHERE ca <> cb
+       |  UNION ALL SELECT cb, ca, w FROM cg$i WHERE ca <> cb
+       |  UNION ALL SELECT ca, ca, 2 * w FROM cg$i WHERE ca = cb
+       |), degL$i AS (
+       |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS wd
+       |  FROM adjL$i GROUP BY 1
+       |), twL$i AS (
+       |  SELECT CAST(sum(CASE WHEN u = v THEN w // 2 ELSE w END)
+       |    AS BIGINT) AS tw
+       |  FROM adjL$i WHERE u <= v
+       |), pgL$i AS (
+       |  SELECT a.u, a.v,
+       |    2 * CAST(t.tw AS HUGEINT) * a.w
+       |      - CAST(du.wd AS HUGEINT) * dv.wd AS gain
+       |  FROM adjL$i a JOIN degL$i du ON du.node = a.u
+       |       JOIN degL$i dv ON dv.node = a.v
+       |       CROSS JOIN twL$i t
+       |  WHERE a.u < a.v
+       |), candL$i AS (
+       |  SELECT u AS c, v AS p, gain FROM pgL$i
+       |  UNION ALL SELECT v, u, gain FROM pgL$i
+       |), bestL$i AS (
+       |  SELECT c, p FROM (
+       |    SELECT c, p, gain, row_number() OVER (
+       |      PARTITION BY c ORDER BY gain DESC, p ASC) AS rn
+       |    FROM candL$i WHERE gain > 0)
+       |  WHERE rn = 1
+       |), mutL$i AS (
+       |  SELECT x.c AS ca, y.c AS cb FROM bestL$i x JOIN bestL$i y
+       |  ON x.p = y.c AND y.p = x.c AND x.c < y.c
+       |), mrgL$i AS (
+       |  SELECT d.node, COALESCE(m.ca, d.node) AS label
+       |  FROM degL$i d LEFT JOIN mutL$i m ON d.node = m.cb
+       |), refL$i AS MATERIALIZED (
+       |  SELECT r.node, m.label
+       |  FROM $prev r JOIN mrgL$i m ON r.label = m.node
+       |)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "g14_louvain_hierarchy" ->
+      s"""WITH $louvainChainDuck,
+         |${(1 to MergeLevels).map(mergeLevelDuck).mkString(",\n")},
+         |degc4 AS (
+         |  SELECT l.label, CAST(sum(d.wd) AS BIGINT) AS deg_w,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg d JOIN refL$MergeLevels l ON d.node = l.node GROUP BY 1
+         |), inc4 AS (
+         |  SELECT la.label, CAST(sum(e.w) AS BIGINT) AS in_w
+         |  FROM e JOIN refL$MergeLevels la ON e.a = la.node
+         |         JOIN refL$MergeLevels lb ON e.b = lb.node
+         |  WHERE la.label = lb.label GROUP BY 1
+         |)
+         |SELECT degc4.label AS community, n_nodes,
+         |  CAST(COALESCE(in_w, 0) AS BIGINT) AS internal_w, deg_w,
+         |  CAST(CAST(COALESCE(in_w, 0) AS HUGEINT) * 1000000 // t.tw
+         |    - ((CAST(deg_w AS HUGEINT) * 1000000
+         |        // (2 * CAST(t.tw AS HUGEINT)))
+         |       * (CAST(deg_w AS HUGEINT) * 1000000
+         |          // (2 * CAST(t.tw AS HUGEINT)))) // 1000000
+         |    AS BIGINT) AS q_contrib_ppm
+         |FROM degc4 LEFT JOIN inc4 USING (label) CROSS JOIN twx t
+         |ORDER BY community""".stripMargin,
     "g13_louvain_level2" ->
       s"""WITH $level2ChainDuck,
          |degc3 AS (

@@ -332,6 +332,51 @@ class GraphSpec extends AnyFunSuite {
       "fixture regression: level 2 merged no communities at this tier")
   }
 
+  test("g14 hierarchy: exact modularity non-decreasing across every merge level; deeper than one level on this corpus") {
+    import org.apache.spark.sql.functions._
+    val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
+      .localCheckpoint()
+    var labels = Graph.louvainRefine(adj, Graph.lpaLabels(spark, sf))
+      .localCheckpoint()
+    val edges = adj.filter(col("u") < col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w2 = 2.0 * edges.map(_._3).sum
+    def q(m: Map[Long, Long]): Double = {
+      val inC = edges.groupMapReduce(e =>
+        if (m(e._1) == m(e._2)) Some(m(e._1)) else None)(_._3.toDouble)(_ + _)
+      val degC = edges.flatMap(e =>
+        Seq(m(e._1) -> e._3.toDouble, m(e._2) -> e._3.toDouble))
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      degC.map { case (c, dc) =>
+        inC.getOrElse(Some(c), 0.0) / (w2 / 2) - math.pow(dc / w2, 2)
+      }.sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prevQ = q(toMap(labels))
+    val sizes = scala.collection.mutable.ArrayBuffer(
+      toMap(labels).values.toSet.size)
+    (1 to Graph.MergeLevels).foreach { lvl =>
+      val merged = Graph.mergeCommunitiesRound(
+        Graph.contractedAdjacency(adj, labels).localCheckpoint())
+      labels = labels
+        .join(merged.select(col("node").as("label"), col("label").as("l2")),
+          "label")
+        .select(col("node"), col("l2").as("label"))
+        .localCheckpoint()
+      val m = toMap(labels)
+      val ql = q(m)
+      assert(ql >= prevQ - 1e-12,
+        f"merge level $lvl DECREASED modularity: $prevQ%.6f -> $ql%.6f")
+      prevQ = ql
+      sizes += m.values.toSet.size
+    }
+    // the hierarchy genuinely coarsens BEYOND g13's single level here
+    // (33 -> 23 -> fewer): a vacuous level-2+ pass would pin nothing
+    assert(sizes(2) < sizes(1),
+      s"level 2 merged nothing on this corpus: community counts $sizes")
+  }
+
   test("g12 contraction: edge mass and edge count conserved; self-loops carry the internal weight") {
     import org.apache.spark.sql.functions._
     val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
