@@ -688,6 +688,25 @@ object TextAnalysis {
     scoreAgainstModel(docs, bigramModel(docs)).limit(20)
   }
 
+  /** t39: HELD-OUT LM scoring — the CCNet-style quality filter posture
+    * t32's self-scoring cannot exercise: the bigram model trains on
+    * one corpus split (even doc_ids — the "clean reference" side) and
+    * scores the OTHER (odd — the "crawl" side), so unseen transitions
+    * actually occur and [[scoreAgainstModel]]'s add-k floor fires on
+    * real data — the left-join + floor path was previously pinned only
+    * by a spec fixture; this puts it behind the DuckDB hash gate.
+    * Output: the 20 least fluent held-out docs (the filter's cut
+    * candidates). Plan: the model is reference-split-sized and joins
+    * the scored side's bigram explode on (w1, w2) — the t32 shape with
+    * the join flipped LEFT; at 100 TB the reference split is the small
+    * side and broadcasts.
+    */
+  def t39LmHeldout(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    scoreAgainstModel(docs.filter(col("doc_id") % 2 === 1),
+      bigramModel(docs.filter(col("doc_id") % 2 === 0))).limit(20)
+  }
+
   /** The BPE APPLY kernel: fold `merges` (in rank order) over a spaced
     * symbol state, each as [[BpeReplacePasses]] literal-replace passes —
     * the exact semantics training pinned (`trainBpe`'s inner loop),
@@ -868,6 +887,7 @@ object TextAnalysis {
     "t34_bpe_budget_sample" -> (t34BpeBudgetSample _),
     "t33_bpe_encode"   -> (t33BpeEncode _),
     "t32_bigram_lm"    -> (t32BigramLm _),
+    "t39_lm_heldout"   -> (t39LmHeldout _),
     "t30_bpe_train"    -> (t30BpeTrain _),
     "t31_bpe_vocab"    -> (t31BpeVocab _),
     "t28_bpe_pairs"    -> (t28BpePairs _),
@@ -1026,6 +1046,29 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     // parallel unnest of equal-length lists zips positionally in DuckDB
     // (verified) — the two list_transforms share one range generator
+    "t39_lm_heldout" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(tk)-1), i -> tk[i+1])) AS w1,
+        |    unnest(list_transform(range(len(tk)-1), i -> tk[i+2])) AS w2
+        |  FROM t WHERE len(tk) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+        |), model AS (
+        |  SELECT c12.w1, c12.w2, c12.c12 * 1000000 // c1.c1 AS p_ppm
+        |  FROM c12 JOIN c1 USING (w1)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(COALESCE(p_ppm, 1)) // count(*) AS BIGINT) AS avg_p_ppm
+        |FROM (SELECT * FROM bg WHERE doc_id % 2 = 1) sb
+        |LEFT JOIN model USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY avg_p_ppm ASC, doc_id ASC LIMIT 20""".stripMargin,
     "t32_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents

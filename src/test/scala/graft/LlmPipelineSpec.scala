@@ -122,6 +122,21 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t39 held-out scoring: the parity split genuinely exercises the unseen-transition floor") {
+    import org.apache.spark.sql.functions.col
+    // t39's point is putting scoreAgainstModel's left-join + floor
+    // path behind the DuckDB hash gate — which only gauges anything
+    // if the held-out side actually contains transitions the model
+    // never saw (7 of 13,769 at sf0.01; this pins the sf0.001 gate
+    // fixture stays non-vacuous too)
+    val docs = graft.lake.Tables.documents(spark, sf)
+    val model = TextAnalysis.bigramModel(docs.filter(col("doc_id") % 2 === 0))
+    val unseen = TextAnalysis.docBigrams(docs.filter(col("doc_id") % 2 === 1))
+      .join(model, Seq("w1", "w2"), "left_anti").count()
+    assert(unseen > 0,
+      "held-out split has no unseen transitions — the floor never fires")
+  }
+
   test("t32 reuse path: OOV-floored batch scoring ranks unseen-transition text least fluent") {
     import spark.implicits._
     val docs = graft.lake.Tables.documents(spark, sf)
