@@ -831,6 +831,27 @@ object Graph {
   def lpaStamp(s: SparkSession, d: String): Option[String] =
     Option(lpaCache.get((s, d))).map(_._1)
 
+  /** Memoized REFINED labels — the [[lpaLabels]] recipe one level up:
+    * g11/g12/g13/g14 all consume the same deterministic local-move
+    * round over the memoized LPA labels, and before this memo each of
+    * the four re-ran it per query (~1–2 s of identical label joins
+    * per bench pass). Same contract: keyed by (session, tier
+    * signature), a hit is bit-identical to a re-run (integer
+    * arithmetic off a deterministic adjacency — GraphSpec pins it),
+    * staleness re-refines, state is one checkpointed node-sized frame.
+    */
+  private val refineCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, DataFrame)]()
+  private[graft] def refinedLabels(s: SparkSession, d: String): DataFrame = {
+    refineCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val sig = graft.lake.CorpusIndexCache.signature(d)
+    refineCache.compute((s, d), (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, louvainRefine(
+        coAdj(s, d).filter(col("w") >= MinCoOrders), lpaLabels(s, d))
+        .localCheckpoint()))._2
+  }
+
   /** WARM-START LPA after an adjacency increment (r13 verdict #3a):
     * instead of re-running all [[LpaRounds]] rounds over the whole
     * grown graph (the memoized labels' tier signature changed, so the
@@ -1177,15 +1198,13 @@ object Graph {
     * comparable (and g9's gauge applies to either via
     * [[modularityOf]]). Labels come from the memoized LPA run.
     */
-  def g11LouvainRefine(s: SparkSession, d: String): DataFrame = {
-    val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    louvainRefine(adj, lpaLabels(s, d))
+  def g11LouvainRefine(s: SparkSession, d: String): DataFrame =
+    refinedLabels(s, d)
       .groupBy("label").agg(count(lit(1)).as("comm_size"))
       .groupBy("comm_size")
       .agg(count(lit(1)).as("n_communities"),
         min("label").as("min_label"), max("label").as("max_label"))
       .orderBy("comm_size")
-  }
 
   /** g12: the COMMUNITY GRAPH — Louvain's contraction artifact, built
     * over the refined partition (g11's labels): communities become
@@ -1201,13 +1220,13 @@ object Graph {
     * node-sized refined labels TWICE (u-keyed, riding the served
     * bucket layout on the edge side) and partial-aggregates onto the
     * community-pair domain (≪ edges); TakeOrderedAndProject for the
-    * cut. Labels come from the memoized LPA run + one gain round —
-    * g11's exact state, so g11 and g12 price one propagation between
-    * them per session.
+    * cut. Labels come from the memoized REFINED partition
+    * ([[refinedLabels]]) — g11/g12/g13/g14 price one propagation AND
+    * one gain round between all four per session.
     */
   def g12CommunityGraph(s: SparkSession, d: String): DataFrame = {
     val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    val labels = louvainRefine(adj, lpaLabels(s, d))
+    val labels = refinedLabels(s, d)
     adj.filter(col("u") < col("v"))
       .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
       .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
@@ -1322,12 +1341,12 @@ object Graph {
     * riding the served bucket layout + community-pair agg) and the
     * merge round runs entirely on the community-pair relation — orders
     * of magnitude smaller than the node graph, so the extra level
-    * costs a fraction of level 1. One louvainRefine round is shared
-    * with g11/g12 per session via the memoized LPA labels.
+    * costs a fraction of level 1. The level-1 partition is the memoized
+    * [[refinedLabels]], shared with g11/g12/g14 per session.
     */
   def g13LouvainLevel2(s: SparkSession, d: String): DataFrame = {
     val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    val l1 = louvainRefine(adj, lpaLabels(s, d)).localCheckpoint()
+    val l1 = refinedLabels(s, d)
     val adj2 = contractedAdjacency(adj, l1).localCheckpoint()
     val l2c = mergeCommunitiesRound(adj2)
     val labels2 = l1
@@ -1357,14 +1376,14 @@ object Graph {
     * joins riding the served bucket layout + community-pair agg) plus
     * the merge round on the community-pair relation — each level's
     * refine input is strictly smaller than the last, so the hierarchy
-    * costs ≈ one contraction per level, all ≪ the node graph. One
-    * louvainRefine round rides the memoized LPA labels per session,
-    * shared with g11/g12/g13.
+    * costs ≈ one contraction per level, all ≪ the node graph. The
+    * level-1 partition is the memoized [[refinedLabels]], shared with
+    * g11/g12/g13 per session.
     */
   private[graft] val MergeLevels = 3
   def g14LouvainHierarchy(s: SparkSession, d: String): DataFrame = {
     val adj = coAdj(s, d).filter(col("w") >= MinCoOrders)
-    var labels = louvainRefine(adj, lpaLabels(s, d)).localCheckpoint()
+    var labels = refinedLabels(s, d)
     (1 to MergeLevels).foreach { _ =>
       val merged = mergeCommunitiesRound(
         contractedAdjacency(adj, labels).localCheckpoint())

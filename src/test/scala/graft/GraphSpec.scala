@@ -231,6 +231,41 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(Graph.g9Modularity(spark, d)) == g9)
   }
 
+  test("refinedLabels memo: g11-g14 share one gain round; staleness re-refines bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("refine_memo")
+    Seq("lineitem.parquet", "orders.parquet").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, t), dir.resolve(t))
+    }
+    val d = dir.toString
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    val first = Graph.refinedLabels(spark, d)
+    val base = rows(first)
+    val g11 = rows(Graph.g11LouvainRefine(spark, d))
+    val g13 = rows(Graph.g13LouvainLevel2(spark, d))
+    assert(base.nonEmpty && g11.nonEmpty && g13.nonEmpty)
+    assert(Graph.refinedLabels(spark, d) eq first,
+      "second refinedLabels call re-refined despite an unchanged corpus")
+    // and the memo equals an unmemoized refine over the same state
+    assert(rows(Graph.louvainRefine(
+        Graph.coAdj(spark, d).filter(
+          org.apache.spark.sql.functions.col("w") >= Graph.MinCoOrders),
+        Graph.lpaLabels(spark, d))) == base,
+      "memoized refined labels != a direct refine run")
+
+    java.nio.file.Files.setLastModifiedTime(
+      dir.resolve("lineitem.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    val re = Graph.refinedLabels(spark, d)
+    assert(!(re eq first), "stale refined labels served after a rewrite")
+    assert(rows(re) == base, "re-refined labels diverged")
+    assert(rows(Graph.g11LouvainRefine(spark, d)) == g11)
+    assert(rows(Graph.g13LouvainLevel2(spark, d)) == g13)
+  }
+
   test("g11 local move: exact modularity non-decreasing vs g8's partition; every adopted move had positive gain (r12 verdict stretch #9)") {
     import org.apache.spark.sql.functions._
     val adj = Graph.coAdj(spark, sf).filter(col("w") >= Graph.MinCoOrders)
