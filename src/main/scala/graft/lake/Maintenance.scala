@@ -1,0 +1,135 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The NIGHTLY-INCREMENT orchestrator: one entry point that lands a
+  * crawl/fact delta in a tier and maintains EVERY persisted artifact
+  * the tier serves — the composed form of the per-family maintenance
+  * this library grew piecemeal (band index, fingerprint indexes,
+  * co-order adjacency, g1 edges, memoized LPA), so the "daily crawl"
+  * story is one call, not a checklist an operator can get out of
+  * order.
+  *
+  * Ordering is the whole point, and it is the appendIncrement caller
+  * contract enforced mechanically:
+  *
+  *   1. read EVERY artifact's stamp FIRST (prevSig handles — they
+  *      witness the pre-delta corpus each maintainer derived from);
+  *   2. land the delta files in the tier (corpus changes by exactly
+  *      the delta);
+  *   3. run each artifact's increment append against its handle.
+  *
+  * A handle read after step 2 would self-certify; an append before
+  * step 2 would race its own corpus. Artifacts WITHOUT a serving
+  * table (or memo) are skipped — a tier that never persisted an index
+  * pays nothing, and a stale table was already dropped by serve()'s
+  * mismatch path. Each append inherits the family's own posture:
+  * append-before-restamp crash safety, auto-compaction past the file
+  * debt threshold, merge-on-read where weights are additive, the
+  * warm-LPA saturation bail. MaintenanceSpec drives the whole flow
+  * and pins every artifact fresh AND equal to a from-scratch rebuild
+  * afterwards.
+  *
+  * Document deltas are assumed ADMITTED already (the d13/s12 gate runs
+  * before anything lands — admission is a decision, maintenance is
+  * bookkeeping); fact deltas are whole NEW orders with their lines
+  * (the order-local increment grain every graph artifact requires).
+  */
+object Maintenance {
+
+  /** What one nightly run did: artifact name → maintained (true) or
+    * skipped because nothing was serving (false). "Maintained"
+    * includes empty-increment RE-STAMPS (see [[nightly]]).
+    */
+  final case class NightlyReport(maintained: Map[String, Boolean])
+
+  /** Fact deltas must arrive as WHOLE new orders with their lines —
+    * the order-local grain every graph artifact's append soundness
+    * rests on — so lineitem and orders deltas come together or not at
+    * all (a lines-only delta would make g1's delta edges silently
+    * empty under the join with no matching orders).
+    */
+  def nightly(s: SparkSession, d: String,
+      newDocs: Option[DataFrame] = None,
+      newLineitem: Option[DataFrame] = None,
+      newOrders: Option[DataFrame] = None): NightlyReport = {
+    import graft.text.{Dedup, Winnowing}
+    import graft.queries.Graph
+    require(newLineitem.isEmpty == newOrders.isEmpty,
+      "fact deltas are whole orders: pass newLineitem and newOrders " +
+        "together or neither")
+
+    val docsPath = s"$d/documents.parquet"
+
+    // ---- 1. handles BEFORE anything lands -------------------------
+    val bandSig = Dedup.bandIndexStamp(s, docsPath)
+    val fpSig = Winnowing.fingerprintStamp(s, d)
+    val adjSig = Graph.adjacencyStamp(s, d)
+    val g1Sig = Graph.g1Stamp(s, d)
+    val lpaSig = Graph.lpaStamp(s, d)
+
+    // ---- 2. the delta lands ---------------------------------------
+    newDocs.foreach(_.write.mode("append").parquet(docsPath))
+    newLineitem.foreach(
+      _.write.mode("append").parquet(s"$d/lineitem.parquet"))
+    newOrders.foreach(
+      _.write.mode("append").parquet(s"$d/orders.parquet"))
+    val landed =
+      newDocs.nonEmpty || newLineitem.nonEmpty || newOrders.nonEmpty
+
+    // ---- 3. per-artifact increments against the handles -----------
+    // The document indexes sign documents.parquet ALONE, so a
+    // facts-only nightly leaves them untouched AND fresh — no action
+    // needed. The graph artifacts sign the TIER DIRECTORY (the
+    // over-invalidation posture), so a docs-only nightly moves their
+    // signature even though their INPUTS are unchanged — without
+    // intervention they would strand stale and silently fall back to
+    // cold rebuilds. The fix is the EMPTY-INCREMENT RE-STAMP: an
+    // append of zero derived rows is vacuously "exactly the change
+    // their inputs saw", lands nothing, and moves the stamp to the
+    // new tier signature (MaintenanceSpec pins the served relations
+    // bit-identical across it).
+    def emptyLi = graft.lake.Tables.lineitem(s, d).limit(0)
+    def emptyOrd = graft.lake.Tables.orders(s, d).limit(0)
+
+    val band = (newDocs, bandSig) match {
+      case (Some(docs), Some(sig)) =>
+        Dedup.appendBandIndex(s, docsPath, docs, sig); true
+      case _ => false
+    }
+    val fp = (newDocs, fpSig) match {
+      case (Some(docs), Some(sig)) =>
+        Winnowing.appendFingerprintIndex(s, d, docs, sig); true
+      case _ => false
+    }
+    val adj = adjSig match {
+      case Some(sig) if newLineitem.nonEmpty =>
+        Graph.appendAdjacencyIncrement(s, d, newLineitem.get, sig); true
+      case Some(sig) if landed =>
+        Graph.appendAdjacencyIncrement(s, d, emptyLi, sig); true
+      case _ => false
+    }
+    val g1 = g1Sig match {
+      case Some(sig) if newLineitem.nonEmpty =>
+        Graph.appendG1Increment(s, d, newLineitem.get, newOrders.get, sig)
+        true
+      case Some(sig) if landed =>
+        Graph.appendG1Increment(s, d, emptyLi, emptyOrd, sig); true
+      case _ => false
+    }
+    // LPA last: its warm pass reads the adjacency, which the coadj
+    // append above just brought fresh — the warm rounds consume the
+    // served merge-on-read relation, not a cold rebuild. An
+    // empty-touched warm pass is the memo's re-stamp (states pass
+    // through the override untouched).
+    val lpa = lpaSig match {
+      case Some(sig) if newLineitem.nonEmpty =>
+        Graph.warmLpaAfterAppend(s, d, newLineitem.get, sig); true
+      case Some(sig) if landed =>
+        Graph.warmLpaAfterAppend(s, d, emptyLi, sig); true
+      case _ => false
+    }
+    NightlyReport(Map("band" -> band, "fingerprints" -> fp,
+      "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa))
+  }
+}

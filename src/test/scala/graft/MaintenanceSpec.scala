@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.Maintenance
+import graft.queries.Graph
+import graft.text.{Dedup, Winnowing}
+
+/** The nightly-increment orchestrator: one call lands a delta and
+  * maintains EVERY serving artifact — stamps read before the delta
+  * lands, per-family appends after, empty-increment re-stamps for
+  * artifacts whose inputs didn't change but whose tier signature
+  * moved. Pins: every artifact fresh AND equal to a from-scratch
+  * rebuild after the run; the docs-only posture; the order-grain
+  * argument guard.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def freshTier(): (String, DataFrame, DataFrame, DataFrame,
+      DataFrame, DataFrame, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("maint_tier")
+    val d = dir.toString
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").localCheckpoint()
+    val ord = spark.read.parquet(s"$sf/orders.parquet").localCheckpoint()
+    val nDoc = docs.count()
+    val baseDocs = docs.filter(col("doc_id") < 4L * nDoc / 5L)
+    val dDocs = docs.filter(col("doc_id") >= 4L * nDoc / 5L).localCheckpoint()
+    val baseLi = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val dLi = li.filter(pmod(col("l_orderkey"), lit(5)) === 0).localCheckpoint()
+    val baseOrd = ord.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+    val dOrd = ord.filter(pmod(col("o_orderkey"), lit(5)) === 0).localCheckpoint()
+    baseDocs.write.parquet(s"$d/documents.parquet")
+    baseLi.write.parquet(s"$d/lineitem.parquet")
+    baseOrd.write.parquet(s"$d/orders.parquet")
+    (d, baseDocs, dDocs, baseLi, dLi, baseOrd, dOrd)
+  }
+
+  private def persistAll(d: String): Unit = {
+    Dedup.persistBandIndexFor(spark, s"$d/documents.parquet",
+      spark.read.parquet(s"$d/documents.parquet"), buckets = 4)
+    Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
+    Graph.persistAdjacency(spark, d, buckets = 4)
+    Graph.lpaLabels(spark, d) // memoize the propagation history
+  }
+
+  private def dropAll(d: String): Unit = {
+    graft.lake.IndexTables.drop(spark, "band", s"$d/documents.parquet")
+    Winnowing.dropFingerprintIndex(spark, d)
+    Graph.dropAdjacency(spark, d)
+  }
+
+  test("nightly with docs + facts: every artifact maintained, fresh, and ≡ a from-scratch rebuild") {
+    val (d, _, dDocs, _, dLi, _, dOrd) = freshTier()
+    try {
+      persistAll(d)
+      val report = Maintenance.nightly(spark, d,
+        newDocs = Some(dDocs), newLineitem = Some(dLi),
+        newOrders = Some(dOrd))
+      assert(report.maintained.values.forall(identity),
+        s"artifacts skipped despite serving: ${report.maintained}")
+
+      // freshness: every stamp moved to the post-delta signature
+      val docSig = graft.lake.CorpusIndexCache.signature(
+        s"$d/documents.parquet")
+      val tierSig = graft.lake.CorpusIndexCache.signature(d)
+      assert(Dedup.bandIndexStamp(spark, s"$d/documents.parquet")
+        .contains(docSig), "band index stale after nightly")
+      assert(Winnowing.fingerprintStamp(spark, d).contains(docSig),
+        "fingerprint index stale after nightly")
+      assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
+        "adjacency stale after nightly")
+      assert(Graph.g1Stamp(spark, d).contains(tierSig),
+        "g1 edges stale after nightly")
+      assert(Graph.lpaStamp(spark, d).contains(tierSig),
+        "LPA memo stale after nightly")
+
+      // equality with from-scratch rebuilds on the grown corpus
+      val fullDocs = spark.read.parquet(s"$d/documents.parquet")
+      val fullLi = spark.read.parquet(s"$d/lineitem.parquet")
+      assert(rowSet(Dedup.servedBandIndex(spark,
+          s"$d/documents.parquet").get) ==
+        rowSet(Dedup.bandIndex(fullDocs)),
+        "band table != rebuild after nightly")
+      assert(rowSet(Graph.coAdj(spark, d)) ==
+        rowSet(Graph.coOrderWeightedFrom(fullLi)),
+        "merged adjacency != rebuild after nightly")
+      assert(rowSet(Graph.lpaLabels(spark, d)) ==
+        rowSet(Graph.labelPropagation(
+          Graph.coOrderWeightedFrom(fullLi)
+            .filter(col("w") >= Graph.MinCoOrders), 5)),
+        "warm LPA memo != from-scratch propagation after nightly")
+      // end-to-end: a served query equals its cold rebuild
+      val servedRank = Graph.g1Pagerank(spark, d).collect().map(_.toString)
+      val servedT29 = Winnowing.queries("t29_winnowing")(spark, d)
+        .collect().map(_.toString)
+      dropAll(d)
+      assert(Graph.g1Pagerank(spark, d).collect().map(_.toString)
+        .sameElements(servedRank),
+        "g1 served-after-nightly != cold rebuild")
+      assert(Winnowing.queries("t29_winnowing")(spark, d)
+        .collect().map(_.toString).sameElements(servedT29),
+        "t29 served-after-nightly != cold rebuild")
+    } finally dropAll(d)
+  }
+
+  test("docs-only nightly: graph artifacts re-stamp via empty increments instead of stranding stale") {
+    val (d, _, dDocs, _, _, _, _) = freshTier()
+    try {
+      persistAll(d)
+      val adjBefore = rowSet(Graph.coAdj(spark, d))
+      val report = Maintenance.nightly(spark, d, newDocs = Some(dDocs))
+      assert(report.maintained("band") && report.maintained("fingerprints"))
+      assert(report.maintained("coadj") && report.maintained("g1_edges") &&
+        report.maintained("lpa"),
+        "graph artifacts not re-stamped on a docs-only nightly")
+      val tierSig = graft.lake.CorpusIndexCache.signature(d)
+      assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
+        "adjacency stranded stale — the docs landing moved the tier " +
+          "signature and no re-stamp followed")
+      // the served relation is bit-identical across the re-stamp
+      // (inputs unchanged, zero rows landed)
+      assert(rowSet(Graph.coAdj(spark, d)) == adjBefore,
+        "an empty re-stamp changed the adjacency")
+    } finally dropAll(d)
+  }
+
+  test("a lines-without-orders delta is rejected (order-grain contract)") {
+    val (d, _, _, _, dLi, _, _) = freshTier()
+    try intercept[IllegalArgumentException] {
+      Maintenance.nightly(spark, d, newLineitem = Some(dLi))
+    } finally dropAll(d)
+  }
+}
