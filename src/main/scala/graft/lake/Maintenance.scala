@@ -52,9 +52,11 @@ object Maintenance {
   def nightly(s: SparkSession, d: String,
       newDocs: Option[DataFrame] = None,
       newLineitem: Option[DataFrame] = None,
-      newOrders: Option[DataFrame] = None): NightlyReport = {
+      newOrders: Option[DataFrame] = None,
+      newEmbeddings: Option[DataFrame] = None): NightlyReport = {
     import graft.text.{Dedup, Winnowing}
     import graft.queries.Graph
+    import graft.sim.Similarity
     require(newLineitem.isEmpty == newOrders.isEmpty,
       "fact deltas are whole orders: pass newLineitem and newOrders " +
         "together or neither")
@@ -67,6 +69,7 @@ object Maintenance {
     val adjSig = Graph.adjacencyStamp(s, d)
     val g1Sig = Graph.g1Stamp(s, d)
     val lpaSig = Graph.lpaStamp(s, d)
+    val annSig = Similarity.annIndexStamp(s, d)
 
     // ---- 2. the delta lands ---------------------------------------
     newDocs.foreach(_.write.mode("append").parquet(docsPath))
@@ -74,6 +77,8 @@ object Maintenance {
       _.write.mode("append").parquet(s"$d/lineitem.parquet"))
     newOrders.foreach(
       _.write.mode("append").parquet(s"$d/orders.parquet"))
+    newEmbeddings.foreach(
+      _.write.mode("append").parquet(s"$d/embeddings.parquet"))
     val landed =
       newDocs.nonEmpty || newLineitem.nonEmpty || newOrders.nonEmpty
 
@@ -129,7 +134,24 @@ object Maintenance {
         Graph.warmLpaAfterAppend(s, d, emptyLi, sig); true
       case _ => false
     }
+    // ANN index: path-scoped like the document indexes (signs
+    // embeddings.parquet alone), so only an embeddings delta touches
+    // it. The append REFUSES across a hash-family ladder step
+    // (appended rows would be invisible to live-count probes) — the
+    // nightly's policy is to PAY THE REBUILD right there: a ladder
+    // step happens once per corpus doubling, so the amortized bill is
+    // one re-persist per doubling, and the alternative (propagating
+    // the refusal) strands the index stale until someone notices.
+    val ann = (newEmbeddings, annSig) match {
+      case (Some(vecs), Some(sig)) =>
+        try Similarity.appendAnnIndex(s, d, vecs, sig)
+        catch {
+          case _: IllegalStateException => Similarity.persistAnnIndex(s, d)
+        }
+        true
+      case _ => false
+    }
     NightlyReport(Map("band" -> band, "fingerprints" -> fp,
-      "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa))
+      "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa, "ann" -> ann))
   }
 }

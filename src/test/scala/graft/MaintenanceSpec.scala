@@ -62,8 +62,10 @@ class MaintenanceSpec extends AnyFunSuite {
       val report = Maintenance.nightly(spark, d,
         newDocs = Some(dDocs), newLineitem = Some(dLi),
         newOrders = Some(dOrd))
-      assert(report.maintained.values.forall(identity),
+      assert((report.maintained - "ann").values.forall(identity),
         s"artifacts skipped despite serving: ${report.maintained}")
+      assert(!report.maintained("ann"),
+        "ann reported maintained with no ANN index serving and no delta")
 
       // freshness: every stamp moved to the post-delta signature
       val docSig = graft.lake.CorpusIndexCache.signature(
@@ -128,6 +130,46 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(rowSet(Graph.coAdj(spark, d)) == adjBefore,
         "an empty re-stamp changed the adjacency")
     } finally dropAll(d)
+  }
+
+  test("embeddings nightly: in-family delta appends; a ladder-step delta triggers the rebuild policy — both end fresh and ≡ cold") {
+    import graft.sim.Similarity
+    def tierWith(n: Long): (String, DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("maint_emb")
+      val d = dir.toString
+      val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").localCheckpoint()
+      // clones under offset ids when n exceeds the source's 2000 rows
+      val big = e.unionByName(e.select((col("vec_id") + 2000L).as("vec_id"),
+        col("embedding"))).localCheckpoint()
+      (d, big.filter(col("vec_id") < n))
+    }
+    def run(baseN: Long, deltaN: Long): Unit = {
+      val (d, all) = tierWith(baseN + deltaN)
+      val base = all.filter(col("vec_id") < baseN)
+      val delta = all.filter(col("vec_id") >= baseN).localCheckpoint()
+      base.write.parquet(s"$d/embeddings.parquet")
+      try {
+        Similarity.persistAnnIndex(spark, d, buckets = 4)
+        val report = Maintenance.nightly(spark, d,
+          newEmbeddings = Some(delta))
+        assert(report.maintained("ann"),
+          s"ann skipped despite serving (base=$baseN)")
+        assert(Similarity.annIndexStamp(spark, d).contains(
+          graft.lake.CorpusIndexCache.signature(s"$d/embeddings.parquet")),
+          s"ann index stale after nightly (base=$baseN)")
+        val served = rowSet(Similarity.s3EmbeddingNeardup(spark, d))
+        graft.lake.IndexTables.drop(spark, "annf", s"$d/embeddings.parquet")
+        assert(rowSet(Similarity.s3EmbeddingNeardup(spark, d)) == served,
+          s"s3 served-after-nightly != cold rebuild (base=$baseN)")
+      } finally graft.lake.IndexTables.drop(spark, "annf",
+        s"$d/embeddings.parquet")
+    }
+    // in-family: 1500 + 300 stays at k=0 of the 2000-row ladder
+    run(1500L, 300L)
+    // ladder step: 3900 + 200 crosses n=4000 (k 1 -> 2, bits 4 -> 5) —
+    // the append refuses internally and nightly pays the re-persist
+    run(3900L, 200L)
   }
 
   test("a lines-without-orders delta is rejected (order-grain contract)") {
