@@ -126,6 +126,22 @@ object IndexTables {
       .properties.get(SigProp)
   }
 
+  /** The persisted table's file schema, if the table exists — the
+    * LAYOUT witness a maintainer checks before appending (ADVICE r14:
+    * a table written under an older layout of the same prefix can
+    * carry a matching corpus stamp yet reject the new layout's delta
+    * columns mid-nightly; detecting the legacy schema up front lets
+    * the maintainer fall back to a full persist instead).
+    */
+  def schemaOf(s: SparkSession, prefix: String,
+      path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val table = tableName(prefix, path)
+    if (!s.catalog.tableExists(table)) None
+    else Some(s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .schema)
+  }
+
   /** INCREMENTAL index maintenance (r12 verdict #2): append an
     * increment's derived index rows to the persisted table and re-stamp
     * it to the corpus's NEW signature, instead of letting the signature

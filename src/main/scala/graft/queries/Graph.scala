@@ -181,8 +181,22 @@ object Graph {
     */
   def appendG1Increment(s: SparkSession, d: String, deltaLineitem: DataFrame,
       deltaOrders: DataFrame, prevSig: String): String =
-    graft.lake.IndexTables.appendIncrement(s,
-      g1EdgeRelationFrom(deltaLineitem, deltaOrders), G1Prefix, d, prevSig)
+    // LEGACY-LAYOUT guard (ADVICE r14): tables persisted before r14
+    // stored edgesWithOut's denormalized `wout` under this same prefix.
+    // Such a table can still carry a matching corpus stamp (it serves
+    // harmlessly — g1Edges' merge-on-read just re-aggregates), but the
+    // append's column alignment would throw AnalysisException on the
+    // missing `wout` AFTER the delta already landed in the tier,
+    // aborting a nightly mid-run. Detect the layout up front and pay
+    // one full re-persist into the appendable layout instead.
+    if (graft.lake.IndexTables.schemaOf(s, G1Prefix, d)
+        .exists(_.fieldNames.contains("wout")))
+      graft.lake.IndexTables.persist(s,
+        g1EdgeRelationFrom(lineitem(s, d), orders(s, d)), G1Prefix, d,
+        Seq("src"))
+    else
+      graft.lake.IndexTables.appendIncrement(s,
+        g1EdgeRelationFrom(deltaLineitem, deltaOrders), G1Prefix, d, prevSig)
 
   /** The persisted g1 edge table's current stamp — the prevSig handle
     * for [[appendG1Increment]], read BEFORE the increment lands.

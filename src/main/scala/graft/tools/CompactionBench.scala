@@ -49,12 +49,17 @@ object CompactionBench {
     val tmp = java.nio.file.Files.createTempDirectory("compact_curve")
     val p = s"$tmp/corpus.parquet"
     val docs = graft.lake.Tables.documents(spark, d).localCheckpoint()
-    // deterministic slicing on doc_id: slots [appends..29] are the base
-    // corpus, slot i < appends is append #i, slot `appends` doubles as
-    // the FIXED probe increment (never landed — probe work constant)
+    // deterministic slicing on doc_id: slots [appends..28] are the base
+    // corpus, slot i < appends is append #i, and slot 29 is the FIXED
+    // probe increment — held out of BOTH the base write and the append
+    // range, so probe work is constant across the whole curve (ADVICE
+    // r14: the old (appends+17)%30 slot was part of the base for the
+    // default appends=12 and landed mid-run for appends in 13..29,
+    // biasing the measured curve).
+    require(appends < 29, "appends must be < 29: slot 29 is the held-out probe")
     val slot = pmod(col("doc_id"), lit(30))
-    docs.filter(slot >= appends).write.parquet(p)
-    val probe = docs.filter(slot === ((appends + 17) % 30)).localCheckpoint()
+    docs.filter(slot >= appends && slot =!= 29).write.parquet(p)
+    val probe = docs.filter(slot === 29).localCheckpoint()
 
     graft.text.Dedup.persistBandIndexFor(spark, p, spark.read.parquet(p))
 

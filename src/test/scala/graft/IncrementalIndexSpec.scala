@@ -492,6 +492,45 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally Graph.dropAdjacency(spark, d)
   }
 
+  test("g1 legacy denormalized layout: append detects the wout schema and re-persists instead of aborting mid-nightly (ADVICE r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_g1_legacy")
+    val d = dir.toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").localCheckpoint()
+    val ord = spark.read.parquet(s"$sf/orders.parquet").localCheckpoint()
+    val baseLi = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val deltaLi = li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+    val deltaOrd = ord.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    baseLi.write.parquet(s"$d/lineitem.parquet")
+    ord.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .write.parquet(s"$d/orders.parquet")
+    try {
+      // a pre-r14 table: the denormalized (src, dst, w, wout) layout
+      // persisted under the SAME prefix with a matching corpus stamp
+      graft.lake.IndexTables.persist(spark,
+        Graph.edgesWithOut(spark, d), Graph.G1Prefix, d, Seq("src"), 4)
+      val prevSig = Graph.g1Stamp(spark, d).get
+
+      deltaLi.write.mode("append").parquet(s"$d/lineitem.parquet")
+      deltaOrd.write.mode("append").parquet(s"$d/orders.parquet")
+      // must NOT throw AnalysisException on the missing wout column —
+      // the legacy layout is detected and fully re-persisted instead
+      Graph.appendG1Increment(spark, d, deltaLi, deltaOrd, prevSig)
+
+      assert(Graph.g1Stamp(spark, d)
+        .contains(graft.lake.CorpusIndexCache.signature(d)),
+        "legacy fallback did not re-stamp to the grown tier")
+      assert(!graft.lake.IndexTables.schemaOf(spark, Graph.G1Prefix, d)
+        .get.fieldNames.contains("wout"),
+        "legacy fallback kept the denormalized layout")
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      val servedRank = rows(Graph.g1Pagerank(spark, d))
+      Graph.dropAdjacency(spark, d)
+      assert(rows(Graph.g1Pagerank(spark, d)) == servedRank,
+        "g1 ranks diverged between legacy-fallback-served and cold rebuild")
+    } finally Graph.dropAdjacency(spark, d)
+  }
+
   test("warm-start LPA: bounded re-propagation after a delta ≡ from-scratch on the grown graph; g8 identical; stale stamp throws") {
     val dir = java.nio.file.Files.createTempDirectory("inc_lpa")
     val d = dir.toString
