@@ -116,13 +116,16 @@ object Bench {
     val (persistSec, servedSamples) =
       try {
         val names = (graft.queries.Graph.queries ++
-          graft.text.Winnowing.queries).toSeq.sortBy(_._1)
+          graft.text.Winnowing.queries ++
+          graft.mm.Multimodal.queries).toSeq.sortBy(_._1)
         val epochs = (1 to 2).map { _ =>
           graft.queries.Graph.dropAdjacency(spark, sfDir)
           graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
+          graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
           val t0 = System.nanoTime()
           graft.queries.Graph.persistAdjacency(spark, sfDir)
           graft.text.Winnowing.persistFingerprintIndex(spark, sfDir)
+          graft.mm.Multimodal.persistPhashIndex(spark, sfDir)
           val p = (System.nanoTime() - t0) / 1e9
           // one failing query records no sample like timedPass — it
           // must not throw the whole served column away (ADVICE r12 #2)
@@ -147,6 +150,8 @@ object Bench {
         try graft.queries.Graph.dropAdjacency(spark, sfDir)
         catch { case _: Throwable => () }
         try graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
+        catch { case _: Throwable => () }
+        try graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
         catch { case _: Throwable => () }
       }
     val servedMap = servedSamples.map { case (n, ts) =>

@@ -49,11 +49,19 @@ object Maintenance {
     * all (a lines-only delta would make g1's delta edges silently
     * empty under the join with no matching orders).
     */
+  /** `bpePolicy` is the tokenizer-retrain policy forwarded to
+    * [[graft.text.TextAnalysis.maintainBpe]]: "always" (default —
+    * exactness: the served tokenizer equals a retrain on the grown
+    * corpus) or "on-doubling" (the frozen-artifact posture: restamp
+    * only, retrain when corpus bytes double — the ANN ladder
+    * precedent).
+    */
   def nightly(s: SparkSession, d: String,
       newDocs: Option[DataFrame] = None,
       newLineitem: Option[DataFrame] = None,
       newOrders: Option[DataFrame] = None,
-      newEmbeddings: Option[DataFrame] = None): NightlyReport = {
+      newEmbeddings: Option[DataFrame] = None,
+      bpePolicy: String = "always"): NightlyReport = {
     import graft.text.{Dedup, Winnowing}
     import graft.queries.Graph
     import graft.sim.Similarity
@@ -66,6 +74,7 @@ object Maintenance {
     // ---- 1. handles BEFORE anything lands -------------------------
     val bandSig = Dedup.bandIndexStamp(s, docsPath)
     val fpSig = Winnowing.fingerprintStamp(s, d)
+    val mmSig = graft.mm.Multimodal.phashStamp(s, d)
     val adjSig = Graph.adjacencyStamp(s, d)
     val g1Sig = Graph.g1Stamp(s, d)
     val lpaSig = Graph.lpaStamp(s, d)
@@ -79,8 +88,14 @@ object Maintenance {
       _.write.mode("append").parquet(s"$d/orders.parquet"))
     newEmbeddings.foreach(
       _.write.mode("append").parquet(s"$d/embeddings.parquet"))
-    val landed =
-      newDocs.nonEmpty || newLineitem.nonEmpty || newOrders.nonEmpty
+    // ANYTHING landing in the tier moves the directory signature the
+    // graph artifacts are stamped against — including an
+    // embeddings-only delta (ADVICE r14: leaving embeddings out of
+    // `landed` stranded coadj/g1/LPA stale, and the next serve()
+    // silently dropped them and paid the cold rebuild this
+    // orchestrator exists to avoid).
+    val landed = newDocs.nonEmpty || newLineitem.nonEmpty ||
+      newOrders.nonEmpty || newEmbeddings.nonEmpty
 
     // ---- 3. per-artifact increments against the handles -----------
     // The document indexes sign documents.parquet ALONE, so a
@@ -105,6 +120,15 @@ object Maintenance {
     val fp = (newDocs, fpSig) match {
       case (Some(docs), Some(sig)) =>
         Winnowing.appendFingerprintIndex(s, d, docs, sig); true
+      case _ => false
+    }
+    // the image-signature index is docs-scoped like band/fingerprints:
+    // only the new docs' payloads decode + hash (per-media locality —
+    // the corpus is never re-decoded, which is the whole point of the
+    // persisted table; r14 verdict #1)
+    val mm = (newDocs, mmSig) match {
+      case (Some(docs), Some(sig)) =>
+        graft.mm.Multimodal.appendPhashIndex(s, d, docs, sig); true
       case _ => false
     }
     val adj = adjSig match {
@@ -151,7 +175,7 @@ object Maintenance {
         true
       case _ => false
     }
-    NightlyReport(Map("band" -> band, "fingerprints" -> fp,
+    NightlyReport(Map("band" -> band, "fingerprints" -> fp, "mm" -> mm,
       "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa, "ann" -> ann))
   }
 }

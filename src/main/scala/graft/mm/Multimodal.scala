@@ -28,7 +28,15 @@ object Multimodal {
     * parquet stores BYTE_ARRAY either way).
     */
   def mediaTable(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    mediaFrom(documents(s, d))
+
+  /** The media projection of an explicit documents frame — the one
+    * body the corpus table AND the nightly increment derive through
+    * (the coOrderWeightedFrom posture: builder and maintainer cannot
+    * drift on the payload encoding).
+    */
+  private[graft] def mediaFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       col("source"))
@@ -340,6 +348,77 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  // ---- persisted image-signature index (r14 verdict #1) --------------
+  // The (media_id, phash) relation is the mm family's per-corpus
+  // derived artifact, and the dHash kernel behind it (decode +
+  // bilinear resize per media item) is the most expensive per-row
+  // compute in the repo — at 100 TB of images, re-decoding the corpus
+  // per mm5/mm6/mm7 run is the bill every other family already
+  // escaped via IndexTables. The relation is per-media
+  // row-decomposable (a payload's hash derives from its bytes alone),
+  // so appendIncrement is sound row-for-row — the band/fingerprint
+  // index posture exactly. Bucketed on `phash`: the clone contraction
+  // (groupBy phash) and the clone join (h ⋈ groups on phash) are the
+  // first two consumers of every serve, and both ride the layout
+  // exchange-free off the scan. Stamped against documents.parquet
+  // (the media table's source).
+
+  private[graft] val PhashPrefix = "mmph"
+  private def phPath(d: String): String = s"$d/documents.parquet"
+
+  /** Persist the perceptual-hash index table for tier `d`. */
+  def persistPhashIndex(s: SparkSession, d: String,
+      buckets: Int = 32): String = {
+    import s.implicits._
+    graft.lake.IndexTables.persist(s,
+      perceptualHashes(
+        mediaTable(s, d).select(col("media_id"), col("payload")).as[Media]),
+      PhashPrefix, phPath(d), Seq("phash"), buckets)
+  }
+
+  /** Drop the persisted phash table for tier `d`, if any. */
+  def dropPhashIndex(s: SparkSession, d: String): Unit =
+    graft.lake.IndexTables.drop(s, PhashPrefix, phPath(d))
+
+  /** The served table's current stamp — [[appendPhashIndex]]'s prevSig
+    * handle, read BEFORE an increment lands in the corpus.
+    */
+  def phashStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, PhashPrefix, phPath(d))
+
+  /** INCREMENTAL phash maintenance: after `admitted` docs land in the
+    * corpus, decode + hash exactly their payloads and append the rows
+    * (append ≡ rebuild row-for-row — per-media locality;
+    * MultimodalSpec pins it). The corpus is never re-decoded.
+    */
+  def appendPhashIndex(s: SparkSession, d: String, admitted: DataFrame,
+      prevSig: String): String = {
+    import s.implicits._
+    graft.lake.IndexTables.appendIncrement(s,
+      perceptualHashes(
+        mediaFrom(admitted).select(col("media_id"), col("payload")).as[Media]),
+      PhashPrefix, phPath(d), prevSig)
+  }
+
+  /** The corpus phash relation mm5/mm6/mm7 consume: the served bucketed
+    * table when one is persisted and fresh (no decode anywhere in the
+    * query), else computed inline through the decode kernel. The flag
+    * says which leg was taken — table scans must NOT be
+    * localCheckpoint-materialized downstream (that would discard the
+    * bucket layout the clone contraction rides), while the inline leg
+    * must be (two consumers would re-decode the corpus).
+    */
+  private[graft] def corpusPhashes(s: SparkSession,
+      d: String): (DataFrame, Boolean) = {
+    import s.implicits._
+    graft.lake.IndexTables.serve(s, PhashPrefix, phPath(d)) match {
+      case Some(t) => (t, true)
+      case None => (perceptualHashes(
+        mediaTable(s, d).select(col("media_id"), col("payload")).as[Media]),
+        false)
+    }
+  }
+
   /** Hot-bucket cap for the dHash band join (r12, caught by the 10×
     * sweep): a band VALUE shared by more than this many items is a
     * structural artifact, not content identity — on byte-pooled
@@ -383,10 +462,17 @@ object Multimodal {
     * groups relate through their reps (the transitive closure a dedup
     * consumer already takes); a member never re-enters the band join.
     */
-  private[graft] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    val h = hashes.localCheckpoint() // two consumers: groups + clone join
-    val groups = h.groupBy("phash").agg(min("media_id").as("rep"))
-      .localCheckpoint() // two consumers: clone pairs + distinct reps
+  private[graft] def bandedHammingPairs(hashes: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    // materialize = false when `hashes` is the SERVED phash table: a
+    // localCheckpoint would discard the bucket layout (the scan becomes
+    // an RDD) and re-introduce the exchange the phash bucketing exists
+    // to remove; re-scanning a persisted table per consumer is cheap —
+    // the decode work is already in the files. The inline leg MUST
+    // materialize (each consumer would re-decode the corpus).
+    val h = if (materialize) hashes.localCheckpoint() else hashes
+    val groups0 = h.groupBy("phash").agg(min("media_id").as("rep"))
+    val groups = if (materialize) groups0.localCheckpoint() else groups0
     val clonePairs = h.join(groups, "phash")
       .filter(col("media_id") =!= col("rep"))
       .select(col("rep").as("media_a"), col("media_id").as("media_b"),
@@ -450,9 +536,8 @@ object Multimodal {
     * both engines compute the identical pair set.
     */
   def mm5ImageNeardup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    bandedHammingPairs(perceptualHashes(
-        mediaTable(s, d).select(col("media_id"), col("payload")).as[Media]))
+    val (h, served) = corpusPhashes(s, d)
+    bandedHammingPairs(h, materialize = !served)
       .orderBy(asc("hamming"), asc("media_a"), asc("media_b"))
       .limit(100)
   }
@@ -495,9 +580,19 @@ object Multimodal {
     */
   def crossModalCheck(docs: DataFrame, media: Dataset[Media],
       minJaccard: Double = CrossTextJaccard,
-      maxHamming: Long = 3L): DataFrame = {
+      maxHamming: Long = 3L): DataFrame =
+    crossModalCheckHashes(docs, perceptualHashes(media), minJaccard,
+      maxHamming)
+
+  /** [[crossModalCheck]] over an ALREADY-HASHED image relation — the
+    * served-index entry point (mm6 passes the persisted phash table so
+    * no decode runs in the query).
+    */
+  def crossModalCheckHashes(docs: DataFrame, imageHashes: DataFrame,
+      minJaccard: Double = CrossTextJaccard, maxHamming: Long = 3L,
+      materialize: Boolean = true): DataFrame = {
     val text = graft.text.Dedup.nearDupPairs(docs, 0.0)
-    val img = bandedHammingPairs(perceptualHashes(media))
+    val img = bandedHammingPairs(imageHashes, materialize)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
         col("hamming"))
     text.join(img, Seq("doc_a", "doc_b"), "full_outer")
@@ -512,10 +607,9 @@ object Multimodal {
   }
 
   def mm6CrossModal(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    crossModalCheck(documents(s, d),
-        mediaTable(s, d).select(col("media_id"), col("payload")).as[Media],
-        CrossTextJaccard, CrossMaxHamming)
+    val (h, served) = corpusPhashes(s, d)
+    crossModalCheckHashes(documents(s, d), h,
+        CrossTextJaccard, CrossMaxHamming, materialize = !served)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -560,10 +654,11 @@ object Multimodal {
     * ≤ 100 rows. The banded leg is mm5's production fetch, untouched.
     */
   def mm7RecallReport(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hashes = perceptualHashes(
-      mediaTable(s, d).select(col("media_id"), col("payload")).as[Media])
-      .localCheckpoint() // two consumers: brute reps + banded fetch
+    val (h0, served) = corpusPhashes(s, d)
+    // two consumers (brute reps + banded fetch): the inline leg must
+    // materialize or the corpus decodes twice; the served table scan
+    // must NOT (bucket layout — see bandedHammingPairs)
+    val hashes = if (served) h0 else h0.localCheckpoint()
     val reps = hashes.groupBy("phash").agg(min("media_id").as("media_id"))
       .localCheckpoint() // two consumers: probe cut + brute stream
     val probes = reps.orderBy("media_id").limit(RecallProbes)
@@ -581,7 +676,8 @@ object Multimodal {
         org.apache.spark.sql.expressions.Window
           .orderBy(asc("hamming"), asc("media_a"), asc("media_b"))))
       .localCheckpoint() // two consumers: the top-25 and top-100 legs
-    val banded = bandedHammingPairs(hashes).select("media_a", "media_b")
+    val banded = bandedHammingPairs(hashes, materialize = !served)
+      .select("media_a", "media_b")
       .localCheckpoint() // semi-joined by both legs
     def leg(k: Int): DataFrame = {
       val t = top.filter(col("rk") <= k)

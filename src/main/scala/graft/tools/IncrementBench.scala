@@ -88,6 +88,32 @@ object IncrementBench {
         f""""band":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f,"compact_sec":$compactSec%.3f,"delete_sec":$deleteSec%.3f}"""
       }
 
+      // ---- multimodal phash index (documents-as-media) --------------
+      // the decode kernel is the repo's most expensive per-row compute,
+      // so this is the leg where append-vs-rebuild buys the most: the
+      // rebuild re-decodes the corpus, the append decodes the increment
+      val mmJson = {
+        val tmp = java.nio.file.Files.createTempDirectory("incb_mm")
+        val td = tmp.toString
+        val docs = graft.lake.Tables.documents(spark, d)
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+          .write.parquet(s"$td/documents.parquet")
+        val nCorpus = spark.read.parquet(s"$td/documents.parquet").count()
+        val persistSec = time(
+          graft.mm.Multimodal.persistPhashIndex(spark, td))
+        val sig = graft.mm.Multimodal.phashStamp(spark, td).get
+        val inc = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .localCheckpoint()
+        val nInc = inc.count()
+        inc.write.mode("append").parquet(s"$td/documents.parquet")
+        val appendSec = time(
+          graft.mm.Multimodal.appendPhashIndex(spark, td, inc, sig))
+        val rebuildSec = time(
+          graft.mm.Multimodal.persistPhashIndex(spark, td))
+        graft.mm.Multimodal.dropPhashIndex(spark, td)
+        f""""mm_phash":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+      }
+
       // ---- embedding admission index -------------------------------
       val admJson = if (!new java.io.File(s"$d/embeddings.parquet").exists())
         """"admission":null"""
@@ -184,7 +210,7 @@ object IncrementBench {
         f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f,"retract_sec":$retractSec%.3f},"g1_edges":{"persist_sec":$persistG1Sec%.3f,"append_sec":$appendG1Sec%.3f,"rebuild_sec":$rebuildG1Sec%.3f},"lpa":{"build_sec":$lpaBuildSec%.3f,"warm_sec":$lpaWarmSec%.3f,"full_sec":$lpaFullSec%.3f}"""
       }
 
-      s""""$d":{$bandJson,$admJson$adjJson}"""
+      s""""$d":{$bandJson,$mmJson,$admJson$adjJson}"""
     }
     println(rows.mkString(
       "{\"metric\":\"index_increment\",\"tiers\":{", ",", "}}"))

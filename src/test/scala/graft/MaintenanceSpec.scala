@@ -45,6 +45,7 @@ class MaintenanceSpec extends AnyFunSuite {
     Dedup.persistBandIndexFor(spark, s"$d/documents.parquet",
       spark.read.parquet(s"$d/documents.parquet"), buckets = 4)
     Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
+    graft.mm.Multimodal.persistPhashIndex(spark, d, buckets = 4)
     Graph.persistAdjacency(spark, d, buckets = 4)
     Graph.lpaLabels(spark, d) // memoize the propagation history
   }
@@ -52,6 +53,7 @@ class MaintenanceSpec extends AnyFunSuite {
   private def dropAll(d: String): Unit = {
     graft.lake.IndexTables.drop(spark, "band", s"$d/documents.parquet")
     Winnowing.dropFingerprintIndex(spark, d)
+    graft.mm.Multimodal.dropPhashIndex(spark, d)
     Graph.dropAdjacency(spark, d)
   }
 
@@ -89,6 +91,18 @@ class MaintenanceSpec extends AnyFunSuite {
           s"$d/documents.parquet").get) ==
         rowSet(Dedup.bandIndex(fullDocs)),
         "band table != rebuild after nightly")
+      // the phash index appended the delta docs' hashes only, yet
+      // equals a full re-decode of the grown corpus (per-media locality)
+      assert(rowSet(graft.lake.IndexTables.serve(spark, "mmph",
+          s"$d/documents.parquet").get) ==
+        rowSet({
+          import spark.implicits._
+          graft.mm.Multimodal.perceptualHashes(
+            graft.mm.Multimodal.mediaFrom(fullDocs)
+              .select(col("media_id"), col("payload"))
+              .as[graft.mm.Multimodal.Media])
+        }),
+        "phash table != full re-decode after nightly")
       assert(rowSet(Graph.coAdj(spark, d)) ==
         rowSet(Graph.coOrderWeightedFrom(fullLi)),
         "merged adjacency != rebuild after nightly")
@@ -170,6 +184,38 @@ class MaintenanceSpec extends AnyFunSuite {
     // ladder step: 3900 + 200 crosses n=4000 (k 1 -> 2, bits 4 -> 5) —
     // the append refuses internally and nightly pays the re-persist
     run(3900L, 200L)
+  }
+
+  test("embeddings-only nightly on a tier serving graph artifacts: coadj/g1/LPA re-stamp to the moved tier signature (ADVICE r14)") {
+    import graft.sim.Similarity
+    val (d, _, _, _, _, _, _) = freshTier()
+    try {
+      val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").localCheckpoint()
+      e.filter(col("vec_id") < 1500L).write.parquet(s"$d/embeddings.parquet")
+      persistAll(d)
+      Similarity.persistAnnIndex(spark, d, buckets = 4)
+      val adjBefore = rowSet(Graph.coAdj(spark, d))
+      val report = Maintenance.nightly(spark, d,
+        newEmbeddings = Some(e.filter(col("vec_id") >= 1500L)))
+      assert(report.maintained("ann"), "ann skipped despite serving")
+      assert(report.maintained("coadj") && report.maintained("g1_edges") &&
+        report.maintained("lpa"),
+        "graph artifacts not re-stamped on an embeddings-only nightly — " +
+          "the embeddings landing moved the tier signature they sign")
+      val tierSig = graft.lake.CorpusIndexCache.signature(d)
+      assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
+        "adjacency stranded stale after embeddings-only nightly")
+      assert(Graph.g1Stamp(spark, d).contains(tierSig),
+        "g1 edges stranded stale after embeddings-only nightly")
+      assert(Graph.lpaStamp(spark, d).contains(tierSig),
+        "LPA memo stranded stale after embeddings-only nightly")
+      assert(rowSet(Graph.coAdj(spark, d)) == adjBefore,
+        "an empty re-stamp changed the adjacency")
+    } finally {
+      dropAll(d)
+      graft.lake.IndexTables.drop(spark, "annf", s"$d/embeddings.parquet")
+    }
   }
 
   test("a lines-without-orders delta is rejected (order-grain contract)") {

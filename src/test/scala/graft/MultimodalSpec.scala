@@ -338,4 +338,62 @@ class MultimodalSpec extends AnyFunSuite {
       (3L, 4L) -> "image_only",  // image duplicated, caption is not
       (5L, 6L) -> "both"), s"unexpected flag set: $got")
   }
+
+  test("phash index lifecycle: table-served ≡ inline recompute; append ≡ rebuild; stale prevSig throws (r14 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mmph_tier")
+    val d = dir.toString
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    val n = docs.count()
+    val base = docs.filter(col("doc_id") < 4L * n / 5L)
+    val delta = docs.filter(col("doc_id") >= 4L * n / 5L).localCheckpoint()
+    base.write.parquet(s"$d/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    try {
+      // no table: the inline leg
+      val (inline5, inline6, inline7) = (
+        rows(Multimodal.mm5ImageNeardup(spark, d)),
+        rows(Multimodal.mm6CrossModal(spark, d)),
+        rows(Multimodal.mm7RecallReport(spark, d)))
+
+      // served: every mm consumer bit-identical, zero decode in-query
+      Multimodal.persistPhashIndex(spark, d, buckets = 4)
+      val prevSig = Multimodal.phashStamp(spark, d).get
+      assert(rows(Multimodal.mm5ImageNeardup(spark, d)) == inline5,
+        "mm5 served != inline")
+      assert(rows(Multimodal.mm6CrossModal(spark, d)) == inline6,
+        "mm6 served != inline")
+      assert(rows(Multimodal.mm7RecallReport(spark, d)) == inline7,
+        "mm7 served != inline")
+
+      // append: only the delta decodes; table ≡ full re-decode rebuild
+      delta.write.mode("append").parquet(s"$d/documents.parquet")
+      Multimodal.appendPhashIndex(spark, d, delta, prevSig)
+      assert(Multimodal.phashStamp(spark, d).contains(
+        graft.lake.CorpusIndexCache.signature(s"$d/documents.parquet")),
+        "phash append did not re-stamp to the grown corpus")
+      val full = spark.read.parquet(s"$d/documents.parquet")
+      assert(rows(graft.lake.IndexTables.serve(spark, "mmph",
+          s"$d/documents.parquet").get) ==
+        rows {
+          import spark.implicits._
+          Multimodal.perceptualHashes(
+            Multimodal.mediaFrom(full).select(col("media_id"), col("payload"))
+              .as[Multimodal.Media])
+        },
+        "appended phash table != full re-decode")
+      // served-appended query ≡ cold rebuild on the grown corpus
+      val served5 = rows(Multimodal.mm5ImageNeardup(spark, d))
+      Multimodal.dropPhashIndex(spark, d)
+      assert(rows(Multimodal.mm5ImageNeardup(spark, d)) == served5,
+        "mm5 served-after-append != cold rebuild")
+
+      // foreign-rewrite guard
+      Multimodal.persistPhashIndex(spark, d, buckets = 4)
+      intercept[IllegalStateException] {
+        Multimodal.appendPhashIndex(spark, d, delta, prevSig)
+      }
+    } finally Multimodal.dropPhashIndex(spark, d)
+  }
 }
