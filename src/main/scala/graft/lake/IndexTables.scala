@@ -112,6 +112,18 @@ object IndexTables {
     }
   }
 
+  /** The table for (prefix, path) WITHOUT the freshness check — the
+    * maintainer's mid-increment read: between a delta landing and the
+    * re-stamp, the table's stamp legitimately trails the corpus, and
+    * [[serve]] would DROP it as stale. Callers must hold the prevSig
+    * handle proving the gap is exactly their own increment; everyone
+    * else reads through [[serve]].
+    */
+  def peek(s: SparkSession, prefix: String, path: String): Option[DataFrame] = {
+    val table = tableName(prefix, path)
+    if (s.catalog.tableExists(table)) Some(s.table(table)) else None
+  }
+
   /** The signature a served table is currently stamped with, if the
     * table exists. Incremental maintainers read this BEFORE letting an
     * increment land in the corpus: it is the `prevSig` handle

@@ -75,6 +75,7 @@ object Maintenance {
     val bandSig = Dedup.bandIndexStamp(s, docsPath)
     val fpSig = Winnowing.fingerprintStamp(s, d)
     val mmSig = graft.mm.Multimodal.phashStamp(s, d)
+    val bpeSig = graft.text.TextAnalysis.bpeStamp(s, d)
     val adjSig = Graph.adjacencyStamp(s, d)
     val g1Sig = Graph.g1Stamp(s, d)
     val lpaSig = Graph.lpaStamp(s, d)
@@ -131,6 +132,15 @@ object Maintenance {
         graft.mm.Multimodal.appendPhashIndex(s, d, docs, sig); true
       case _ => false
     }
+    // the tokenizer artifact is corpus-global (no sound append): the
+    // leg delegates to the retrain policy — "always" re-trains on the
+    // grown corpus, "on-doubling" restamps the frozen artifact until
+    // corpus bytes double (r14 verdict #3)
+    val bpe = (newDocs, bpeSig) match {
+      case (Some(_), Some(sig)) =>
+        graft.text.TextAnalysis.maintainBpe(s, d, sig, bpePolicy); true
+      case _ => false
+    }
     val adj = adjSig match {
       case Some(sig) if newLineitem.nonEmpty =>
         Graph.appendAdjacencyIncrement(s, d, newLineitem.get, sig); true
@@ -176,6 +186,7 @@ object Maintenance {
       case _ => false
     }
     NightlyReport(Map("band" -> band, "fingerprints" -> fp, "mm" -> mm,
-      "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa, "ann" -> ann))
+      "bpe" -> bpe, "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa,
+      "ann" -> ann))
   }
 }

@@ -222,6 +222,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"tok_before div ${budget}L").as("pack_id"))
 
+  /** The PRE-r13 single-window t10 — retained ONLY as the r14 bench
+    * drift adjudication comparator (tools/PackDriftDiag): bit-identical
+    * output, but `Window.partitionBy(lang)` serializes each language
+    * into one task at scale, which is why production t10 runs the
+    * two-pass prefix sum. Never registered as a query.
+    */
+  private[graft] def t10PackDocsWindowForm(s: SparkSession, d: String,
+      budget: Int = 2048): DataFrame = {
+    val slim = toks(s, d).withColumn("n_tokens", size(col("toks")))
+      .select("doc_id", "lang", "n_tokens").localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    slim.withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"tok_before div ${budget}L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** t17: materialized pack payloads — the step after [[t10PackDocs]]'
     * assignment: each (shard, pack) concatenates its member docs (in
     * doc_id order, `<eos>`-separated) into the actual training-context
@@ -529,38 +549,286 @@ object TextAnalysis {
   /** Memoized training: t30 and t31 share ONE training run per
     * (session, corpus content) — the CorpusIndexCache recipe, with the
     * merge list riding alongside the state DataFrame (which alone
-    * can't carry it). The state is localCheckpoint-materialized by the
-    * loop, so a cache hit costs nothing; a rewritten corpus changes
+    * can't carry it). The state is driver-resident from the in-memory
+    * trainer, so a cache hit costs nothing; a rewritten corpus changes
     * the signature and re-trains; stopped sessions sweep lazily.
+    *
+    * PERSISTED-ARTIFACT serving (r14 verdict #3): before training,
+    * consult the stamp-persisted tokenizer tables ([[persistBpe]]) —
+    * a FRESH SESSION then loads the parameter-sized merge list + the
+    * vocab-sized word state instead of paying a full retrain, the
+    * cheapest artifact-vs-recompute win in the repo. The served leg is
+    * NOT memoized in [[bpeCache]] (its plan would dangle across a
+    * compact/drop, the ADVICE r13 #1 failure mode the table caches
+    * solved with invalidateAll — which this private memo doesn't
+    * subscribe to); serving costs one metastore check + a vocab-sized
+    * collect per call, noise next to any consumer query.
     */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
     (String, DataFrame, Seq[(Int, String, String, Long)])]()
+  /** Test hook: simulate a fresh session (the persisted-artifact
+    * serving path is only reachable when the memo misses).
+    */
+  private[graft] def evictBpeMemo(): Unit = bpeCache.clear()
   private def bpeTrained(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val path = s"$d/documents.parquet"
     val sig = graft.lake.CorpusIndexCache.signature(path)
-    val e = bpeCache.compute((s, path), (_, cur) =>
-      if (cur != null && cur._1 == sig) cur
-      else { val (w, m) = trainBpe(s, d); (sig, w, m) })
-    (e._2, e._3)
+    val cur = bpeCache.get((s, path))
+    if (cur != null && cur._1 == sig) return (cur._2, cur._3)
+    servedBpe(s, d) match {
+      case Some(r) => r
+      case None =>
+        val e = bpeCache.compute((s, path), (_, c) =>
+          if (c != null && c._1 == sig) c
+          else { val (w, m) = trainBpe(s, d); (sig, w, m) })
+        (e._2, e._3)
+    }
   }
 
-  /** The training loop itself: returns the post-merge word state table
-    * (state, n) and the learned merge list.
+  // ---- persisted tokenizer artifact (r14 verdict #3) -----------------
+  // TWO stamped tables per corpus: `bpem` holds the parameter-sized
+  // merge list (rank, pair, merged, cnt, trained_bytes) and `bpest`
+  // the vocab-sized post-merge word state (state, n) — together the
+  // full trained-tokenizer artifact every t30–t37 consumer derives
+  // from. Unlike the index families the artifact is CORPUS-GLOBAL
+  // (word counts move every merge decision), so there is no sound
+  // append — maintenance is a retrain POLICY ([[maintainBpe]]):
+  // "always" re-trains per nightly (today's behavior, exactness), and
+  // "on-doubling" freezes the tokenizer until the corpus doubles in
+  // bytes (the ANN ladder precedent — production tokenizers are
+  // shipped frozen artifacts, and a <2× increment cannot usefully
+  // move a vocab trained on the other half).
+
+  private val BpeMergesPrefix = "bpem"
+  private val BpeStatePrefix = "bpest"
+  private def bpePath(d: String): String = s"$d/documents.parquet"
+
+  /** Total bytes of the corpus files — the doubling gauge
+    * [[maintainBpe]]'s on-doubling policy reads (one FS listing; no
+    * data scan).
     */
-  private def trainBpe(s: SparkSession, d: String)
-      : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    var words = documents(s, d)
+  private def corpusBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Persist the trained tokenizer for tier `d`: train (or reuse the
+    * session memo), then stamp-persist merge list + word state through
+    * the IndexTables staging-swap lifecycle.
+    */
+  def persistBpe(s: SparkSession, d: String): Seq[String] = {
+    val (words, merges) = bpeTrained(s, d)
+    import s.implicits._
+    val bytes = corpusBytes(s, bpePath(d))
+    val mergesDf = merges.toDF("rank", "pair", "merged", "cnt")
+      .withColumn("trained_bytes", lit(bytes))
+    Seq(
+      graft.lake.IndexTables.persist(s, mergesDf, BpeMergesPrefix,
+        bpePath(d), Seq("rank"), buckets = 1),
+      graft.lake.IndexTables.persist(s, words, BpeStatePrefix,
+        bpePath(d), Seq("state"), buckets = 8))
+  }
+
+  /** Drop both tokenizer tables for tier `d`, if any. */
+  def dropBpe(s: SparkSession, d: String): Unit = {
+    graft.lake.IndexTables.drop(s, BpeMergesPrefix, bpePath(d))
+    graft.lake.IndexTables.drop(s, BpeStatePrefix, bpePath(d))
+  }
+
+  /** The merges table's current stamp — [[maintainBpe]]'s prevSig
+    * handle (both tables persist together; one stamp witnesses both).
+    */
+  def bpeStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, BpeMergesPrefix, bpePath(d))
+
+  /** The persisted tokenizer, if BOTH tables serve fresh: the word
+    * state as the served table scan, the merge list collected
+    * (parameter-sized by construction).
+    */
+  private def servedBpe(s: SparkSession, d: String)
+      : Option[(DataFrame, Seq[(Int, String, String, Long)])] =
+    for {
+      m <- graft.lake.IndexTables.serve(s, BpeMergesPrefix, bpePath(d))
+      st <- graft.lake.IndexTables.serve(s, BpeStatePrefix, bpePath(d))
+    } yield (st.select("state", "n"),
+      m.orderBy("rank").collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))))
+
+  /** NIGHTLY tokenizer maintenance: after a docs delta lands, either
+    * retrain + re-persist (policy "always" — the exactness posture:
+    * served ≡ retrain on the grown corpus, BpeTrainSpec) or, under
+    * "on-doubling", keep the FROZEN artifact and only move its stamps
+    * (an empty-increment re-stamp on both tables) until the corpus
+    * bytes reach 2× the bytes it was trained on — then pay the
+    * retrain. Same caller contract as every appendIncrement: prevSig
+    * read before the delta landed.
+    */
+  def maintainBpe(s: SparkSession, d: String, prevSig: String,
+      policy: String = "always"): Unit = {
+    val stamp = bpeStamp(s, d)
+    if (!stamp.contains(prevSig))
+      throw new IllegalStateException(
+        s"maintainBpe($d): table stamp $stamp != expected $prevSig — " +
+          "corpus or table changed under the maintainer")
+    // peek, not serve: the delta already landed, so the table's stamp
+    // legitimately trails the corpus here — serve() would drop it as
+    // stale, destroying the artifact this policy exists to keep
+    def restampBoth(): Unit = {
+      val empty = graft.lake.IndexTables
+        .peek(s, BpeMergesPrefix, bpePath(d)).get.limit(0)
+      graft.lake.IndexTables.appendIncrement(s, empty, BpeMergesPrefix,
+        bpePath(d), prevSig)
+      val emptySt = graft.lake.IndexTables
+        .peek(s, BpeStatePrefix, bpePath(d)).get.limit(0)
+      graft.lake.IndexTables.appendIncrement(s, emptySt, BpeStatePrefix,
+        bpePath(d), prevSig)
+    }
+    policy match {
+      case "always" => persistBpe(s, d)
+      case "on-doubling" =>
+        val trainedBytes = graft.lake.IndexTables
+          .peek(s, BpeMergesPrefix, bpePath(d)).get
+          .select("trained_bytes").limit(1).collect()(0).getLong(0)
+        if (corpusBytes(s, bpePath(d)) >= 2L * trainedBytes) persistBpe(s, d)
+        else restampBoth()
+      case other => throw new IllegalArgumentException(
+        s"maintainBpe: unknown policy '$other' (always | on-doubling)")
+    }
+  }
+
+  /** The word-frequency contraction the trainer iterates on:
+    * (space-padded symbol state, count) over distinct lowercased words
+    * of length ≥ 2 — ONE distributed corpus scan, vocab-sized output.
+    */
+  private def bpeContraction(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
         .as("state"), col("n"))
-      .localCheckpoint()
+
+  /** Contraction-collect cap (r14 verdict #4): the in-memory trainer
+    * collects the contraction ORDERED BY (count desc, state asc) and
+    * keeps the top [[BpeContractionCap]] word states — the standard
+    * tokenizer-training posture (production BPE trainers operate on a
+    * capped word-frequency table; the count-ordered cut drops only the
+    * rarest-word tail, whose pair mass is the least able to move any
+    * merge decision). Below the cap — every tier this repo measures,
+    * and any corpus whose VOCABULARY fits a driver, which Heaps' law
+    * makes the common case even at 100 TB — training is EXACT:
+    * BpeTrainSpec pins bit-equality with [[trainBpeDistributed]].
+    * Above it, the merge list is the capped table's exact BPE, the
+    * documented approximation.
+    */
+  private[graft] val BpeContractionCap = 2000000
+
+  /** Spark's string `<` is an unsigned UTF-8 byte compare; Java's
+    * compareTo is UTF-16 code-unit order. They agree on ASCII (this
+    * corpus's pinned precondition) but the trainer ties must be
+    * bit-portable for ANY input, so the in-memory argmax uses the
+    * byte order Spark's `asc("pair")` sorts by.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The IN-MEMORY merge loop (r14 verdict #4): the contraction is
+    * vocab-sized, so training belongs on the driver — the distributed
+    * loop's per-merge Spark job (a full explode + argmax + replace +
+    * checkpoint over the contraction, ~0.4 s each at toy scale) made a
+    * production vocab (~30 k merges) 30 k SEQUENTIAL jobs, a scale
+    * ceiling the distributed scan never had. Semantics are pinned
+    * identical to [[trainBpeDistributed]]: same adjacent-pair counts
+    * over the trimmed symbol split, same (count desc, UTF-8-byte pair
+    * asc) argmax, same [[BpeReplacePasses]]-pass literal replace (Java
+    * String.replace == Spark `replace` == DuckDB replace: left-to-right
+    * non-overlapping). BpeTrainSpec pins bit-equality at merges=10 on
+    * sf0.01; BPE_TRAIN_R15.json measures the merges=1000 run the old
+    * loop could not complete in bench time.
+    */
+  private[graft] def trainBpeInMemory(
+      contraction: Array[(String, Long)], nMerges: Int)
+      : (Array[(String, Long)], Seq[(Int, String, String, Long)]) = {
+    var states = contraction
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    (1 to BpeMerges).foreach { i =>
+    var i = 1
+    while (i <= nMerges) {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      states.foreach { case (st, n) =>
+        val syms = st.trim.split(" ")
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = syms(j) + " " + syms(j + 1)
+          cnt.update(p, cnt.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (cnt.isEmpty) return (states, merges.result()) // corpus exhausted
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      cnt.foreach { case (p, c) =>
+        if (c > bestCnt || (c == bestCnt && utf8Less(p, bestPair))) {
+          bestPair = p; bestCnt = c
+        }
+      }
+      val Array(l, r) = bestPair.split(" ", 2)
+      merges += ((i, bestPair, l + r, bestCnt))
+      val from = s" $l $r "
+      val to = s" $l$r "
+      states = states.map { case (st, n) =>
+        if (!st.contains(from)) (st, n)
+        else {
+          var x = st
+          var p = 0
+          while (p < BpeReplacePasses) { x = x.replace(from, to); p += 1 }
+          (x, n)
+        }
+      }
+      i += 1
+    }
+    (states, merges.result())
+  }
+
+  /** The training entry: one distributed contraction scan, a capped
+    * count-ordered collect, then [[trainBpeInMemory]]. Returns the
+    * post-merge word state table (state, n) and the learned merge list.
+    */
+  private[graft] def trainBpe(s: SparkSession, d: String,
+      nMerges: Int = BpeMerges)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val collected = bpeContraction(s, d)
+      .orderBy(desc("n"), asc("state")).limit(BpeContractionCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (states, merges) = trainBpeInMemory(collected, nMerges)
+    import s.implicits._
+    (states.toSeq.toDF("state", "n"), merges)
+  }
+
+  /** The per-merge DISTRIBUTED loop — retained as [[trainBpe]]'s spec
+    * reference (BpeTrainSpec pins the in-memory trainer bit-equal to
+    * it) and as the honest fallback for a contraction too large for
+    * [[BpeContractionCap]] exactness.
+    */
+  private[graft] def trainBpeDistributed(s: SparkSession, d: String,
+      nMerges: Int = BpeMerges)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var words = bpeContraction(s, d).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to nMerges).foreach { i =>
       val top = words
         .select(col("n"), split(trim(col("state")), " ").as("syms"))
         .select(col("n"), explode(expr(

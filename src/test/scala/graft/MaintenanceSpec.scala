@@ -46,6 +46,7 @@ class MaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(s"$d/documents.parquet"), buckets = 4)
     Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
     graft.mm.Multimodal.persistPhashIndex(spark, d, buckets = 4)
+    graft.text.TextAnalysis.persistBpe(spark, d)
     Graph.persistAdjacency(spark, d, buckets = 4)
     Graph.lpaLabels(spark, d) // memoize the propagation history
   }
@@ -54,6 +55,7 @@ class MaintenanceSpec extends AnyFunSuite {
     graft.lake.IndexTables.drop(spark, "band", s"$d/documents.parquet")
     Winnowing.dropFingerprintIndex(spark, d)
     graft.mm.Multimodal.dropPhashIndex(spark, d)
+    graft.text.TextAnalysis.dropBpe(spark, d)
     Graph.dropAdjacency(spark, d)
   }
 
@@ -77,6 +79,8 @@ class MaintenanceSpec extends AnyFunSuite {
         .contains(docSig), "band index stale after nightly")
       assert(Winnowing.fingerprintStamp(spark, d).contains(docSig),
         "fingerprint index stale after nightly")
+      assert(graft.text.TextAnalysis.bpeStamp(spark, d).contains(docSig),
+        "bpe artifact stale after nightly")
       assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
         "adjacency stale after nightly")
       assert(Graph.g1Stamp(spark, d).contains(tierSig),
