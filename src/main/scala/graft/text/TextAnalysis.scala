@@ -215,6 +215,18 @@ object TextAnalysis {
     * trained-BPE units (same formula, same plan; ChunkingSpec pins the
     * boundary contract for both). Unordered — each caller applies its
     * own output order.
+    *
+    * ADJUDICATED COST (r14 "What's wrong #1", the driver's t10 2.37×
+    * flag): the two-pass prefix sum costs a measured ~0.4 s CONSTANT
+    * over the single-window form — PACK_DRIFT_R15.json: +0.456 s at
+    * sf0.1, +0.395 s at sf1 (10× the data, SAME constant; outputs
+    * asserted equal) — i.e. plan-stage overhead (four extra stages),
+    * not a scale law. The trade is accepted as-is: the constant is
+    * noise at any tier where packing matters, while the window form's
+    * partition-per-language serializes ~20 TB into one task at the
+    * target scale. No size gate — a plan that flips to the degenerate
+    * form at exactly the tiers the bench measures would be tuning for
+    * the benchmark, not the cluster.
     */
   private def packAssignment(slim: DataFrame, budget: Long): DataFrame =
     graft.ops.PrefixSum.runningBefore(

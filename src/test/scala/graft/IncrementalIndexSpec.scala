@@ -319,6 +319,47 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally graft.lake.IndexTables.drop(spark, "annf", p)
   }
 
+  test("recall across maintenance: N nightly appends + a ladder-step rebuild end row-identical to a fresh build — index quality preserved across a corpus doubling (r14 stretch #9)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ann_maint").toString
+    val p = s"$dir/embeddings.parquet"
+    // 2000 source vectors + offset clones = enough to cross the n=4000
+    // ladder step (k 1 -> 2) from an 1800-vector base in 500-row nightlies
+    val e0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val all = e0.unionByName(e0.select((col("vec_id") + 2000L).as("vec_id"),
+      col("embedding"))).localCheckpoint()
+    all.filter(col("vec_id") < 1800L).write.parquet(p)
+    try {
+      Similarity.persistAnnIndex(spark, dir, buckets = 4)
+      // five nightly increments: 1800 -> 4300, crossing 4000 mid-way —
+      // the append refuses at the step and nightly pays the re-persist
+      (0 until 5).foreach { i =>
+        val lo = 1800L + i * 500L
+        val delta = all.filter(col("vec_id") >= lo &&
+          col("vec_id") < lo + 500L).localCheckpoint()
+        val report = graft.lake.Maintenance.nightly(spark, dir,
+          newEmbeddings = Some(delta))
+        assert(report.maintained("ann"), s"ann skipped at increment $i")
+      }
+      // the maintained table ≡ a fresh full build on the final corpus —
+      // recall of ANY probe set is therefore preserved exactly
+      val maintained = rowSet(graft.lake.IndexTables.serve(spark, "annf", p)
+        .get.select("vec_id", "tbl", "bk"))
+      graft.lake.IndexTables.drop(spark, "annf", p)
+      Similarity.persistAnnIndex(spark, dir, buckets = 4)
+      val fresh = rowSet(graft.lake.IndexTables.serve(spark, "annf", p)
+        .get.select("vec_id", "tbl", "bk"))
+      assert(maintained == fresh,
+        "maintained ANN table != fresh build after appends + ladder rebuild")
+      // and the serving index genuinely finds neighbors on this tier
+      val recall = Similarity.s11RecallReport(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(recall("lsh") >= 5000L,
+        s"post-maintenance lsh recall degenerate: $recall")
+    } finally graft.lake.IndexTables.drop(spark, "annf", p)
+  }
+
   test("ANN index: a hash-family STEP refuses the append (silent recall loss becomes an explicit rebuild)") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("inc_annf_step").toString
