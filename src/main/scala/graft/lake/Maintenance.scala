@@ -61,8 +61,10 @@ object Maintenance {
       newLineitem: Option[DataFrame] = None,
       newOrders: Option[DataFrame] = None,
       newEmbeddings: Option[DataFrame] = None,
+      newEvents: Option[DataFrame] = None,
       bpePolicy: String = "always"): NightlyReport = {
     import graft.text.{Dedup, Winnowing}
+    import graft.ops.Warehouse
     import graft.queries.Graph
     import graft.sim.Similarity
     require(newLineitem.isEmpty == newOrders.isEmpty,
@@ -80,6 +82,9 @@ object Maintenance {
     val g1Sig = Graph.g1Stamp(s, d)
     val lpaSig = Graph.lpaStamp(s, d)
     val annSig = Similarity.annIndexStamp(s, d)
+    val aggSig = Warehouse.aggStateStamp(s, d)
+    val hllSig = Warehouse.hllStateStamp(s, d)
+    val jvSig = Warehouse.joinViewStamp(s, d)
 
     // ---- 2. the delta lands ---------------------------------------
     newDocs.foreach(_.write.mode("append").parquet(docsPath))
@@ -89,6 +94,11 @@ object Maintenance {
       _.write.mode("append").parquet(s"$d/orders.parquet"))
     newEmbeddings.foreach(
       _.write.mode("append").parquet(s"$d/embeddings.parquet"))
+    // events deltas must carry the tier's ts ENCODING (the caller
+    // normalizes through Tables.normalizeEventsTs before handing rows
+    // over — mixed encodings in one directory fail the merged read)
+    newEvents.foreach(
+      _.write.mode("append").parquet(s"$d/events.parquet"))
     // ANYTHING landing in the tier moves the directory signature the
     // graph artifacts are stamped against — including an
     // embeddings-only delta (ADVICE r14: leaving embeddings out of
@@ -96,7 +106,7 @@ object Maintenance {
     // silently dropped them and paid the cold rebuild this
     // orchestrator exists to avoid).
     val landed = newDocs.nonEmpty || newLineitem.nonEmpty ||
-      newOrders.nonEmpty || newEmbeddings.nonEmpty
+      newOrders.nonEmpty || newEmbeddings.nonEmpty || newEvents.nonEmpty
 
     // ---- 3. per-artifact increments against the handles -----------
     // The document indexes sign documents.parquet ALONE, so a
@@ -185,8 +195,31 @@ object Maintenance {
         true
       case _ => false
     }
+    // warehouse states (r14 verdict #6): the agg/quantile states sign
+    // orders.parquet and the distinct state events.parquet (path-scoped
+    // like the document indexes — untouched AND fresh when their source
+    // didn't move); the join view signs the tier, so it appends on an
+    // orders delta and empty-restamps on any other landing
+    val whOrders = (newOrders, aggSig) match {
+      case (Some(ord), Some(sig)) =>
+        Warehouse.appendOrdersState(s, d, ord, sig); true
+      case _ => false
+    }
+    val whEvents = (newEvents, hllSig) match {
+      case (Some(ev), Some(sig)) =>
+        Warehouse.appendEventsState(s, d, ev, sig); true
+      case _ => false
+    }
+    val whJoin = jvSig match {
+      case Some(sig) if newOrders.nonEmpty =>
+        Warehouse.appendJoinView(s, d, newOrders.get, sig); true
+      case Some(sig) if landed =>
+        Warehouse.appendJoinView(s, d, emptyOrd, sig); true
+      case _ => false
+    }
     NightlyReport(Map("band" -> band, "fingerprints" -> fp, "mm" -> mm,
       "bpe" -> bpe, "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa,
-      "ann" -> ann))
+      "ann" -> ann, "wh_orders" -> whOrders, "wh_events" -> whEvents,
+      "wh_join" -> whJoin))
   }
 }

@@ -671,6 +671,161 @@ object Warehouse {
       .orderBy("band")
   }
 
+  // ------------------- persisted warehouse state (r14 verdict #6) ------
+  // l3/l4/l5/l7's incremental states were CALLER-MANAGED: the queries
+  // prove the merge identities end-to-end, but nothing persisted the
+  // states or kept them current when a nightly landed. These tables
+  // give every stateful warehouse artifact the stamped-table + nightly
+  // -leg treatment the index families already have:
+  //
+  //   whagg   (o_custkey, n, s)   l3's algebraic agg state — ADDITIVE
+  //           (per-key sum merges on read), signs orders.parquet
+  //   whkll   (month, sk)         l5's KLL quantile sketches —
+  //           MERGEABLE (kll_merge_agg on read), signs orders.parquet
+  //   whhll   (day, sk)           l4's HLL distinct sketches —
+  //           MERGEABLE (hll_union_agg on read), signs events.parquet
+  //   whjoin  (o_orderkey, k, cents, segment)  l7's materialized join
+  //           view — ROW-DECOMPOSABLE under static dimensions (a delta
+  //           of whole orders contributes exactly ΔO⋈C), signs the
+  //           TIER directory (depends on orders + customer; the
+  //           over-invalidation posture the graph artifacts use)
+  //
+  // Equivalence grain (WarehouseStateSpec): whagg and whjoin are EXACT
+  // (integer state / plain rows — append ≡ rebuild bit-for-bit); the
+  // sketch states are equivalent at their ESTIMATE grain — a sketch
+  // built-then-merged is not byte-identical to one built in one pass
+  // (compaction paths differ), which is why the l4/l5 queries gate on
+  // bounds, and the spec pins the same gates THROUGH the append path.
+  // Deletions: whagg retracts algebraically (negated deltas, the coadj
+  // posture); sketches do NOT subtract — a retraction re-persists.
+
+  private[graft] val AggStatePrefix = "whagg"
+  private[graft] val KllStatePrefix = "whkll"
+  private[graft] val HllStatePrefix = "whhll"
+  private[graft] val JoinViewPrefix = "whjoin"
+  private def ordersPath(d: String): String = s"$d/orders.parquet"
+  private def eventsPath(d: String): String = s"$d/events.parquet"
+
+  private def centsCol = expr(
+    "CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)")
+
+  /** l3's state relation of an explicit orders frame — the one body
+    * builder and maintainer share (the coOrderWeightedFrom posture).
+    */
+  private[graft] def aggStateRelation(ord: DataFrame): DataFrame =
+    aggState(ord.withColumn("cents", centsCol), "o_custkey", "cents")
+
+  /** l5's sketch-state relation: per-month KLL of order price cents. */
+  private[graft] def kllStateRelation(ord: DataFrame): DataFrame =
+    ord.select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        centsCol.as("cents"))
+      .groupBy("month")
+      .agg(expr("kll_sketch_agg_bigint(cents, 800)").as("sk"))
+
+  /** l4's sketch-state relation: per-day HLL of event user ids. The
+    * frame must carry a NORMALIZED µs `ts` ([[graft.lake.Tables
+    * .normalizeEventsTs]]) — the builder reads through Tables.events,
+    * and increments must arrive at the same grain.
+    */
+  private[graft] def hllStateRelation(ev: DataFrame): DataFrame =
+    ev.select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("user_id"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+
+  /** l7's view relation: orders ⋈ customer, projected. */
+  private[graft] def joinViewRelation(ord: DataFrame,
+      cust: DataFrame): DataFrame =
+    ord.select(col("o_orderkey"), col("o_custkey").as("k"),
+        centsCol.as("cents"))
+      .join(cust.select(col("c_custkey").as("k"), col("c_mktsegment")
+        .as("segment")), "k")
+      .select("o_orderkey", "k", "cents", "segment")
+
+  /** Persist all four warehouse-state tables for tier `d`. */
+  def persistWarehouseState(s: SparkSession, d: String,
+      buckets: Int = 32): Seq[String] = Seq(
+    graft.lake.IndexTables.persist(s, aggStateRelation(orders(s, d)),
+      AggStatePrefix, ordersPath(d), Seq("o_custkey"), buckets),
+    graft.lake.IndexTables.persist(s, kllStateRelation(orders(s, d)),
+      KllStatePrefix, ordersPath(d), Seq("month"), buckets = 1),
+    graft.lake.IndexTables.persist(s, hllStateRelation(events(s, d)),
+      HllStatePrefix, eventsPath(d), Seq("day"), buckets = 1),
+    graft.lake.IndexTables.persist(s,
+      joinViewRelation(orders(s, d), customer(s, d)),
+      JoinViewPrefix, d, Seq("k"), buckets))
+
+  /** Drop all four state tables for tier `d`, if any. */
+  def dropWarehouseState(s: SparkSession, d: String): Unit = {
+    graft.lake.IndexTables.drop(s, AggStatePrefix, ordersPath(d))
+    graft.lake.IndexTables.drop(s, KllStatePrefix, ordersPath(d))
+    graft.lake.IndexTables.drop(s, HllStatePrefix, eventsPath(d))
+    graft.lake.IndexTables.drop(s, JoinViewPrefix, d)
+  }
+
+  /** The orders-signed states' stamp (whagg and whkll persist together;
+    * one handle witnesses both) — read BEFORE an orders delta lands.
+    */
+  def aggStateStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, AggStatePrefix, ordersPath(d))
+
+  /** The events-signed state's stamp — read BEFORE an events delta. */
+  def hllStateStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, HllStatePrefix, eventsPath(d))
+
+  /** The tier-signed join view's stamp — read BEFORE anything lands. */
+  def joinViewStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, JoinViewPrefix, d)
+
+  /** Orders-delta maintenance: append the delta's agg partials and
+    * month sketches (merge-on-read restores the unique-key states).
+    */
+  def appendOrdersState(s: SparkSession, d: String, deltaOrders: DataFrame,
+      prevSig: String): Seq[String] = Seq(
+    graft.lake.IndexTables.appendIncrement(s, aggStateRelation(deltaOrders),
+      AggStatePrefix, ordersPath(d), prevSig),
+    graft.lake.IndexTables.appendIncrement(s, kllStateRelation(deltaOrders),
+      KllStatePrefix, ordersPath(d), prevSig))
+
+  /** Events-delta maintenance: append the delta's day sketches. */
+  def appendEventsState(s: SparkSession, d: String, deltaEvents: DataFrame,
+      prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s, hllStateRelation(deltaEvents),
+      HllStatePrefix, eventsPath(d), prevSig)
+
+  /** Join-view maintenance: a delta of whole orders contributes exactly
+    * ΔO⋈C ([[deltaJoinView]] with ΔB = ∅ — dimensions static in a
+    * nightly); append those rows. Customer deltas re-persist (the view
+    * is not row-decomposable in the dimension).
+    */
+  def appendJoinView(s: SparkSession, d: String, deltaOrders: DataFrame,
+      prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s,
+      joinViewRelation(deltaOrders, customer(s, d)),
+      JoinViewPrefix, d, prevSig)
+
+  /** Served l3 state, merged to unique keys (the coadj merge-on-read
+    * shape — clustered on the bucket key, exchange-free off the scan).
+    */
+  def servedAggState(s: SparkSession, d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, AggStatePrefix, ordersPath(d))
+      .map(_.groupBy("o_custkey").agg(sum("n").as("n"), sum("s").as("s")))
+
+  /** Served l5 state, sketches merged per month. */
+  def servedKllState(s: SparkSession, d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, KllStatePrefix, ordersPath(d))
+      .map(_.groupBy("month")
+        .agg(expr("kll_merge_agg_bigint(sk, 800)").as("sk")))
+
+  /** Served l4 state, sketches unioned per day. */
+  def servedHllState(s: SparkSession, d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, HllStatePrefix, eventsPath(d))
+      .map(_.groupBy("day")
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk")))
+
+  /** Served l7 view (plain scan — appends land exactly the delta rows). */
+  def servedJoinView(s: SparkSession, d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, JoinViewPrefix, d)
+
   // --------------------------------------------------------------- Queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
