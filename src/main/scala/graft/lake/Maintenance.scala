@@ -3,12 +3,14 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The NIGHTLY-INCREMENT orchestrator: one entry point that lands a
-  * crawl/fact delta in a tier and maintains EVERY persisted artifact
-  * the tier serves — the composed form of the per-family maintenance
-  * this library grew piecemeal (band index, fingerprint indexes,
-  * co-order adjacency, g1 edges, memoized LPA), so the "daily crawl"
-  * story is one call, not a checklist an operator can get out of
-  * order.
+  * crawl/fact/event delta in a tier and maintains EVERY persisted
+  * artifact the tier serves — the composed form of the per-family
+  * maintenance this library grew piecemeal (band index, fingerprint
+  * indexes, image-signature index, trained BPE tokenizer, co-order
+  * adjacency, g1 edges, memoized LPA, ANN index, and the warehouse
+  * states: algebraic agg, HLL/KLL sketches, the materialized join
+  * view), so the "daily crawl" story is one call, not a checklist an
+  * operator can get out of order.
   *
   * Ordering is the whole point, and it is the appendIncrement caller
   * contract enforced mechanically:
