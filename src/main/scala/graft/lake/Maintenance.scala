@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * crawl/fact/event delta in a tier and maintains EVERY persisted
   * artifact the tier serves — the composed form of the per-family
   * maintenance this library grew piecemeal (band index, fingerprint
-  * indexes, image-signature index, trained BPE tokenizer, co-order
-  * adjacency, g1 edges, memoized LPA, ANN index, and the warehouse
+  * indexes, ngram-occurrence index, image-signature index, trained
+  * BPE tokenizer, co-order adjacency, g1 edges, memoized LPA, ANN
+  * index, and the warehouse
   * states: algebraic agg, HLL/KLL sketches, the materialized join
   * view), so the "daily crawl" story is one call, not a checklist an
   * operator can get out of order.
@@ -78,6 +79,7 @@ object Maintenance {
     // ---- 1. handles BEFORE anything lands -------------------------
     val bandSig = Dedup.bandIndexStamp(s, docsPath)
     val fpSig = Winnowing.fingerprintStamp(s, d)
+    val ngoSig = graft.text.SubstringDedup.occurrenceStamp(s, d)
     val mmSig = graft.mm.Multimodal.phashStamp(s, d)
     val bpeSig = graft.text.TextAnalysis.bpeStamp(s, d)
     val adjSig = Graph.adjacencyStamp(s, d)
@@ -133,6 +135,14 @@ object Maintenance {
     val fp = (newDocs, fpSig) match {
       case (Some(docs), Some(sig)) =>
         Winnowing.appendFingerprintIndex(s, d, docs, sig); true
+      case _ => false
+    }
+    // the ngram-occurrence index (t40/t41) is docs-scoped and per-doc
+    // row-local like the fingerprints: only the new docs split + hash
+    val ngo = (newDocs, ngoSig) match {
+      case (Some(docs), Some(sig)) =>
+        graft.text.SubstringDedup.appendOccurrenceIndex(s, d, docs, sig)
+        true
       case _ => false
     }
     // the image-signature index is docs-scoped like band/fingerprints:
@@ -219,7 +229,8 @@ object Maintenance {
         Warehouse.appendJoinView(s, d, emptyOrd, sig); true
       case _ => false
     }
-    NightlyReport(Map("band" -> band, "fingerprints" -> fp, "mm" -> mm,
+    NightlyReport(Map("band" -> band, "fingerprints" -> fp, "ngo" -> ngo,
+      "mm" -> mm,
       "bpe" -> bpe, "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa,
       "ann" -> ann, "wh_orders" -> whOrders, "wh_events" -> whEvents,
       "wh_join" -> whJoin))

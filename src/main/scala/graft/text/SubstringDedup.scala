@@ -1,0 +1,325 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.Tables._
+
+/** Cross-document duplicated-span detection and removal — the
+  * word-grain form of exact substring deduplication (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better", which
+  * removes every repeated ≥50-token span from the corpus keeping one
+  * copy). The reference pipeline has no counterpart; this is extension
+  * surface for the LLM-curation layer, sitting between the
+  * within-document repetition signal (t13) and the whole/near-document
+  * dedup family (d1–d12): t13 never sees a span repeated *across*
+  * documents, and MinHash misses a boilerplate paragraph pasted into
+  * thousands of otherwise-distinct pages — the single most common
+  * duplication mode in crawl corpora.
+  *
+  * Relation to d9 (`Dedup.dropDuplicateSpansGlobal`): d9 tiles each
+  * document into NON-OVERLAPPING span-width chunks and dedups
+  * identical chunks — O(tokens/span) occurrence rows, but blind to any
+  * duplicate that is not chunk-aligned (a boilerplate paragraph
+  * starting mid-chunk slips through every tile boundary). t40/t41
+  * slide the window over EVERY start position: alignment-oblivious
+  * like the suffix-array original, at O(tokens) occurrence rows —
+  * span-width× more than d9, same asymptotic class, one scan either
+  * way. d9 stays as the cheap tiled screen; t40/t41 are the exact
+  * detector and cut.
+  *
+  * Shape, both operators: every word-[[N]]-gram occurrence
+  * `(doc_id, start, ngh)` is materialized once (token-scale, one
+  * scan), aggregated on the ngram hash to find spans occurring ≥ 2
+  * times corpus-wide, and joined back to flag the duplicated starts.
+  * Both the aggregate and the probe shuffle the same occurrence
+  * relation on the same key, so inline the exchange is planned once
+  * and reused, and SERVED (the persisted `ngo` table bucketed on
+  * `ngh` — the 100 TB default) neither consumer shuffles the
+  * occurrence side at all. The
+  * reference algorithm's suffix array is a single-machine structure;
+  * the group-then-probe form is the Spark-native equivalent at fixed
+  * span width: scan-bound, shuffle keyed on content, never all-pairs,
+  * and the dup/canonical contractions are HAVING-filtered (unique
+  * spans — the overwhelming majority at crawl scale, Zipf — never
+  * leave the aggregate).
+  *
+  * Within-document work (interval merge, token masking) runs in
+  * per-doc windows ordered by position — bounded by document length,
+  * independent of corpus size.
+  */
+object SubstringDedup {
+
+  /** Span width in words. Lee et al. use 50 BPE tokens; the synthetic
+    * corpus' documents average ~50 words, so 5 keeps the operator
+    * meaningfully exercised at test scale. The algorithm is
+    * width-oblivious.
+    */
+  val N = 5
+
+  /** Bits reserved for the in-document start position in the packed
+    * canonical-occurrence key `doc_id * 2^PosBits + start`: the
+    * lexicographic (doc_id, start) min as ONE long, computable by both
+    * engines with a plain `min`. Bounds: start < 2^20 (a 1M-word
+    * document ≈ 5 MB of text) and doc_id < 2^43. A corpus that breaks
+    * either bound should switch the canonical argmin to a
+    * `min(struct(doc_id, start))` (Spark) / arg_min pair (engines
+    * without struct ordering) — same semantics, two columns instead of
+    * one packed key.
+    */
+  val PosBits = 20
+  private val PosCap = 1L << PosBits
+
+  /** All word-N-gram occurrences of `docs` at the INDEX grain:
+    * (doc_id, s, ngh) with s the 0-based start and ngh the 16-byte
+    * md5 of the ngram text — grouping and joining on the digest
+    * instead of the variable-width string keeps the shuffled relation
+    * fixed-width (16 B + ids per token) and is semantically identical
+    * absent an md5 collision (2⁻⁶⁴ birthday scale at any corpus size
+    * that fits hardware). Built from the per-row token array (no
+    * token explode — the transform runs inside the scan projection);
+    * docs shorter than N contribute nothing.
+    *
+    * Per-doc ROW LOCALITY: a doc's occurrence rows derive from its
+    * text alone, so the persisted form (below) appends increments
+    * row-for-row ≡ rebuild — same argument as the winnowing
+    * fingerprint and mm phash tables.
+    */
+  private[graft] def occurrencesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= N)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(t) - $N),
+             |  i -> concat_ws(' ', slice(t, i + 1, $N)))""".stripMargin)))
+      .withColumnRenamed("pos", "s")
+      .select(col("doc_id"), col("s"), unhex(md5(col("col"))).as("ngh"))
+
+  /** The occurrence relation t40/t41 consume: the persisted bucketed
+    * table when one serves (fresh stamp), else computed inline. Served
+    * is the 100 TB default — the ngram aggregate and the probe join
+    * both key on `ngh`, the table's bucket column, so the served plans
+    * run them without an Exchange on the occurrence side.
+    */
+  private def occurrences(s: SparkSession, d: String): DataFrame =
+    servedOccurrences(s, d)
+      .getOrElse(occurrencesOf(documents(s, d)))
+
+  /** (doc_id, n_tokens) over the whole corpus — the left frame both
+    * outputs join coverage onto, so docs with no duplicated span (and
+    * docs too short to hold one) report zeros rather than vanishing.
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+
+  /** Merged covered-token count per doc from a set of span starts.
+    * All spans have width N and per-doc starts are processed in
+    * order, so interval union reduces to Σ min(gap to previous start,
+    * N) — one lag window per doc, no explicit interval-merge pass.
+    */
+  private def coveredTokens(starts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    starts
+      .withColumn("g",
+        least(col("s") - coalesce(lag("s", 1).over(w), col("s") - N), lit(N)))
+      .groupBy("doc_id")
+      .agg(sum("g").as("covered"))
+  }
+
+  /** t40: per-document duplicated-span coverage — the detection
+    * signal. `covered_tokens` counts tokens lying inside any
+    * word-N-gram that occurs ≥ 2 times corpus-wide (including twice
+    * within one document); `coverage_bp` is the floor'd basis-point
+    * fraction. The filtering decision this feeds ("drop or trim docs
+    * that are mostly boilerplate") is the detection half of exact
+    * substring dedup; t41 is the surgical half.
+    */
+  def t40DupSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    val o = occurrences(s, d)
+    val dup = o.groupBy("ngh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("ngh")
+    val cov = coveredTokens(o.join(dup, "ngh").select("doc_id", "s"))
+    docTokens(s, d)
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).cast("long").as("covered_tokens"),
+        floor(coalesce(col("covered"), lit(0L)).cast("double") * 10000.0 /
+          col("n_tokens")).cast("long").as("coverage_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** t41: the cut — remove every duplicated span occurrence except the
+    * canonical one (corpus-wide min (doc_id, start), packed into one
+    * long — see [[PosBits]]), reconstruct the surviving text, and
+    * report kept/cut counts plus the md5 of the cleaned text (the
+    * hash, not the text, keeps the oracle's compare payload bounded;
+    * production emits the string). Keeping exactly one copy is the
+    * Lee et al. contract: global token-grain dedup without dropping
+    * whole documents.
+    *
+    * A token is removed iff some NON-canonical duplicated span covers
+    * it; tokens of the canonical occurrence survive (unless a
+    * different overlapping non-canonical span claims them). The mask
+    * is computed without a per-token × per-span join: cut starts are
+    * unioned into the token stream as marker rows and a per-doc
+    * range-frame window (RANGE N-1 PRECEDING .. CURRENT) carries each
+    * marker over exactly the N positions it covers.
+    */
+  def t41SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val o = occurrences(s, d)
+    val key = col("doc_id") * lit(PosCap) + col("s")
+    val canon = o.groupBy("ngh")
+      .agg(min(key).as("ck"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("ngh", "ck")
+    val cuts = o.join(canon, "ngh")
+      .filter(key =!= col("ck"))
+      .select(col("doc_id"), col("s"))
+
+    val tokens = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "tok")
+    val ev = tokens.select(col("doc_id"), col("p"), col("tok"),
+        lit(false).as("iscut"))
+      .unionByName(cuts.select(col("doc_id"), col("s").as("p"),
+        lit(null).cast("string").as("tok"), lit(true).as("iscut")))
+    // RANGE frame: marker at position s reaches tokens p ∈ [s, s+N-1].
+    // Marker and token tie on p — RANGE frames include peers, so the
+    // marker covers its own start in both engines.
+    val wr = Window.partitionBy("doc_id").orderBy("p")
+      .rangeBetween(-(N - 1), Window.currentRow)
+    val kept = ev
+      .withColumn("lastcut", max(when(col("iscut"), col("p"))).over(wr))
+      .filter(!col("iscut") && col("lastcut").isNull)
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept"),
+      md5(array_join(expr(
+        "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        " ")).as("clean_md5"))
+
+    docTokens(s, d)
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept"), lit(0L))).cast("long")
+          .as("cut_tokens"),
+        coalesce(col("kept"), lit(0L)).cast("long").as("kept_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- persisted occurrence index (r15) ----------------------------
+  // The t40/t41 occurrence relation is the family's per-corpus derived
+  // relation — token-scale but fixed-width (doc_id, s, 16-byte ngh) —
+  // and recomputing it per query re-splits and re-hashes every
+  // document, the same recompute-per-query bill the band, fingerprint,
+  // phash, and adjacency tables already escaped. Lee et al.'s suffix
+  // array is likewise a corpus-sized persisted structure; this is its
+  // bucketed-table counterpart. Bucketed on `ngh` — the key BOTH
+  // consumers shuffle on (the duplicate-count aggregate and the
+  // dup-start probe join) — so the served plans read the occurrence
+  // side exchange-free. Stamped against documents.parquet; per-doc row
+  // locality (see occurrencesOf) makes appendIncrement sound
+  // row-for-row, with IndexTables' prevSig guard, crash posture, and
+  // auto-compaction inherited whole.
+
+  private val NgoPrefix = "ngo"
+  private def ngoPath(d: String): String = s"$d/documents.parquet"
+
+  /** Persist the occurrence index table for tier `d`. */
+  def persistOccurrenceIndex(s: SparkSession, d: String,
+      buckets: Int = 32): String =
+    graft.lake.IndexTables.persist(s,
+      occurrencesOf(documents(s, d)),
+      NgoPrefix, ngoPath(d), Seq("ngh"), buckets)
+
+  /** Drop the occurrence table for tier `d`, if any. */
+  def dropOccurrenceIndex(s: SparkSession, d: String): Unit =
+    graft.lake.IndexTables.drop(s, NgoPrefix, ngoPath(d))
+
+  /** The table's stamp — [[appendOccurrenceIndex]]'s prevSig handle. */
+  def occurrenceStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, NgoPrefix, ngoPath(d))
+
+  /** INCREMENTAL maintenance: after `admitted` docs land in the
+    * corpus, append exactly their occurrence rows and re-stamp —
+    * append ≡ rebuild row-for-row by per-doc locality
+    * (SubstringDedupSpec pins it, plus the prevSig guard posture
+    * inherited from IndexTables).
+    */
+  def appendOccurrenceIndex(s: SparkSession, d: String,
+      admitted: DataFrame, prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s,
+      occurrencesOf(admitted), NgoPrefix, ngoPath(d), prevSig)
+
+  private[graft] def servedOccurrences(s: SparkSession,
+      d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, NgoPrefix, ngoPath(d))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_dup_span_coverage" -> (t40DupSpanCoverage _),
+    "t41_substring_dedup" -> (t41SubstringDedup _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t40_dup_span_coverage" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(t)-${N - 1})) AS s,
+         |    unnest(list_transform(range(len(t)-${N - 1}),
+         |      i -> t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5])) AS ng
+         |  FROM docs WHERE len(t) >= $N),
+         |dup AS (SELECT ng FROM occ GROUP BY ng HAVING count(*) >= 2),
+         |ds AS (SELECT o.doc_id, o.s FROM occ o JOIN dup USING (ng)),
+         |gaps AS (SELECT doc_id,
+         |  least(s - coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY s), s - $N), $N) AS g
+         |  FROM ds),
+         |cov AS (SELECT doc_id, sum(g) AS covered FROM gaps GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(d.t) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(c.covered,0) AS BIGINT) AS covered_tokens,
+         |  CAST(floor(coalesce(c.covered,0)*10000.0/len(d.t)) AS BIGINT) AS coverage_bp
+         |FROM docs d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t41_substring_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(t)-${N - 1})) AS s,
+         |    unnest(list_transform(range(len(t)-${N - 1}),
+         |      i -> t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5])) AS ng
+         |  FROM docs WHERE len(t) >= $N),
+         |canon AS (SELECT ng, min(doc_id * $PosCap + s) AS ck
+         |          FROM occ GROUP BY ng HAVING count(*) >= 2),
+         |cuts AS (SELECT o.doc_id, o.s FROM occ o JOIN canon c USING (ng)
+         |         WHERE o.doc_id * $PosCap + o.s <> c.ck),
+         |tok AS (SELECT doc_id, unnest(range(len(t))) AS p, unnest(t) AS tok FROM docs),
+         |ev AS (
+         |  SELECT doc_id, p, tok, FALSE AS iscut FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, s AS p, NULL AS tok, TRUE AS iscut FROM cuts),
+         |marked AS (
+         |  SELECT doc_id, p, tok, iscut,
+         |    max(CASE WHEN iscut THEN p END) OVER
+         |      (PARTITION BY doc_id ORDER BY p
+         |       RANGE BETWEEN ${N - 1} PRECEDING AND CURRENT ROW) AS lastcut
+         |  FROM ev),
+         |kept AS (SELECT doc_id, p, tok FROM marked WHERE NOT iscut AND lastcut IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+         |        md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(d.t) AS INTEGER) AS n_tokens,
+         |  CAST(len(d.t) - coalesce(a.kept_tokens,0) AS BIGINT) AS cut_tokens,
+         |  CAST(coalesce(a.kept_tokens,0) AS BIGINT) AS kept_tokens,
+         |  coalesce(a.clean_md5, md5('')) AS clean_md5
+         |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+  )
+}

@@ -58,6 +58,7 @@ class MaintenanceSpec extends AnyFunSuite {
     Dedup.persistBandIndexFor(spark, s"$d/documents.parquet",
       spark.read.parquet(s"$d/documents.parquet"), buckets = 4)
     Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
+    graft.text.SubstringDedup.persistOccurrenceIndex(spark, d, buckets = 4)
     graft.mm.Multimodal.persistPhashIndex(spark, d, buckets = 4)
     graft.text.TextAnalysis.persistBpe(spark, d)
     graft.ops.Warehouse.persistWarehouseState(spark, d, buckets = 4)
@@ -68,6 +69,7 @@ class MaintenanceSpec extends AnyFunSuite {
   private def dropAll(d: String): Unit = {
     graft.lake.IndexTables.drop(spark, "band", s"$d/documents.parquet")
     Winnowing.dropFingerprintIndex(spark, d)
+    graft.text.SubstringDedup.dropOccurrenceIndex(spark, d)
     graft.mm.Multimodal.dropPhashIndex(spark, d)
     graft.text.TextAnalysis.dropBpe(spark, d)
     graft.ops.Warehouse.dropWarehouseState(spark, d)
@@ -94,6 +96,8 @@ class MaintenanceSpec extends AnyFunSuite {
         .contains(docSig), "band index stale after nightly")
       assert(Winnowing.fingerprintStamp(spark, d).contains(docSig),
         "fingerprint index stale after nightly")
+      assert(graft.text.SubstringDedup.occurrenceStamp(spark, d)
+        .contains(docSig), "ngram-occurrence index stale after nightly")
       assert(graft.text.TextAnalysis.bpeStamp(spark, d).contains(docSig),
         "bpe artifact stale after nightly")
       assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
@@ -110,6 +114,15 @@ class MaintenanceSpec extends AnyFunSuite {
           s"$d/documents.parquet").get) ==
         rowSet(Dedup.bandIndex(fullDocs)),
         "band table != rebuild after nightly")
+      // ngram-occurrence index: delta docs' rows appended only, yet
+      // equals a full re-split of the grown corpus (per-doc locality);
+      // binary ngh compares by identity in Row.toString — hex it
+      def ngoRows(df: DataFrame) = rowSet(
+        df.select(col("doc_id"), col("s"), hex(col("ngh"))))
+      assert(ngoRows(graft.text.SubstringDedup.servedOccurrences(spark, d)
+          .get) ==
+        ngoRows(graft.text.SubstringDedup.occurrencesOf(fullDocs)),
+        "ngo table != rebuild after nightly")
       // warehouse states (r14 verdict #6): whagg and whjoin are EXACT
       // through the append path; the sketch states pass their l4/l5
       // gates computed from the SERVED merged state vs exact recompute
@@ -172,6 +185,9 @@ class MaintenanceSpec extends AnyFunSuite {
       val servedRank = Graph.g1Pagerank(spark, d).collect().map(_.toString)
       val servedT29 = Winnowing.queries("t29_winnowing")(spark, d)
         .collect().map(_.toString)
+      val servedT40 = graft.text.SubstringDedup
+        .queries("t40_dup_span_coverage")(spark, d)
+        .collect().map(_.toString)
       dropAll(d)
       assert(Graph.g1Pagerank(spark, d).collect().map(_.toString)
         .sameElements(servedRank),
@@ -179,6 +195,10 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(Winnowing.queries("t29_winnowing")(spark, d)
         .collect().map(_.toString).sameElements(servedT29),
         "t29 served-after-nightly != cold rebuild")
+      assert(graft.text.SubstringDedup
+        .queries("t40_dup_span_coverage")(spark, d)
+        .collect().map(_.toString).sameElements(servedT40),
+        "t40 served-after-nightly != cold rebuild")
     } finally dropAll(d)
   }
 
@@ -188,7 +208,8 @@ class MaintenanceSpec extends AnyFunSuite {
       persistAll(d)
       val adjBefore = rowSet(Graph.coAdj(spark, d))
       val report = Maintenance.nightly(spark, d, newDocs = Some(dDocs))
-      assert(report.maintained("band") && report.maintained("fingerprints"))
+      assert(report.maintained("band") && report.maintained("fingerprints")
+        && report.maintained("ngo"))
       assert(report.maintained("coadj") && report.maintained("g1_edges") &&
         report.maintained("lpa"),
         "graph artifacts not re-stamped on a docs-only nightly")
