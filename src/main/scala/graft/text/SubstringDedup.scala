@@ -47,6 +47,22 @@ import graft.lake.Tables._
   * Within-document work (interval merge, token masking) runs in
   * per-doc windows ordered by position — bounded by document length,
   * independent of corpus size.
+  *
+  * Measured scale law (r15): every shuffled relation is bounded by
+  * the occurrence count — linear in corpus — so the worst case is
+  * dup-density saturation, and both sides of it are committed.
+  * 10× step (10% dup density on both tiers): exp 0.23/0.14,
+  * bexp 0.999/0.998 (SCALE_NEW_R15_10x). The 100× step read
+  * bexp 1.398/1.303 (SCALE_NEW_R15_10to100) — adjudicated to the
+  * synthetic tier generator, not the operator: ScaleUp's per-copy
+  * letter rotation aliases mod 26, so copies ≥ 26 are text-clones
+  * and dup-start density jumps 10% → 100% between the tiers (DuckDB
+  * decomposition in PROGRESS r15: dup starts 25 090/250 900 at
+  * 0.1/1 = exactly 10.0%, then 25 070 400/25 070 400 = 100%). The
+  * saturated 100×→200× step — both tiers at the 100% ceiling, the
+  * true worst case — reads bexp 0.934/0.977
+  * (SCALE_R15_SAT_100to200): past saturation growth is linear, and
+  * there is nothing past the ceiling to densify into.
   */
 object SubstringDedup {
 

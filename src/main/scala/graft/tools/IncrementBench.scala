@@ -114,6 +114,32 @@ object IncrementBench {
         f""""mm_phash":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
       }
 
+      // ---- ngram-occurrence index (t40/t41) -------------------------
+      // token-scale rows, so this leg prices the repo's LARGEST index
+      // relation: the rebuild re-splits + re-hashes the corpus, the
+      // append touches the increment's tokens only
+      val ngoJson = {
+        val tmp = java.nio.file.Files.createTempDirectory("incb_ngo")
+        val td = tmp.toString
+        val docs = graft.lake.Tables.documents(spark, d)
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+          .write.parquet(s"$td/documents.parquet")
+        val nCorpus = spark.read.parquet(s"$td/documents.parquet").count()
+        val persistSec = time(
+          graft.text.SubstringDedup.persistOccurrenceIndex(spark, td))
+        val sig = graft.text.SubstringDedup.occurrenceStamp(spark, td).get
+        val inc = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .localCheckpoint()
+        val nInc = inc.count()
+        inc.write.mode("append").parquet(s"$td/documents.parquet")
+        val appendSec = time(
+          graft.text.SubstringDedup.appendOccurrenceIndex(spark, td, inc, sig))
+        val rebuildSec = time(
+          graft.text.SubstringDedup.persistOccurrenceIndex(spark, td))
+        graft.text.SubstringDedup.dropOccurrenceIndex(spark, td)
+        f""""ngo":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+      }
+
       // ---- embedding admission index -------------------------------
       val admJson = if (!new java.io.File(s"$d/embeddings.parquet").exists())
         """"admission":null"""
@@ -210,7 +236,7 @@ object IncrementBench {
         f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f,"retract_sec":$retractSec%.3f},"g1_edges":{"persist_sec":$persistG1Sec%.3f,"append_sec":$appendG1Sec%.3f,"rebuild_sec":$rebuildG1Sec%.3f},"lpa":{"build_sec":$lpaBuildSec%.3f,"warm_sec":$lpaWarmSec%.3f,"full_sec":$lpaFullSec%.3f}"""
       }
 
-      s""""$d":{$bandJson,$mmJson,$admJson$adjJson}"""
+      s""""$d":{$bandJson,$mmJson,$ngoJson,$admJson$adjJson}"""
     }
     println(rows.mkString(
       "{\"metric\":\"index_increment\",\"tiers\":{", ",", "}}"))
