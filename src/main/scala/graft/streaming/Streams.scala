@@ -296,6 +296,50 @@ object Streams {
     graft.text.Winnowing.decontaminate(batch, batch /* unused */,
       minShared, benchmarkIsSmall = true, benchFp = Some(benchFp))
 
+  /** STREAMING SPAN SCREEN (r15) — t40's stream twin: each
+    * micro-batch of candidate docs gets its duplicated-span coverage
+    * against corpus ∪ batch, and an admit flag under the coverage
+    * ceiling — the boilerplate gate run BEFORE docs land, the
+    * [[decontaminateStream]] posture applied to exact-substring
+    * coverage. The screen is
+    * [[graft.text.SubstringDedup.screenIncrement]] REUSED VERBATIM via
+    * foreachBatch — streamed and batch screening share one
+    * implementation and cannot drift (SubstringDedupSpec pins
+    * screenIncrement ≡ t40 on the union; StreamingSpec pins streamed ≡
+    * screenIncrement across batches including a replay).
+    *
+    * Corpus side: the persisted `ngo` occurrence table when one
+    * serves (the 100 TB default — scanned once per batch,
+    * broadcast-probed by the micro-batch's distinct ngram hashes,
+    * never shuffled), else occurrences computed once here and
+    * localCheckpointed. Batch writes are IDEMPOTENT per batch_id
+    * (dynamic partition overwrite — the admitStream contract).
+    */
+  def spanScreenStream(docs: DataFrame, corpusDir: String,
+      flaggedPath: String, checkpoint: String,
+      maxCoverageBp: Long =
+        graft.text.SubstringDedup.MaxStreamCoverageBp): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    val corpusOcc = graft.text.SubstringDedup
+      .servedOccurrences(spark, corpusDir)
+      .getOrElse(graft.text.SubstringDedup
+        .occurrencesOf(graft.lake.Tables.documents(spark, corpusDir))
+        .localCheckpoint())
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.text.SubstringDedup
+          .screenIncrement(corpusOcc, batch.select("doc_id", "text"),
+            maxCoverageBp)
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(flaggedPath)
+      }
+  }
+
   def admitStream(docs: DataFrame, corpus: DataFrame, admittedPath: String,
       checkpoint: String, minJaccard: Double = 0.8,
       corpusBands: Option[DataFrame] = None): DataStreamWriter[Row] = {

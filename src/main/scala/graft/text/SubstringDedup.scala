@@ -123,13 +123,15 @@ object SubstringDedup {
     servedOccurrences(s, d)
       .getOrElse(occurrencesOf(documents(s, d)))
 
-  /** (doc_id, n_tokens) over the whole corpus — the left frame both
-    * outputs join coverage onto, so docs with no duplicated span (and
-    * docs too short to hold one) report zeros rather than vanishing.
+  /** (doc_id, n_tokens) — the left frame outputs join coverage onto,
+    * so docs with no duplicated span (and docs too short to hold one)
+    * report zeros rather than vanishing.
     */
+  private def docTokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+
   private def docTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    docTokensOf(documents(s, d))
 
   /** Merged covered-token count per doc from a set of span starts.
     * All spans have width N and per-doc starts are processed in
@@ -278,6 +280,52 @@ object SubstringDedup {
   private[graft] def servedOccurrences(s: SparkSession,
       d: String): Option[DataFrame] =
     graft.lake.IndexTables.serve(s, NgoPrefix, ngoPath(d))
+
+  /** Admission default for the streaming screen: flag docs whose
+    * duplicated-span coverage exceeds half their tokens.
+    */
+  val MaxStreamCoverageBp = 5000L
+
+  /** The INCREMENT screen — t40's coverage for `batch` docs against
+    * corpus ∪ batch, without touching corpus-side coverage: a batch
+    * doc's span is duplicated iff its ngram already occurs in the
+    * corpus (≥1 there + 1 here = 2) or occurs ≥ 2 times within the
+    * batch itself — exactly "count ≥ 2 on corpus ∪ batch" restricted
+    * to batch spans (SubstringDedupSpec pins the equivalence against
+    * t40 run on the union). Returns
+    * (doc_id, n_tokens, covered_tokens, coverage_bp, admit).
+    *
+    * Scale shape (the d13 admission posture): the batch's distinct
+    * ngram hashes — bounded by batch tokens, micro-batch-sized —
+    * join INTO `corpusOcc` (the persisted bucketed table when
+    * serving), so the corpus is scanned once per batch, broadcast-hash
+    * probed by the small side, and NEVER self-joined or re-shuffled;
+    * the within-batch duplicate count aggregates batch-sized data
+    * only. Used verbatim by the batch path and
+    * [[graft.streaming.Streams.spanScreenStream]] so the two cannot
+    * drift.
+    */
+  def screenIncrement(corpusOcc: DataFrame, batch: DataFrame,
+      maxCoverageBp: Long = MaxStreamCoverageBp): DataFrame = {
+    val bOcc = occurrencesOf(batch)
+    val withinDup = bOcc.groupBy("ngh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("ngh")
+    val corpusHit = corpusOcc.select("ngh")
+      .join(bOcc.select("ngh").distinct(), "ngh")
+      .distinct()
+    val dupStarts = bOcc
+      .join(withinDup.unionByName(corpusHit).distinct(), "ngh")
+      .select("doc_id", "s")
+    docTokensOf(batch)
+      .join(coveredTokens(dupStarts), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).cast("long").as("covered_tokens"),
+        floor(coalesce(col("covered"), lit(0L)).cast("double") * 10000.0 /
+          col("n_tokens")).cast("long").as("coverage_bp"))
+      .withColumn("admit", col("coverage_bp") <= lit(maxCoverageBp))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_dup_span_coverage" -> (t40DupSpanCoverage _),

@@ -136,6 +136,62 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spanScreenStream: streamed coverage across 3 batches ≡ screenIncrement off the served index; replayed batch idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.SubstringDedup
+    val base = java.nio.file.Files.createTempDirectory("span_stream").toString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").localCheckpoint()
+    val n = docs.count()
+    val cut = 4L * n / 5L
+    docs.filter(col("doc_id") < cut)
+      .write.parquet(s"$base/documents.parquet")
+    // the stream must ride the persisted table, not an inline rebuild
+    SubstringDedup.persistOccurrenceIndex(spark, base, buckets = 4)
+    try {
+      assert(SubstringDedup.servedOccurrences(spark, base).nonEmpty)
+      val incoming = docs.filter(col("doc_id") >= cut).localCheckpoint()
+      val chunks = (0 until 3).map(i =>
+        incoming.filter(pmod(col("doc_id"), lit(3)) === i)
+          .collect().map(r => (r.getLong(0), r.getString(1))))
+      // the batch twin, per chunk (batches screen independently)
+      val corpusOcc = SubstringDedup.occurrencesOf(
+        spark.read.parquet(s"$base/documents.parquet"))
+      def screenRows(c: Array[(Long, String)]): Set[String] =
+        SubstringDedup.screenIncrement(corpusOcc,
+            c.toSeq.toDF("doc_id", "text"))
+          .collect().map(_.toString).toSet
+      val want = chunks.flatMap(screenRows).toSet
+      assert(want.nonEmpty, "fixture produced no screen rows")
+
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.spanScreenStream(
+        ms.toDF().toDF("doc_id", "text"), base,
+        s"$base/flagged", s"$base/ckpt").start()
+      try {
+        chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+        assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+        def flagged(): Set[String] = spark.read.parquet(s"$base/flagged")
+          .drop("batch_id").collect().map(_.toString).toSet
+        assert(flagged() == want,
+          "streamed span screen != per-batch screenIncrement")
+
+        // replay batch 1's body under its own batch_id — dynamic
+        // partition overwrite must leave the store unchanged
+        SubstringDedup.screenIncrement(corpusOcc,
+            chunks(1).toSeq.toDF("doc_id", "text"))
+          .withColumn("batch_id", lit(1L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$base/flagged")
+        assert(flagged() == want, "a replayed batch changed the store")
+      } finally q.stop()
+    } finally SubstringDedup.dropOccurrenceIndex(spark, base)
+  }
+
   test("admitStream survives an all-rejected first batch (schema-pinned read)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -179,6 +179,34 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("screenIncrement ≡ t40 on corpus ∪ batch restricted to batch docs; admit thresholds on coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("ssd_screen").toString
+    val docs = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "text").localCheckpoint()
+    val n = docs.count()
+    val cut = 4L * n / 5L
+    val corpus = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut).localCheckpoint()
+    docs.write.parquet(s"$dir/documents.parquet") // = corpus ∪ batch
+    val want = graft.text.SubstringDedup.t40DupSpanCoverage(spark, dir)
+      .filter(col("doc_id") >= cut)
+      .collect().map(_.toString).toSet
+    val screened = graft.text.SubstringDedup
+      .screenIncrement(graft.text.SubstringDedup.occurrencesOf(corpus), batch)
+      .localCheckpoint()
+    assert(screened
+      .select("doc_id", "n_tokens", "covered_tokens", "coverage_bp")
+      .collect().map(_.toString).toSet == want,
+      "screen != t40 coverage on the union")
+    // the union twin must actually flag batch docs for this to bite
+    assert(screened.filter(col("covered_tokens") > 0).count() > 0,
+      "fixture: no batch doc shares a span with the corpus")
+    val badAdmit = screened.filter(
+      col("admit") =!= (col("coverage_bp") <=
+        graft.text.SubstringDedup.MaxStreamCoverageBp))
+    assert(badAdmit.isEmpty, "admit flag disagrees with the threshold")
+  }
+
   test("plan audit: no cartesian product; shuffles bounded") {
     val t40 = SubstringDedup.t40DupSpanCoverage(spark, sf)
     val t41 = SubstringDedup.t41SubstringDedup(spark, sf)
