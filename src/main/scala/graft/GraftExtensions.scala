@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
       TextSignatures.makeMinhash))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngram_md5"),
+      new ExpressionInfo(
+        classOf[graft.functions.NgramMd5].getName, "graft_ngram_md5"),
+      TextSignatures.makeNgramMd5))
+    ext.injectFunction((
       FunctionIdentifier("graft_lev"),
       new ExpressionInfo(
         classOf[graft.functions.BoundedLevenshtein].getName, "graft_lev"),

@@ -147,6 +147,45 @@ object TextKernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** md5 digest of every word-n-gram (space-joined), one 16-byte value
+    * per start position — bit-identical to the SQL chain
+    * `transform(sequence(0, size(t)-n), i -> md5(concat_ws(' ',
+    * slice(t, i+1, n))))` over `t = split(text, ' ')`, but computed in
+    * one JVM loop over cached token bytes: no per-row Catalyst array
+    * materialization, no per-ngram string concat + re-encode (the
+    * UTF-8 bytes of a space-joined ngram are the token byte runs with
+    * 0x20 between them, streamed straight into the digest). The SQL
+    * form is an array-HOF chain — CodegenFallback in Spark — and this
+    * kernel replaces it in the `ngo` index builder, the repo's
+    * largest derived relation (one row per corpus token). Docs
+    * shorter than n yield an empty array (posexplode then emits no
+    * occurrence rows, matching the SQL path's size filter).
+    */
+  def ngramMd5(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) { tb(i) = toks(i).getBytes("UTF-8"); i += 1 }
+    val md = md5Digest.get()
+    val out = new Array[Any](m)
+    val space = Array[Byte](0x20)
+    i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(space)
+        md.update(tb(i + j))
+        j += 1
+      }
+      out(i) = md.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_simhash(text[, use_xx])` — see [[TextKernels.simhash60]]. */
@@ -195,6 +234,29 @@ case class MinHashSig(child: Expression, xx: Boolean)
     copy(child = newChild)
 }
 
+/** `graft_ngram_md5(text, n)` — see [[TextKernels.ngramMd5]]. */
+case class NgramMd5(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ngram_md5 expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngramMd5(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.ngramMd5($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramMd5 =
+    copy(child = newChild)
+}
+
 object TextSignatures {
   /** Builder shared by GraftExtensions and ensureRegistered: optional
     * second arg is a foldable boolean picking the xxhash64 family.
@@ -216,6 +278,14 @@ object TextSignatures {
   val makeMinhash: Seq[Expression] => Expression =
     build("graft_minhash", MinHashSig.apply)
 
+  val makeNgramMd5: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "graft_ngram_md5 takes (text, n)")
+    val n = exprs(1)
+    require(n.foldable && n.dataType == IntegerType,
+      "graft_ngram_md5's second argument must be an int literal")
+    NgramMd5(exprs.head, n.eval().asInstanceOf[Int])
+  }
+
   /** Idempotent in-code registration (sessions without the extensions
     * config) — same pattern as [[VectorExpressions.ensureRegistered]].
     */
@@ -224,5 +294,7 @@ object TextSignatures {
       "graft_simhash", makeSimhash, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", makeMinhash, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_md5", makeNgramMd5, "built-in")
   }
 }

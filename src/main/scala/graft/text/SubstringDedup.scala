@@ -101,17 +101,23 @@ object SubstringDedup {
     * row-for-row ≡ rebuild — same argument as the winnowing
     * fingerprint and mm phash tables.
     */
-  private[graft] def occurrencesOf(docs: DataFrame): DataFrame =
+  private[graft] def occurrencesOf(docs: DataFrame): DataFrame = {
+    // the digest loop is the native graft_ngram_md5 kernel
+    // (TextKernels.ngramMd5): the SQL transform/slice/concat_ws/md5
+    // chain is an array-HOF CodegenFallback, measured 8.85× slower on
+    // the 100×-tier digest stage (6.57 s vs 0.74 s, same-JVM A/B —
+    // NGO_KERNEL_R15.json, tools/NgoKernelBench); bit-equality of the
+    // two forms is spec-pinned over the whole corpus. Short docs yield
+    // an empty array — posexplode emits no rows, which IS the ≥ N
+    // filter.
+    graft.functions.TextSignatures.ensureRegistered(docs.sparkSession)
     docs
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= N)
       .select(
         col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(t) - $N),
-             |  i -> concat_ws(' ', slice(t, i + 1, $N)))""".stripMargin)))
+        posexplode(expr(s"graft_ngram_md5(text, $N)")))
       .withColumnRenamed("pos", "s")
-      .select(col("doc_id"), col("s"), unhex(md5(col("col"))).as("ngh"))
+      .withColumnRenamed("col", "ngh")
+  }
 
   /** The occurrence relation t40/t41 consume: the persisted bucketed
     * table when one serves (fresh stamp), else computed inline. Served

@@ -207,6 +207,35 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(badAdmit.isEmpty, "admit flag disagrees with the threshold")
   }
 
+  test("graft_ngram_md5 ≡ the SQL transform chain bit-for-bit over the whole corpus; codegen span; short docs empty") {
+    graft.functions.TextSignatures.ensureRegistered(spark)
+    val n = SubstringDedup.N
+    val docs = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+      expr(s"transform(graft_ngram_md5(text, $n), x -> hex(x))").as("hs"))
+    val sqlForm = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(t) >= $n THEN
+           |  transform(sequence(0, size(t) - $n),
+           |    i -> upper(md5(concat_ws(' ', slice(t, i + 1, $n)))))
+           |ELSE array() END""".stripMargin).as("hs"))
+    val mismatch = native.as("a").join(sqlForm.as("b"), "doc_id")
+      .filter(col("a.hs") =!= col("b.hs"))
+    assert(mismatch.isEmpty,
+      "native ngram digests differ from the SQL chain")
+    // short docs: empty array, so posexplode drops them (the ≥ N filter)
+    import spark.implicits._
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(SubstringDedup.occurrencesOf(short).count() == 0)
+    // the kernel must run inside whole-stage codegen, not a fallback
+    val spans = native.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, "graft_ngram_md5 fell out of codegen")
+  }
+
   test("plan audit: no cartesian product; shuffles bounded") {
     val t40 = SubstringDedup.t40DupSpanCoverage(spark, sf)
     val t41 = SubstringDedup.t41SubstringDedup(spark, sf)
