@@ -177,14 +177,15 @@ object SubstringDedup {
       .orderBy("doc_id")
   }
 
-  /** t41: the cut — remove every duplicated span occurrence except the
+  /** The cut — remove every duplicated span occurrence except the
     * canonical one (corpus-wide min (doc_id, start), packed into one
-    * long — see [[PosBits]]), reconstruct the surviving text, and
-    * report kept/cut counts plus the md5 of the cleaned text (the
-    * hash, not the text, keeps the oracle's compare payload bounded;
-    * production emits the string). Keeping exactly one copy is the
-    * Lee et al. contract: global token-grain dedup without dropping
-    * whole documents.
+    * long — see [[PosBits]]) and reconstruct the surviving text:
+    * (doc_id, n_tokens, cut_tokens, kept_tokens, text_clean), d9's
+    * `dropDuplicateSpansGlobal` counterpart at sliding grain, the
+    * corpus transform pipelines compose over. Keeping exactly one copy
+    * is the Lee et al. contract: global token-grain dedup without
+    * dropping whole documents. `occ` is the occurrence relation to
+    * cut against (the served table or an inline build).
     *
     * A token is removed iff some NON-canonical duplicated span covers
     * it; tokens of the canonical occurrence survive (unless a
@@ -194,8 +195,8 @@ object SubstringDedup {
     * range-frame window (RANGE N-1 PRECEDING .. CURRENT) carries each
     * marker over exactly the N positions it covers.
     */
-  def t41SubstringDedup(s: SparkSession, d: String): DataFrame = {
-    val o = occurrences(s, d)
+  def cutSpans(docs: DataFrame, occ: DataFrame): DataFrame = {
+    val o = occ
     val key = col("doc_id") * lit(PosCap) + col("s")
     val canon = o.groupBy("ngh")
       .agg(min(key).as("ck"), count(lit(1)).as("cnt"))
@@ -205,7 +206,7 @@ object SubstringDedup {
       .filter(key =!= col("ck"))
       .select(col("doc_id"), col("s"))
 
-    val tokens = documents(s, d)
+    val tokens = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "tok")
@@ -223,11 +224,11 @@ object SubstringDedup {
       .filter(!col("iscut") && col("lastcut").isNull)
     val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("kept"),
-      md5(array_join(expr(
+      array_join(expr(
         "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
-        " ")).as("clean_md5"))
+        " ").as("text_clean"))
 
-    docTokens(s, d)
+    docTokensOf(docs)
       .join(agg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -235,9 +236,19 @@ object SubstringDedup {
         (col("n_tokens") - coalesce(col("kept"), lit(0L))).cast("long")
           .as("cut_tokens"),
         coalesce(col("kept"), lit(0L)).cast("long").as("kept_tokens"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
-      .orderBy("doc_id")
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** t41: [[cutSpans]] with the cleaned text md5'd — the hash, not the
+    * text, keeps the oracle's compare payload bounded; pipelines use
+    * [[cutSpans]] directly for the string.
+    */
+  def t41SubstringDedup(s: SparkSession, d: String): DataFrame =
+    cutSpans(documents(s, d).select("doc_id", "text"), occurrences(s, d))
+      .select(
+        col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        col("kept_tokens"), md5(col("text_clean")).as("clean_md5"))
+      .orderBy("doc_id")
 
   // ---- persisted occurrence index (r15) ----------------------------
   // The t40/t41 occurrence relation is the family's per-corpus derived
@@ -333,9 +344,25 @@ object SubstringDedup {
       .withColumn("admit", col("coverage_bp") <= lit(maxCoverageBp))
   }
 
+  /** Composition proof: the cut feeding a downstream per-language
+    * aggregate — the [[cutSpans]] transform is a relation like any
+    * other (what a curation pipeline does with it), and the whole
+    * chain stays one declarative plan.
+    */
+  def pipeSpanCleanStats(s: SparkSession, d: String): DataFrame =
+    cutSpans(documents(s, d).select("doc_id", "text"), occurrences(s, d))
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("kept_tokens").as("kept_tokens"),
+        sum("cut_tokens").as("cut_tokens"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_dup_span_coverage" -> (t40DupSpanCoverage _),
-    "t41_substring_dedup" -> (t41SubstringDedup _)
+    "t41_substring_dedup" -> (t41SubstringDedup _),
+    "pipe_span_clean_stats" -> (pipeSpanCleanStats _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -390,6 +417,40 @@ object SubstringDedup {
          |  CAST(len(d.t) - coalesce(a.kept_tokens,0) AS BIGINT) AS cut_tokens,
          |  CAST(coalesce(a.kept_tokens,0) AS BIGINT) AS kept_tokens,
          |  coalesce(a.clean_md5, md5('')) AS clean_md5
-         |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pipe_span_clean_stats" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(t)-${N - 1})) AS s,
+         |    unnest(list_transform(range(len(t)-${N - 1}),
+         |      i -> t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5])) AS ng
+         |  FROM docs WHERE len(t) >= $N),
+         |canon AS (SELECT ng, min(doc_id * $PosCap + s) AS ck
+         |          FROM occ GROUP BY ng HAVING count(*) >= 2),
+         |cuts AS (SELECT o.doc_id, o.s FROM occ o JOIN canon c USING (ng)
+         |         WHERE o.doc_id * $PosCap + o.s <> c.ck),
+         |tok AS (SELECT doc_id, unnest(range(len(t))) AS p FROM docs),
+         |ev AS (
+         |  SELECT doc_id, p, FALSE AS iscut FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, s AS p, TRUE AS iscut FROM cuts),
+         |marked AS (
+         |  SELECT doc_id, p, iscut,
+         |    max(CASE WHEN iscut THEN p END) OVER
+         |      (PARTITION BY doc_id ORDER BY p
+         |       RANGE BETWEEN ${N - 1} PRECEDING AND CURRENT ROW) AS lastcut
+         |  FROM ev),
+         |agg AS (SELECT doc_id, count(*) AS kept FROM marked
+         |        WHERE NOT iscut AND lastcut IS NULL GROUP BY doc_id),
+         |per AS (SELECT d.doc_id, len(d.t) AS n_tokens,
+         |               coalesce(a.kept, 0) AS kept
+         |        FROM docs d LEFT JOIN agg a USING (doc_id))
+         |SELECT m.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.kept) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(p.n_tokens - p.kept) AS BIGINT) AS cut_tokens
+         |FROM per p JOIN documents m USING (doc_id)
+         |GROUP BY m.lang ORDER BY m.lang""".stripMargin
   )
 }
