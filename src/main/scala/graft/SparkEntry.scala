@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{B3Queries, CoreQueries, EventAnalytics, FunctionQueries, Graph}
-import graft.text.{Bm25, Dedup, Normalize, Pipelines, Redaction, SetSimilarity, SubstringDedup, TextAnalysis, Winnowing}
+import graft.text.{Bm25, Dedup, Dsir, Normalize, Pipelines, Redaction, SetSimilarity, SubstringDedup, TextAnalysis, Winnowing}
 import graft.sim.{Hybrid, KMeans, ProductQuantization, Similarity}
 import graft.streaming.StreamQueries
 import graft.mm.Multimodal
@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ B3Queries.queries ++
       EventAnalytics.queries ++ Graph.queries ++ graft.lake.ZOrder.queries ++
-      Dedup.queries ++ SetSimilarity.queries ++ Bm25.queries ++ TextAnalysis.queries ++ SubstringDedup.queries ++ Winnowing.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
+      Dedup.queries ++ SetSimilarity.queries ++ Bm25.queries ++ TextAnalysis.queries ++ SubstringDedup.queries ++ Dsir.queries ++ Winnowing.queries ++ Redaction.queries ++ Normalize.queries ++ Similarity.queries ++
       KMeans.queries ++ Hybrid.queries ++ ProductQuantization.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ Pipelines.queries ++
       graft.ops.Warehouse.queries ++ graft.ops.BloomJoin.queries
@@ -35,7 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FunctionQueries.oracles ++ B3Queries.oracles ++
       EventAnalytics.oracles ++ Graph.oracles ++ graft.lake.ZOrder.oracles ++
-      Dedup.oracles ++ SetSimilarity.oracles ++ Bm25.oracles ++ TextAnalysis.oracles ++ SubstringDedup.oracles ++ Winnowing.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
+      Dedup.oracles ++ SetSimilarity.oracles ++ Bm25.oracles ++ TextAnalysis.oracles ++ SubstringDedup.oracles ++ Dsir.oracles ++ Winnowing.oracles ++ Redaction.oracles ++ Normalize.oracles ++ Similarity.oracles ++
       KMeans.oracles ++ Hybrid.oracles ++ ProductQuantization.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ Pipelines.oracles ++
       graft.ops.Warehouse.oracles ++ graft.ops.BloomJoin.oracles

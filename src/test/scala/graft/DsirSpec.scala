@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.Dsir
+
+/** DSIR importance weighting/resampling (t42/t43) — pinned against a
+  * plain-Scala brute-force reference over the real sf0.001 corpus
+  * (feature hashing, add-one-smoothed integer ratios, mean score,
+  * content-keyed coin — every doc), plus directional semantics on a
+  * planted fixture: a raw doc made of target-only bigrams must
+  * outscore a raw doc made of bigrams the target never contains.
+  */
+class DsirSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  /** Plain-Scala reference of the whole t42/t43 pipeline. */
+  private def brute(docs: Seq[(Long, String, String)])
+      : (Map[Long, (Long, Long)], Set[Long]) = {
+    val b = Dsir.Buckets
+    def feats(text: String): Seq[Long] = {
+      val t = text.toLowerCase.split(" ", -1)
+      (0 until t.length - 1).map(i => h32(t(i) + " " + t(i + 1)) % b)
+    }
+    val tf = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val rf = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((_, lang, text) <- docs; f <- feats(text))
+      if (lang == Dsir.TargetLang) tf(f) += 1 else rf(f) += 1
+    val tt = tf.values.sum; val rt = rf.values.sum
+    def ratio(f: Long): Long =
+      ((tf(f) + 1) * (rt + b) * 1000000L) / ((rf(f) + 1) * (tt + b))
+    val w = docs.collect {
+      case (id, lang, text) if lang != Dsir.TargetLang &&
+          feats(text).nonEmpty =>
+        val fs = feats(text)
+        id -> ((fs.length.toLong, fs.map(ratio).sum / fs.length))
+    }.toMap
+    val kept = docs.collect {
+      case (id, lang, text) if lang != Dsir.TargetLang &&
+          w.contains(id) &&
+          h60(text) % 1000000L < math.min(w(id)._2, 1000000L) => id
+    }.toSet
+    (w, kept)
+  }
+
+  test("t42/t43 ≡ brute-force reference over the whole sf0.001 corpus") {
+    val docs = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (w, kept) = brute(docs)
+    val t42 = Dsir.t42DsirWeights(spark, sf).collect()
+    assert(t42.length == w.size)
+    t42.foreach { r =>
+      assert(w(r.getLong(0)) == ((r.getLong(1), r.getLong(2))),
+        s"weight mismatch doc ${r.getLong(0)}")
+    }
+    val t43 = Dsir.t43DsirResample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(t43 == kept, "resample survivor set mismatch")
+    // the coin must actually drop someone and keep someone
+    assert(kept.nonEmpty && kept.size < w.size,
+      "fixture: resample is degenerate on this corpus")
+  }
+
+  test("directional semantics: target-like raw doc outscores target-alien raw doc") {
+    val d = java.nio.file.Files.createTempDirectory("dsir_fix").toString
+    Seq(
+      (0L, "en", "alpha beta gamma delta alpha beta gamma delta"),
+      (1L, "en", "alpha beta gamma delta"),
+      // raw doc 10 repeats the target's exact bigrams
+      (10L, "de", "alpha beta gamma delta alpha beta"),
+      // raw doc 11 shares no bigram with the target
+      (11L, "de", "zeta eta theta iota zeta eta")
+    ).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val scores = Dsir.t42DsirWeights(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(10L) > scores(11L),
+      s"target-like doc did not outscore alien doc: $scores")
+    assert(scores(10L) > 1000000L,
+      "a doc of pure target bigrams should score above the 1.0 line")
+  }
+}
