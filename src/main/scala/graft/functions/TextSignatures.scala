@@ -283,7 +283,15 @@ object TextSignatures {
     val n = exprs(1)
     require(n.foldable && n.dataType == IntegerType,
       "graft_ngram_md5's second argument must be an int literal")
-    NgramMd5(exprs.head, n.eval().asInstanceOf[Int])
+    // ADVICE r15: the function is user-callable via SQL, so the width
+    // must be validated here — graft_ngram_md5(text, 0) would return
+    // len+1 digests of the empty string, silently diverging from the
+    // documented SQL-chain equivalence; a NULL literal evaluates to
+    // null, which asInstanceOf[Int] would silently unbox to 0.
+    val nv = n.eval()
+    require(nv != null && nv.asInstanceOf[Int] >= 1,
+      "graft_ngram_md5's width must be a non-null int >= 1")
+    NgramMd5(exprs.head, nv.asInstanceOf[Int])
   }
 
   /** Idempotent in-code registration (sessions without the extensions

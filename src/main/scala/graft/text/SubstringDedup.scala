@@ -197,7 +197,17 @@ object SubstringDedup {
     */
   def cutSpans(docs: DataFrame, occ: DataFrame): DataFrame = {
     val o = occ
-    val key = col("doc_id") * lit(PosCap) + col("s")
+    // ADVICE r15: the PosBits packing bound is CHECKED, not just
+    // documented — an occurrence outside it (a >1M-word doc, or a
+    // doc_id past 2^43) raises loudly instead of silently corrupting
+    // canonical election. One comparison per occurrence row, inside
+    // codegen, next to an md5 — negligible.
+    val key = when(col("s") < lit(PosCap) && col("doc_id") < lit(1L << 43),
+      col("doc_id") * lit(PosCap) + col("s"))
+      .otherwise(expr(
+        "CAST(raise_error('graft substring-dedup: occurrence outside the " +
+          "packed-key bounds (start >= 2^20 or doc_id >= 2^43) — switch " +
+          "the canonical argmin to min(struct(doc_id, s))') AS BIGINT)"))
     val canon = o.groupBy("ngh")
       .agg(min(key).as("ck"), count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)

@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   * Output: one JSON line per run (commit as INDEX_INCREMENT_R*.json).
   */
 object IncrementBench {
+
+  /** Every leg splits its corpus into a temp directory; delete it when
+    * the leg completes (ADVICE r15: the index TABLE was already
+    * dropped, the temp parquet was not — repeated bench runs leaked
+    * disk).
+    */
+  private def withTempDir[A](prefix: String)(
+      body: java.nio.file.Path => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
@@ -52,8 +71,7 @@ object IncrementBench {
 
     val rows = dirs.filter(d => new java.io.File(d).exists()).map { d =>
       // ---- band index (documents) ----------------------------------
-      val bandJson = {
-        val tmp = java.nio.file.Files.createTempDirectory("incb_band")
+      val bandJson = withTempDir("incb_band") { tmp =>
         val p = s"$tmp/corpus.parquet"
         val docs = graft.lake.Tables.documents(spark, d)
         docs.filter(pmod(col("doc_id"), lit(100)) =!= 0).write.parquet(p)
@@ -92,8 +110,7 @@ object IncrementBench {
       // the decode kernel is the repo's most expensive per-row compute,
       // so this is the leg where append-vs-rebuild buys the most: the
       // rebuild re-decodes the corpus, the append decodes the increment
-      val mmJson = {
-        val tmp = java.nio.file.Files.createTempDirectory("incb_mm")
+      val mmJson = withTempDir("incb_mm") { tmp =>
         val td = tmp.toString
         val docs = graft.lake.Tables.documents(spark, d)
         docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
@@ -118,8 +135,7 @@ object IncrementBench {
       // token-scale rows, so this leg prices the repo's LARGEST index
       // relation: the rebuild re-splits + re-hashes the corpus, the
       // append touches the increment's tokens only
-      val ngoJson = {
-        val tmp = java.nio.file.Files.createTempDirectory("incb_ngo")
+      val ngoJson = withTempDir("incb_ngo") { tmp =>
         val td = tmp.toString
         val docs = graft.lake.Tables.documents(spark, d)
         docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
@@ -143,8 +159,7 @@ object IncrementBench {
       // ---- embedding admission index -------------------------------
       val admJson = if (!new java.io.File(s"$d/embeddings.parquet").exists())
         """"admission":null"""
-      else {
-        val tmp = java.nio.file.Files.createTempDirectory("incb_adm")
+      else withTempDir("incb_adm") { tmp =>
         val p = s"$tmp/corpus.parquet"
         val e = spark.read.parquet(s"$d/embeddings.parquet")
         def normed(df: org.apache.spark.sql.DataFrame) =
@@ -170,9 +185,8 @@ object IncrementBench {
 
       // ---- co-order adjacency + g1 edges + warm LPA (lineitem) -----
       val adjJson = if (!new java.io.File(s"$d/lineitem.parquet").exists()) ""
-      else {
+      else withTempDir("incb_adj") { tmp =>
         import graft.queries.Graph
-        val tmp = java.nio.file.Files.createTempDirectory("incb_adj")
         val td = tmp.toString
         val li = spark.read.parquet(s"$d/lineitem.parquet")
         val ord = spark.read.parquet(s"$d/orders.parquet")
