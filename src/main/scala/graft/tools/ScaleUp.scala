@@ -13,16 +13,20 @@ import org.apache.spark.sql.functions._
   *     testdata keys are 0-based dense) — uniqueness and referential
   *     integrity hold per copy (each copy's orders point at that copy's
   *     customers, etc.)
-  *   - document text goes through a per-copy letter ROTATION (caesar on
-  *     [a-z] and [A-Z] separately): lengths, token counts, whitespace
-  *     and within-copy duplicate structure are preserved exactly, while
-  *     cross-copy shingles/minhashes are disjoint — dedup candidate
-  *     volume scales linearly like a real 10× crawl, not quadratically
-  *     like cloned text would
-  *   - embeddings are PERMUTED (circular shift by copy·7 mod 64): a
-  *     permutation preserves norms and within-copy pairwise cosines
+  *   - document text goes through a per-copy letter PERMUTATION (a
+  *     seeded uniform permutation of [a-z]/[A-Z] per copy — r15
+  *     verdict #1 replaced the caesar rotation, whose mod-26 alias
+  *     made copies ≥ 26 exact text clones): lengths, token counts,
+  *     whitespace and within-copy duplicate structure are preserved
+  *     exactly, while cross-copy shingles/minhashes are disjoint at
+  *     EVERY factor — dedup candidate volume scales linearly like a
+  *     real crawl, not quadratically like cloned text would, and the
+  *     planted dup density is tier-invariant (ScaleUpSpec)
+  *   - embeddings are PERMUTED (circular shift by copy·7 mod 64) and
+  *     per-copy SIGN-FLIPPED (the shift alone aliased at 64 copies):
+  *     both preserve norms and within-copy pairwise cosines
   *     bit-for-bit, while cross-copy cosines are near-orthogonal noise —
-  *     LSH bucket occupancy grows 10× with the same geometry
+  *     LSH bucket occupancy grows `factor`× with the same geometry
   *   - customer names regenerate from the new key (`Customer#%09d`, the
   *     testdata's own pattern), so the name-linkage blocks of
   *     f_edit_distance grow 10× in population without gaining
@@ -50,11 +54,60 @@ object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  private def rotAlpha(c: Int): (String, String) = {
-    val k = ((c % 26) + 26) % 26
-    (Lower + Upper,
-      Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k))
+  /** splitmix64 — the per-copy PRNG behind [[permAlpha]] and
+    * [[flipBits]], written out so the scaled tiers are bit-identical
+    * across runs and JVMs with no library-version dependence.
+    */
+  private[graft] def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
+
+  /** Per-copy letter PERMUTATION (r15 verdict #1): the previous caesar
+    * rotation aliased mod 26 — copies ≥ 26 were exact text clones of
+    * their 26-earlier siblings, which saturated planted dup density
+    * 10% → 100% between the 10× and 100× tiers and confounded every
+    * text-family scale law at ≥ 26×. Each copy c ≥ 1 now substitutes
+    * through its OWN uniform permutation of [a-z] (mirrored on
+    * [A-Z]), drawn by a seeded Fisher-Yates over [[mix64]]. Still an
+    * injective letter map, so lengths, token counts, whitespace and
+    * within-copy duplicate structure are preserved exactly; the alias
+    * period is gone (26! permutations), and two distinct copies map a
+    * given ngram identically only if their permutations agree on every
+    * letter it uses — ~26^-k for k distinct letters, vanishing for
+    * word-width spans — so dup density stays at the source tier's
+    * planted rate at EVERY factor (ScaleUpSpec pins it at a
+    * past-the-old-alias factor). Copy 0 is the identity: the original
+    * tier's rows appear verbatim.
+    */
+  private[graft] def permAlpha(c: Int): (String, String) = {
+    if (c == 0) return (Lower + Upper, Lower + Upper)
+    val p = Lower.toCharArray
+    var i = p.length - 1
+    while (i > 0) {
+      val r = mix64(c.toLong * 131L + i)
+      val j = java.lang.Long.remainderUnsigned(r, i + 1L).toInt
+      val t = p(i); p(i) = p(j); p(j) = t
+      i -= 1
+    }
+    val lo = new String(p)
+    (Lower + Upper, lo + lo.toUpperCase)
+  }
+
+  /** Per-copy SIGN-FLIP mask for the embedding copies (the text fix's
+    * vector counterpart): the circular shift alone has period 64, so
+    * copies ≥ 64 were exact embedding clones. Bit i of the mask
+    * negates dimension i AFTER the shift; negation preserves norms
+    * exactly and within-copy pairwise cosines bit-for-bit (both
+    * vectors of a pair flip the same dims: (-x)·(-y) = x·y), while
+    * cross-copy cosines stay near-orthogonal noise. shift × mask
+    * gives 64·2⁶⁴ distinct copy transforms — no alias at any factor.
+    * Copy 0 keeps mask 0 (identity).
+    */
+  private[graft] def flipBits(c: Int): Long =
+    if (c == 0) 0L else mix64(0xE1B1E5L * c.toLong)
 
   /** One scaled copy of `df` — `perturb(copyIndex)` returns the
     * column edits applied on top of the key offsets.
@@ -62,6 +115,43 @@ object ScaleUp {
   private def copies(df: DataFrame, factor: Int)(
       perturb: Int => DataFrame => DataFrame): DataFrame =
     (0 until factor).map(c => perturb(c)(df)).reduce(_ unionByName _)
+
+  /** The documents scaling transform, exposed for ScaleUpSpec's
+    * dup-density pin: `stride` is the source tier's doc count.
+    */
+  private[graft] def scaledDocuments(df: DataFrame, factor: Int,
+      stride: Long): DataFrame =
+    copies(df, factor) { c => d =>
+      val (from, to) = permAlpha(c)
+      d.withColumn("doc_id", col("doc_id") + lit(c * stride))
+        .withColumn("text", translate(col("text"), from, to))
+    }
+
+  /** The embeddings scaling transform (shift ∘ sign-flip), exposed for
+    * ScaleUpSpec's no-alias and norm pins.
+    */
+  private[graft] def scaledEmbeddings(df: DataFrame, factor: Int,
+      stride: Long): DataFrame =
+    copies(df, factor) { c => d =>
+      val dims = 64
+      val shift = (c * 7) % dims
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dims - shift),
+          slice(col("embedding"), 1, shift))
+      val mask = flipBits(c)
+      // the mask lowers to a ±1.0f literal array zipped in: float
+      // multiply by ±1 is exact, so norms and within-copy cosines are
+      // preserved bit-for-bit
+      val flipped =
+        if (mask == 0L) rotated
+        else zip_with(rotated,
+          array((0 until dims).map(j =>
+            lit(if (((mask >>> j) & 1L) == 1L) -1.0f else 1.0f)): _*),
+          (x, f) => x * f)
+      d.withColumn("vec_id", col("vec_id") + lit(c * stride))
+        .withColumn("embedding", flipped)
+    }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -139,28 +229,11 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp))
     }, "lineitem")
 
-    // Beyond 26 copies the letter rotation repeats (c % 26): a repeated
-    // copy is an exact TEXT clone of its 26-earlier sibling under new
-    // doc ids. That adds each doc a bounded clone set (factor/26 ≈ 3 at
-    // 100x) — LINEAR extra dedup candidate volume, and realistic: a
-    // real 100x crawl is full of exact duplicates. Same story for the
-    // embedding shift (period 64): bounded exact-clone sets, linear.
-    if (only("documents")) write(copies(read("documents"), factor) { c => df =>
-      val (from, to) = rotAlpha(c)
-      df.withColumn("doc_id", col("doc_id") + lit(c * nDoc))
-        .withColumn("text", translate(col("text"), from, to))
-    }, "documents")
+    if (only("documents"))
+      write(scaledDocuments(read("documents"), factor, nDoc), "documents")
 
-    if (only("embeddings")) write(copies(read("embeddings"), factor) { c => df =>
-      val dims = 64
-      val shift = (c * 7) % dims
-      val rotated =
-        if (shift == 0) col("embedding")
-        else concat(slice(col("embedding"), shift + 1, dims - shift),
-          slice(col("embedding"), 1, shift))
-      df.withColumn("vec_id", col("vec_id") + lit(c * nVec))
-        .withColumn("embedding", rotated)
-    }, "embeddings")
+    if (only("embeddings"))
+      write(scaledEmbeddings(read("embeddings"), factor, nVec), "embeddings")
 
     val scaledDocs = if (only("documents")) nDoc * factor else 0L
     val scaledVecs = if (only("embeddings")) nVec * factor else 0L
