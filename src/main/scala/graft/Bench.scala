@@ -118,16 +118,19 @@ object Bench {
         val names = (graft.queries.Graph.queries ++
           graft.text.Winnowing.queries ++
           graft.text.SubstringDedup.queries ++
+          graft.text.Dsir.queries ++
           graft.mm.Multimodal.queries).toSeq.sortBy(_._1)
         val epochs = (1 to 2).map { _ =>
           graft.queries.Graph.dropAdjacency(spark, sfDir)
           graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
           graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
+          graft.text.Dsir.dropRatioTable(spark, sfDir)
           graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
           val t0 = System.nanoTime()
           graft.queries.Graph.persistAdjacency(spark, sfDir)
           graft.text.Winnowing.persistFingerprintIndex(spark, sfDir)
           graft.text.SubstringDedup.persistOccurrenceIndex(spark, sfDir)
+          graft.text.Dsir.persistRatioTable(spark, sfDir)
           graft.mm.Multimodal.persistPhashIndex(spark, sfDir)
           val p = (System.nanoTime() - t0) / 1e9
           // one failing query records no sample like timedPass — it
@@ -155,6 +158,8 @@ object Bench {
         try graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
         catch { case _: Throwable => () }
         try graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
+        catch { case _: Throwable => () }
+        try graft.text.Dsir.dropRatioTable(spark, sfDir)
         catch { case _: Throwable => () }
         try graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
         catch { case _: Throwable => () }

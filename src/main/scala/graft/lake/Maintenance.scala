@@ -80,6 +80,7 @@ object Maintenance {
     val bandSig = Dedup.bandIndexStamp(s, docsPath)
     val fpSig = Winnowing.fingerprintStamp(s, d)
     val ngoSig = graft.text.SubstringDedup.occurrenceStamp(s, d)
+    val dsirSig = graft.text.Dsir.ratioStamp(s, d)
     val mmSig = graft.mm.Multimodal.phashStamp(s, d)
     val bpeSig = graft.text.TextAnalysis.bpeStamp(s, d)
     val adjSig = Graph.adjacencyStamp(s, d)
@@ -143,6 +144,14 @@ object Maintenance {
       case (Some(docs), Some(sig)) =>
         graft.text.SubstringDedup.appendOccurrenceIndex(s, d, docs, sig)
         true
+      case _ => false
+    }
+    // the dsir feature-counts table is docs-scoped and count-additive:
+    // the delta's per-feature counts append as rows, consumers
+    // merge-on-read (sum per f) — append == rebuild exactly
+    val dsir = (newDocs, dsirSig) match {
+      case (Some(docs), Some(sig)) =>
+        graft.text.Dsir.appendRatioTable(s, d, docs, sig); true
       case _ => false
     }
     // the image-signature index is docs-scoped like band/fingerprints:
@@ -230,7 +239,7 @@ object Maintenance {
       case _ => false
     }
     NightlyReport(Map("band" -> band, "fingerprints" -> fp, "ngo" -> ngo,
-      "mm" -> mm,
+      "dsir" -> dsir, "mm" -> mm,
       "bpe" -> bpe, "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa,
       "ann" -> ann, "wh_orders" -> whOrders, "wh_events" -> whEvents,
       "wh_join" -> whJoin))

@@ -72,27 +72,122 @@ object Dsir {
     * of zeroing whole documents. ≤ [[Buckets]] rows — the broadcast
     * side of the scoring join.
     */
-  def featureRatios(target: DataFrame, raw: DataFrame): DataFrame = {
+  def featureRatios(target: DataFrame, raw: DataFrame): DataFrame =
+    ratiosFromCounts(featureCounts(target, raw))
+
+  /** The persistable half of [[featureRatios]]: per-feature target/raw
+    * occurrence COUNTS (f, ct, cr) — ≤ [[Buckets]] rows, and
+    * count-ADDITIVE in the corpus (a delta's counts sum onto the
+    * base's), which is what makes the persisted `dsir` table's
+    * append ≡ rebuild exact under merge-on-read (the coadj posture).
+    */
+  private[graft] def featureCounts(target: DataFrame,
+      raw: DataFrame): DataFrame = {
     val tf = features(target).groupBy("f").agg(count(lit(1)).as("ct"))
     val rf = features(raw).groupBy("f").agg(count(lit(1)).as("cr"))
-    val tot = tf.agg(sum("ct").as("tt")).crossJoin(rf.agg(sum("cr").as("rt")))
     tf.join(rf, Seq("f"), "full_outer")
+      .select(col("f"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+  }
+
+  /** Ratio derivation from a (f, ct, cr) counts relation — shared by
+    * the inline and the served path so the arithmetic cannot drift.
+    * The totals are an aggregate OF the counts table itself (≤
+    * [[Buckets]] rows), broadcast back — no corpus-side work.
+    *
+    * ADVICE r15 overflow posture: the int64 bound
+    * (ct+1)·(rt+B)·10⁶ ≤ 2⁶³ is CHECKED per row — a corpus whose
+    * counts approach it gets a loud error naming the DecimalType
+    * switch instead of silently wrapped resampling weights. The guard
+    * runs on ≤ [[Buckets]] rows, off every hot path.
+    */
+  private[graft] def ratiosFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("rt"))
+    counts
       .crossJoin(broadcast(tot))
       .select(col("f"),
-        expr(s"""((coalesce(ct, 0L) + 1L) * (rt + ${Buckets}L) * 1000000L)
-                | div ((coalesce(cr, 0L) + 1L) * (tt + ${Buckets}L))"""
+        expr(s"""CASE WHEN (ct + 1L) <= ${Long.MaxValue}L div 1000000L
+                |             div (rt + ${Buckets}L)
+                |  THEN ((ct + 1L) * (rt + ${Buckets}L) * 1000000L)
+                |       div ((cr + 1L) * (tt + ${Buckets}L))
+                |  ELSE CAST(raise_error(concat('graft dsir: (ct+1)*(rt+B)*1e6 ',
+                |    'exceeds int64 at f=', f,
+                |    ' — switch featureRatios to DecimalType(38,0)'))
+                |    AS BIGINT) END"""
           .stripMargin.replace("\n", " ")).as("r_ppm"))
   }
 
+  // ---- persisted feature-ratio table (r16, verdict #2) -------------
+  // featureRatios re-aggregated BOTH corpus sides on every t42/t43 run
+  // — the repo's last per-corpus derived relation without an
+  // IndexTables lifecycle. The persistable relation is the (f, ct, cr)
+  // COUNTS table: ≤ [[Buckets]] rows, count-additive, so an admitted
+  // delta's counts APPEND as extra rows and consumers merge-on-read
+  // (sum per f — the coadj posture), making append ≡ rebuild exact.
+  // Stamped against documents.parquet like the other document indexes;
+  // serve() falls back to the inline aggregate when no fresh table.
+
+  private val DsirPrefix = "dsir"
+  private def dsirPath(d: String): String = s"$d/documents.parquet"
+
+  /** The tier's counts relation: target = [[TargetLang]] docs, raw =
+    * the rest — the split both the persist and the inline path use.
+    */
+  private def countsOf(docs: DataFrame): DataFrame =
+    featureCounts(docs.filter(col("lang") === TargetLang),
+      docs.filter(col("lang") =!= TargetLang))
+
+  /** Persist the feature-counts table for tier `d`. The table is tiny
+    * (≤ [[Buckets]] rows) — 8 buckets keeps the file count small while
+    * preserving the bucketed-layout contract appendIncrement needs.
+    */
+  def persistRatioTable(s: SparkSession, d: String, buckets: Int = 8): String =
+    graft.lake.IndexTables.persist(s, countsOf(documents(s, d)),
+      DsirPrefix, dsirPath(d), Seq("f"), buckets)
+
+  /** Drop the counts table for tier `d`, if any. */
+  def dropRatioTable(s: SparkSession, d: String): Unit =
+    graft.lake.IndexTables.drop(s, DsirPrefix, dsirPath(d))
+
+  /** The table's stamp — [[appendRatioTable]]'s prevSig handle. */
+  def ratioStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, DsirPrefix, dsirPath(d))
+
+  /** INCREMENTAL maintenance: after `admitted` docs land, append their
+    * per-feature counts and re-stamp — sound because counts are
+    * additive under the merge-on-read consumers (DsirSpec pins
+    * append ≡ rebuild on corpus ∪ increment).
+    */
+  def appendRatioTable(s: SparkSession, d: String, admitted: DataFrame,
+      prevSig: String): String =
+    graft.lake.IndexTables.appendIncrement(s, countsOf(admitted),
+      DsirPrefix, dsirPath(d), prevSig)
+
+  /** The merged (f, ct, cr) relation off the persisted table when one
+    * is fresh — the sum-per-f merge is the read-side half of the
+    * additive-append contract.
+    */
+  private[graft] def servedCounts(s: SparkSession,
+      d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, DsirPrefix, dsirPath(d)).map(t =>
+      t.groupBy("f").agg(sum("ct").as("ct"), sum("cr").as("cr")))
+
+  private def counts(s: SparkSession, d: String): DataFrame =
+    servedCounts(s, d).getOrElse(countsOf(documents(s, d)))
+
   /** Per-raw-doc importance score: (doc_id, n_feats, score_ppm) with
     * score_ppm the integer mean of the doc's feature ratios — ≥ 10⁶
-    * means "more target-like than the raw pool average".
+    * means "more target-like than the raw pool average". The ratio
+    * side comes from the persisted counts table when one serves (the
+    * 100 TB default — both corpus-side aggregates skipped), else the
+    * inline aggregate; the derivation arithmetic is shared
+    * ([[ratiosFromCounts]]) so the two paths cannot drift.
     */
-  private def weights(docs: DataFrame): DataFrame = {
-    val target = docs.filter(col("lang") === TargetLang)
-    val raw = docs.filter(col("lang") =!= TargetLang)
+  private def weights(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d).filter(col("lang") =!= TargetLang)
     features(raw)
-      .join(broadcast(featureRatios(target, raw)), "f")
+      .join(broadcast(ratiosFromCounts(counts(s, d))), "f")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("r_ppm").as("sr"))
       .select(col("doc_id"), col("n_feats"),
@@ -101,7 +196,7 @@ object Dsir {
 
   /** t42: the importance weights, auditable per doc. */
   def t42DsirWeights(s: SparkSession, d: String): DataFrame =
-    weights(documents(s, d)).orderBy("doc_id")
+    weights(s, d).orderBy("doc_id")
 
   /** t43: the resample — keep a raw-pool doc iff its content-keyed
     * coin (h60(text) mod 10⁶) lands under min(score_ppm, 10⁶):
@@ -111,10 +206,67 @@ object Dsir {
   def t43DsirResample(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     docs.filter(col("lang") =!= TargetLang)
-      .join(weights(docs), "doc_id")
+      .join(weights(s, d), "doc_id")
       .filter(pmod(expr(Hashing.h60Sql("text")), lit(1000000L)) <
         least(col("score_ppm"), lit(1000000L)))
       .select(col("doc_id"), col("n_feats"), col("score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // ---- production log-domain estimator (r16, verdict #5) -----------
+
+  /** The paper's exact log-domain importance weight, as a PRODUCTION
+    * API (float, engine-private — logs are not bit-stable across
+    * engines, so this is sbt-pinned rather than oracle-gated; the
+    * integer ppm surrogate above is the oracle-gated twin):
+    * (doc_id, n_feats, log_w, score_geo_ppm) with
+    *
+    *   log_w = Σ_f [ log(ct_f+1) − log(tt+B) − log(cr_f+1) + log(rt+B) ]
+    *
+    * over the doc's features with multiplicity — log of the smoothed
+    * rate-ratio PRODUCT, Xie et al. 2023's estimator — and
+    * score_geo_ppm = floor(10⁶·exp(log_w / n_feats)), the geometric
+    * mean put on the surrogate's ppm scale. Derived by post-mapping
+    * the SAME persisted counts relation the surrogate reads (the
+    * expensive half — the two corpus-side aggregates — is shared, the
+    * whole point of persisting it).
+    *
+    * MEASURED DEVIATION from the surrogate, pinned by DsirSpec on the
+    * test corpus: AM–GM gives score_geo_ppm ≤ score_ppm pointwise, so
+    * the log-domain coin's survivor set is a SUBSET of t43's at the
+    * same coin; the gap (surrogate-kept, log-dropped) is the docs
+    * whose coin lands between the two means.
+    */
+  def logWeights(s: SparkSession, d: String): DataFrame = {
+    val c = counts(s, d)
+    val tot = c.agg(sum("ct").as("tt"), sum("cr").as("rt"))
+    val logRatio = c.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (log(col("ct") + lit(1.0)) - log(col("tt") + lit(Buckets.toDouble)) -
+          log(col("cr") + lit(1.0)) + log(col("rt") + lit(Buckets.toDouble)))
+          .as("lr"))
+    val raw = documents(s, d).filter(col("lang") =!= TargetLang)
+    features(raw)
+      .join(broadcast(logRatio), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("log_w"))
+      .select(col("doc_id"), col("n_feats"), col("log_w"),
+        floor(exp(col("log_w") / col("n_feats")) * 1e6).cast("long")
+          .as("score_geo_ppm"))
+  }
+
+  /** The log-domain resample under the SAME content-keyed coin as t43
+    * — keep iff coin < min(score_geo_ppm, 10⁶). Same deterministic
+    * replay/repartition posture; DsirSpec pins survivors ⊆ t43's and
+    * the measured gap.
+    */
+  def logResample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.filter(col("lang") =!= TargetLang)
+      .join(logWeights(s, d), "doc_id")
+      .filter(pmod(expr(Hashing.h60Sql("text")), lit(1000000L)) <
+        least(col("score_geo_ppm"), lit(1000000L)))
+      .select(col("doc_id"), col("n_feats"), col("score_geo_ppm"))
       .orderBy("doc_id")
   }
 

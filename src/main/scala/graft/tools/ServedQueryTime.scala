@@ -43,11 +43,13 @@ object ServedQueryTime {
       graft.queries.Graph.dropAdjacency(spark, sfDir)
       graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
       graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
+      graft.text.Dsir.dropRatioTable(spark, sfDir)
       graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
       val t0 = System.nanoTime()
       graft.queries.Graph.persistAdjacency(spark, sfDir)
       graft.text.Winnowing.persistFingerprintIndex(spark, sfDir)
       graft.text.SubstringDedup.persistOccurrenceIndex(spark, sfDir)
+      graft.text.Dsir.persistRatioTable(spark, sfDir)
       graft.mm.Multimodal.persistPhashIndex(spark, sfDir)
       println(f"persist: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       names.foreach(noop) // warm the served plans + JIT once
@@ -65,6 +67,8 @@ object ServedQueryTime {
       try graft.queries.Graph.dropAdjacency(spark, sfDir)
       catch { case _: Throwable => () }
       try graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
+      catch { case _: Throwable => () }
+      try graft.text.Dsir.dropRatioTable(spark, sfDir)
       catch { case _: Throwable => () }
       try graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
       catch { case _: Throwable => () }

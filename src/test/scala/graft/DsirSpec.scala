@@ -71,6 +71,73 @@ class DsirSpec extends AnyFunSuite {
       "fixture: resample is degenerate on this corpus")
   }
 
+  test("persisted counts table: served ≡ inline, append ≡ rebuild, stale-stamp refusal") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_idx").toString
+    val all = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").localCheckpoint()
+    all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .write.parquet(s"$dir/documents.parquet")
+    val inline42 = Dsir.t42DsirWeights(spark, dir).collect().toSeq
+    val inline43 = Dsir.t43DsirResample(spark, dir).collect().toSeq
+    Dsir.persistRatioTable(spark, dir)
+    assert(Dsir.servedCounts(spark, dir).nonEmpty)
+    // served ≡ inline — the derivation arithmetic is shared, so any
+    // drift would be in the counts relation itself
+    assert(Dsir.t42DsirWeights(spark, dir).collect().toSeq == inline42)
+    assert(Dsir.t43DsirResample(spark, dir).collect().toSeq == inline43)
+
+    // append the held-out 10% and compare against a from-scratch build
+    val sig = Dsir.ratioStamp(spark, dir).get
+    val inc = all.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .localCheckpoint()
+    inc.write.mode("append").parquet(s"$dir/documents.parquet")
+    Dsir.appendRatioTable(spark, dir, inc, sig)
+    val appended = Dsir.servedCounts(spark, dir).get
+      .orderBy("f").collect().toSeq
+    val grown42 = Dsir.t42DsirWeights(spark, dir).collect().toSeq
+    Dsir.dropRatioTable(spark, dir)
+    Dsir.persistRatioTable(spark, dir)
+    val rebuilt = Dsir.servedCounts(spark, dir).get
+      .orderBy("f").collect().toSeq
+    assert(appended == rebuilt,
+      "merge-on-read of appended counts must equal a full rebuild")
+    assert(Dsir.t42DsirWeights(spark, dir).collect().toSeq == grown42)
+
+    // a stale handle must refuse, not silently double-count
+    intercept[IllegalStateException] {
+      Dsir.appendRatioTable(spark, dir, inc, sig)
+    }
+    Dsir.dropRatioTable(spark, dir)
+  }
+
+  test("log-domain estimator: AM–GM subset vs t43, measured gap non-degenerate") {
+    val lw = Dsir.logWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val sw = Dsir.t42DsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lw.keySet == sw.keySet)
+    // geometric mean ≤ arithmetic mean, pointwise (±2 ppm flooring)
+    lw.foreach { case (id, geo) =>
+      assert(geo <= sw(id) + 2, s"doc $id: geo $geo > arith ${sw(id)}")
+    }
+    val logKept = Dsir.logResample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val t43Kept = Dsir.t43DsirResample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // same coin + smaller score ⇒ survivors ⊆ t43's (boundary docs
+    // within the 2-ppm flooring band excepted — none on this corpus)
+    val escapees = logKept -- t43Kept
+    assert(escapees.forall(id => lw(id) <= sw(id) + 2),
+      s"log-domain kept docs the surrogate dropped beyond flooring: $escapees")
+    // the documented divergence: the surrogate keeps a measurable but
+    // bounded superset on the test corpus (order-of-magnitude pin —
+    // both estimators must agree on the bulk of the pool)
+    val gap = t43Kept.size - (logKept & t43Kept).size
+    assert(gap >= 0 && gap <= t43Kept.size / 2,
+      s"log-domain survivor set diverges from t43 beyond half: gap=$gap of ${t43Kept.size}")
+    assert(logKept.nonEmpty, "log-domain resample is degenerate")
+  }
+
   test("directional semantics: target-like raw doc outscores target-alien raw doc") {
     val d = java.nio.file.Files.createTempDirectory("dsir_fix").toString
     Seq(
