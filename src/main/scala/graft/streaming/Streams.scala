@@ -296,24 +296,49 @@ object Streams {
     graft.text.Winnowing.decontaminate(batch, batch /* unused */,
       minShared, benchmarkIsSmall = true, benchFp = Some(benchFp))
 
-  /** STREAMING SPAN SCREEN (r15) — t40's stream twin: each
-    * micro-batch of candidate docs gets its duplicated-span coverage
-    * against corpus ∪ batch, and an admit flag under the coverage
-    * ceiling — the boilerplate gate run BEFORE docs land, the
-    * [[decontaminateStream]] posture applied to exact-substring
-    * coverage. The screen is
+  /** STREAMING SPAN SCREEN (r15; cross-batch fold-forward r16) —
+    * t40's stream twin: each micro-batch of candidate docs gets its
+    * duplicated-span coverage against
+    * corpus ∪ earlier-ADMITTED-batches ∪ batch, and an admit flag
+    * under the coverage ceiling — the boilerplate gate run BEFORE
+    * docs land, the [[decontaminateStream]] posture applied to
+    * exact-substring coverage. The screen is
     * [[graft.text.SubstringDedup.screenIncrement]] REUSED VERBATIM via
     * foreachBatch — streamed and batch screening share one
     * implementation and cannot drift (SubstringDedupSpec pins
-    * screenIncrement ≡ t40 on the union; StreamingSpec pins streamed ≡
-    * screenIncrement across batches including a replay).
+    * screenIncrement ≡ t40 on the union; IncrementalDedupSpec pins
+    * streamed ≡ cumulative screenIncrement across batches including a
+    * replay and a cross-batch duplicate).
     *
     * Corpus side: the persisted `ngo` occurrence table when one
     * serves (the 100 TB default — scanned once per batch,
     * broadcast-probed by the micro-batch's distinct ngram hashes,
     * never shuffled), else occurrences computed once here and
-    * localCheckpointed. Batch writes are IDEMPOTENT per batch_id
-    * (dynamic partition overwrite — the admitStream contract).
+    * localCheckpointed.
+    *
+    * Cross-batch memory (r15 verdict #3 — the screen was corpus-frozen
+    * at stream start, so a boilerplate span first seen in batch 1 and
+    * repeated in batch 3 flagged in neither): each batch's ADMITTED
+    * docs' occurrence rows land in a `<flaggedPath>_occ` side store
+    * partitioned by batch_id, and batch `bid` screens against the
+    * corpus ∪ partitions STRICTLY EARLIER than bid — d13's
+    * fold-forward admission posture. Admitted-only, mirroring
+    * [[admitStream]]: a REJECTED batch doc's spans are already flagged
+    * wherever they next occur (they were flagged against the corpus or
+    * within their own batch), and folding rejects forward would let
+    * one spam burst poison the screen for unrelated docs. The side
+    * store is NOT the `ngo` table: that table is stamped as "exactly
+    * the corpus's occurrence rows" and appending screened docs that
+    * never land in the corpus would silently break its
+    * append ≡ rebuild contract.
+    *
+    * Replay/idempotency (the joinViewStream strengthened set): both
+    * stores write per-batch_id partitions via dynamic overwrite, and
+    * the side-store read takes `batch_id < bid` only — a batch's
+    * output is a pure function of the corpus and its predecessors, so
+    * a replayed batch overwrites itself bit-identically even if later
+    * batches already ran. The read is SCHEMA-PINNED (an all-rejected
+    * batch leaves a footer-less partition dir).
     */
   def spanScreenStream(docs: DataFrame, corpusDir: String,
       flaggedPath: String, checkpoint: String,
@@ -325,13 +350,41 @@ object Streams {
       .getOrElse(graft.text.SubstringDedup
         .occurrencesOf(graft.lake.Tables.documents(spark, corpusDir))
         .localCheckpoint())
+    val occPath = flaggedPath.stripSuffix("/") + "_occ"
+    val occSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("s", org.apache.spark.sql.types.IntegerType)
+      .add("ngh", org.apache.spark.sql.types.BinaryType)
+      .add("batch_id", org.apache.spark.sql.types.LongType)
+    def earlierOcc(bid: Long): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(occPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        // localCheckpoint: the read must not also be a lazy dependency
+        // of the dynamic overwrite of the same root (admitStream)
+        Some(spark.read.schema(occSchema).parquet(occPath)
+          .filter(col("batch_id") < bid)
+          .drop("batch_id").localCheckpoint())
+      else None
+    }
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.text.SubstringDedup
-          .screenIncrement(corpusOcc, batch.select("doc_id", "text"),
-            maxCoverageBp)
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        val against = earlierOcc(bid)
+          .map(corpusOcc.unionByName(_)).getOrElse(corpusOcc)
+        val screened = graft.text.SubstringDedup
+          .screenIncrement(against, b, maxCoverageBp)
+          .localCheckpoint()
+        graft.text.SubstringDedup.occurrencesOf(
+            b.join(screened.filter(col("admit")).select("doc_id"), "doc_id"))
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(occPath)
+        screened
           .withColumn("batch_id", lit(bid))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -156,14 +156,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       val chunks = (0 until 3).map(i =>
         incoming.filter(pmod(col("doc_id"), lit(3)) === i)
           .collect().map(r => (r.getLong(0), r.getString(1))))
-      // the batch twin, per chunk (batches screen independently)
+      // the batch twin, CUMULATIVE (r16 fold-forward): batch i screens
+      // against corpus ∪ occurrences of batches < i's ADMITTED docs
       val corpusOcc = SubstringDedup.occurrencesOf(
         spark.read.parquet(s"$base/documents.parquet"))
-      def screenRows(c: Array[(Long, String)]): Set[String] =
-        SubstringDedup.screenIncrement(corpusOcc,
-            c.toSeq.toDF("doc_id", "text"))
-          .collect().map(_.toString).toSet
-      val want = chunks.flatMap(screenRows).toSet
+      var against = corpusOcc
+      val states = scala.collection.mutable.ArrayBuffer(against)
+      val wantPerBatch = chunks.map { c =>
+        val df = c.toSeq.toDF("doc_id", "text")
+        val screened = SubstringDedup.screenIncrement(against, df)
+          .localCheckpoint()
+        val admitted = df.join(
+          screened.filter(col("admit")).select("doc_id"), "doc_id")
+        against = against.unionByName(
+          SubstringDedup.occurrencesOf(admitted).localCheckpoint())
+        states += against
+        screened.collect().map(_.toString).toSet
+      }
+      val want = wantPerBatch.flatten.toSet
       assert(want.nonEmpty, "fixture produced no screen rows")
 
       val ms = MemoryStream[(Long, String)]
@@ -176,11 +186,13 @@ class IncrementalDedupSpec extends AnyFunSuite {
         def flagged(): Set[String] = spark.read.parquet(s"$base/flagged")
           .drop("batch_id").collect().map(_.toString).toSet
         assert(flagged() == want,
-          "streamed span screen != per-batch screenIncrement")
+          "streamed span screen != cumulative per-batch screenIncrement")
 
-        // replay batch 1's body under its own batch_id — dynamic
-        // partition overwrite must leave the store unchanged
-        SubstringDedup.screenIncrement(corpusOcc,
+        // replay batch 1's body under its own batch_id against the
+        // post-batch-0 state — dynamic partition overwrite must leave
+        // the store unchanged (a replayed batch is a pure function of
+        // the corpus and its PREDECESSORS, not of later batches)
+        SubstringDedup.screenIncrement(states(1),
             chunks(1).toSeq.toDF("doc_id", "text"))
           .withColumn("batch_id", lit(1L))
           .write.mode("overwrite")
@@ -190,6 +202,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
         assert(flagged() == want, "a replayed batch changed the store")
       } finally q.stop()
     } finally SubstringDedup.dropOccurrenceIndex(spark, base)
+  }
+
+  test("spanScreenStream: a span admitted in batch 0 and repeated in batch 2 is flagged (cross-batch memory)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.SubstringDedup
+    val base = java.nio.file.Files.createTempDirectory("span_xbatch").toString
+    // corpus shares nothing with the stream fixture
+    Seq((0L, "c1 c2 c3 c4 c5 c6 c7"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$base/documents.parquet")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.spanScreenStream(
+      ms.toDF().toDF("doc_id", "text"), base,
+      s"$base/flagged", s"$base/ckpt").start()
+    try {
+      // batch 0: novel doc — admitted, folded forward
+      ms.addData(Seq((100L, "q1 q2 q3 q4 q5 q6")))
+      q.processAllAvailable()
+      // batch 1: unrelated novel doc (the gap batch)
+      ms.addData(Seq((101L, "r1 r2 r3 r4 r5 r6")))
+      q.processAllAvailable()
+      // batch 2: exact repeat of batch 0's text under a new id — the
+      // r15 posture (corpus frozen at stream start) flagged NOTHING
+      // here; the fold-forward must flag every token
+      ms.addData(Seq((102L, "q1 q2 q3 q4 q5 q6")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val rows = spark.read.parquet(s"$base/flagged")
+        .select("doc_id", "covered_tokens", "coverage_bp", "admit")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(rows(100L) == ((0L, 0L, true)), "batch-0 doc must pass clean")
+      assert(rows(101L) == ((0L, 0L, true)), "gap-batch doc must pass clean")
+      assert(rows(102L) == ((6L, 10000L, false)),
+        s"cross-batch duplicate not fully flagged: ${rows(102L)}")
+    } finally q.stop()
   }
 
   test("admitStream survives an all-rejected first batch (schema-pinned read)") {
