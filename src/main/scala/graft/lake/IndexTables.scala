@@ -41,6 +41,17 @@ object IndexTables {
 
   private val SigProp = "graft.corpus.sig"
 
+  /** Per-commit UUID token (r15 verdict #7 — the
+    * [[Lake.commitUpsert]] optimistic-concurrency marker applied to
+    * the index lifecycle): every staging swap writes a FRESH token, so
+    * a writer that read the token before building can detect ANY
+    * commit that landed in between. The corpus-signature stamp cannot
+    * play this role — two writers persisting the same corpus produce
+    * the SAME signature, so a sig-recheck is blind to exactly the
+    * race it should catch.
+    */
+  private val TokenProp = "graft.commit.token"
+
   /** Deterministic catalog table name for the (prefix, corpus path)
     * pair — path-hashed so distinct corpora never collide in the
     * metastore. Full 32-hex MD5 of the path (ADVICE r10: a truncated
@@ -65,7 +76,27 @@ object IndexTables {
     * table name.
     */
   def persist(s: SparkSession, df: DataFrame, prefix: String, path: String,
-      bucketCols: Seq[String], buckets: Int = 32): String = {
+      bucketCols: Seq[String], buckets: Int = 32): String =
+    commitPersist(s, df, prefix, path, bucketCols, buckets,
+      commitToken(s, prefix, path))
+
+  /** The guarded persist against an EXPLICIT expected commit token —
+    * the handle form [[Lake.commitUpsert]] set the pattern for: read
+    * the token, build the staging table, RE-CHECK the token, and only
+    * then swap. A concurrent guarded writer that committed in between
+    * moved the token (every swap writes a fresh UUID), so the re-check
+    * throws ConcurrentModificationException — the loser's staging is
+    * dropped, the winner's table and stamp survive (ConcurrencySpec
+    * pins the interleaving) — instead of the silent clobber the
+    * unguarded swap allowed. HONEST RESIDUE, same as commitUpsert's:
+    * the re-check→swap window is two metastore ops, not atomic, and
+    * two writers sharing the fixed staging name can still interleave
+    * their BUILD phases; the guard shrinks the race from "the whole
+    * rewrite" to that window and makes every torn outcome detectable.
+    */
+  def commitPersist(s: SparkSession, df: DataFrame, prefix: String,
+      path: String, bucketCols: Seq[String], buckets: Int,
+      expected: Option[String]): String = {
     val table = tableName(prefix, path)
     val staging = table + "_staging"
     val sig = CorpusIndexCache.signature(path)
@@ -80,13 +111,37 @@ object IndexTables {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(staging)
-    s.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$SigProp' = '$sig')")
+    val token = java.util.UUID.randomUUID().toString
+    s.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+      s"('$SigProp' = '$sig', '$TokenProp' = '$token')")
+    val now = commitToken(s, prefix, path)
+    if (now != expected) {
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      throw new java.util.ConcurrentModificationException(
+        s"commitPersist($prefix, $path): commit token moved " +
+          s"$expected -> $now during the rebuild — a concurrent writer " +
+          "committed; retry from a fresh read")
+    }
     // Swap: the only window where neither table serves is between these
     // two metastore ops; a crash there falls back to the from-scratch
     // build and the orphaned staging table is overwritten next persist.
     s.sql(s"DROP TABLE IF EXISTS $table")
     s.sql(s"ALTER TABLE $staging RENAME TO $table")
     table
+  }
+
+  /** The serving table's current commit token, if any — the `expected`
+    * handle for [[commitPersist]]/[[commitCompact]]. Tables persisted
+    * before the token existed read None, which composes fine: the
+    * first guarded commit over them writes one.
+    */
+  def commitToken(s: SparkSession, prefix: String,
+      path: String): Option[String] = {
+    val table = tableName(prefix, path)
+    if (!s.catalog.tableExists(table)) None
+    else s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(TokenProp)
   }
 
   /** The persisted index table for (prefix, path), if present AND its
@@ -214,7 +269,11 @@ object IndexTables {
       .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .saveAsTable(table)
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SigProp' = '$newSig')")
+    // the append IS a commit: move the token so a concurrent
+    // commitPersist whose build read the pre-append rows loses its
+    // re-check instead of silently swapping the appended rows away
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SigProp' = '$newSig', " +
+      s"'$TokenProp' = '${java.util.UUID.randomUUID().toString}')")
     // session-cache wrappers hold the PRE-append scan in memory; evict
     // so the next access re-reads the grown table
     CorpusIndexCache.invalidateAll(path)
@@ -290,6 +349,16 @@ object IndexTables {
     * None when no fresh table is serving (nothing to compact).
     */
   def compact(s: SparkSession, prefix: String, path: String): Option[String] =
+    commitCompact(s, prefix, path, commitToken(s, prefix, path))
+
+  /** [[compact]] against an EXPLICIT expected commit token — the
+    * maintainer reads the token BEFORE reading the source rows, so a
+    * writer that commits anywhere inside the rewrite moves the token
+    * and the final re-check throws (ConcurrencySpec drives the stale
+    * handle directly).
+    */
+  private[graft] def commitCompact(s: SparkSession, prefix: String,
+      path: String, expected: Option[String]): Option[String] =
     serve(s, prefix, path).map { _ =>
       val meta = s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
@@ -307,8 +376,8 @@ object IndexTables {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "false")
       val t =
-        try persist(s, s.table(tableName(prefix, path)), prefix, path,
-          spec.bucketColumnNames, spec.numBuckets)
+        try commitPersist(s, s.table(tableName(prefix, path)), prefix, path,
+          spec.bucketColumnNames, spec.numBuckets, expected)
         finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)

@@ -53,6 +53,82 @@ class ConcurrencySpec extends AnyFunSuite {
       4L -> "A-new"), s"retry did not land: $after")
   }
 
+  test("two-writer index persist race: loser throws at token re-check, winner's table and stamp intact") {
+    import graft.lake.IndexTables
+    val dir = java.nio.file.Files.createTempDirectory("idx_guard").toString
+    val p = s"$dir/corpus.parquet"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").write.parquet(p)
+    val rel = spark.read.parquet(p)
+
+    // writer A reads its handle on the empty slot…
+    val tA = IndexTables.commitToken(spark, "cxg", p)
+    assert(tA.isEmpty)
+    // …writer B persists in between (fresh token lands)
+    IndexTables.persist(spark, rel.withColumn("who", lit("B")),
+      "cxg", p, Seq("k"), 2)
+    val tB = IndexTables.commitToken(spark, "cxg", p)
+    assert(tB.nonEmpty, "guarded persist did not write a commit token")
+
+    // A's commit against the stale handle must fail — note the CORPUS
+    // signature is identical for both writers, which is exactly why
+    // the sig stamp cannot arbitrate this race and the token must
+    intercept[java.util.ConcurrentModificationException] {
+      IndexTables.commitPersist(spark, rel.withColumn("who", lit("A")),
+        "cxg", p, Seq("k"), 2, tA)
+    }
+    // winner's table, rows, stamp, and token are intact; loser's
+    // staging is dropped
+    val served = IndexTables.serve(spark, "cxg", p)
+    assert(served.nonEmpty, "winner's table no longer serves")
+    assert(served.get.select("who").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("B"), "loser's rows leaked in")
+    assert(IndexTables.commitToken(spark, "cxg", p) == tB)
+    assert(!spark.catalog.tableExists(
+      IndexTables.tableName("cxg", p) + "_staging"),
+      "losing writer leaked its staging table")
+
+    // retry from a fresh read lands
+    IndexTables.persist(spark, rel.withColumn("who", lit("A2")),
+      "cxg", p, Seq("k"), 2)
+    assert(IndexTables.serve(spark, "cxg", p).get.select("who").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("A2"))
+    IndexTables.drop(spark, "cxg", p)
+  }
+
+  test("compact loses to a writer that committed after its entry read; append moves the token") {
+    import graft.lake.IndexTables
+    val dir = java.nio.file.Files.createTempDirectory("idx_guard2").toString
+    val p = s"$dir/corpus.parquet"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.parquet(p)
+    val rel = spark.read.parquet(p)
+    IndexTables.persist(spark, rel, "cxh", p, Seq("k"), 2)
+
+    // the maintainer reads its token, then an append commits (appends
+    // move the token too — a racing rebuild built from pre-append rows
+    // must not silently swap the appended rows away)
+    val t0 = IndexTables.commitToken(spark, "cxh", p)
+    val sig0 = IndexTables.stampOf(spark, "cxh", p).get
+    Seq((3L, 30L)).toDF("k", "v").write.mode("append").parquet(p)
+    IndexTables.appendIncrement(spark, Seq((3L, 30L)).toDF("k", "v"),
+      "cxh", p, sig0, autoMaintain = false)
+    val t1 = IndexTables.commitToken(spark, "cxh", p)
+    assert(t1 != t0, "appendIncrement did not move the commit token")
+
+    // the compact driven with the stale entry handle loses…
+    intercept[java.util.ConcurrentModificationException] {
+      IndexTables.commitCompact(spark, "cxh", p, t0)
+    }
+    // …and the appended table still serves with all three rows
+    val rows = IndexTables.serve(spark, "cxh", p).get
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L), s"append lost to the stale compact: $rows")
+    // a fresh compact succeeds and preserves the rows
+    assert(IndexTables.compact(spark, "cxh", p).nonEmpty)
+    assert(IndexTables.serve(spark, "cxh", p).get
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    IndexTables.drop(spark, "cxh", p)
+  }
+
   test("guarded create race: a writer that saw no store fails if one was stamped meanwhile") {
     val dir = java.nio.file.Files.createTempDirectory("commit_guard2")
     val p = s"$dir/store.parquet"
