@@ -41,6 +41,60 @@ object Bench {
   private def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** 1-minute load average off /proc/loadavg — the co-tenant witness
+    * (r15 verdict #6: two rounds spent an adjudication essay proving a
+    * +16% drift was an external load wave; the record now carries the
+    * evidence). None off-Linux or on read failure — never fails the
+    * bench.
+    */
+  private[graft] def load1(): Option[Double] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble)
+    catch { case _: Throwable => None }
+
+  /** Whether the sampled load says the run was contended by OUTSIDE
+    * work. loadavg cannot separate the bench's own threads from
+    * co-tenants mid-run, but two signals are attributable: the
+    * PRE-WARMUP sample (the bench has run nothing yet — anything
+    * there is external or the just-exited compiler), and in-run
+    * samples EXCEEDING the bench's own worker count (own load is
+    * bounded by `cpus`; the excess is someone else's). Thresholds
+    * from the documented r13–r15 wave amplitudes (external waves of
+    * 4–16 on this machine).
+    */
+  private[graft] def loadFlagged(samples: Seq[Double], cpus: Int): Boolean =
+    samples.headOption.exists(_ > cpus / 4.0) ||
+      samples.exists(_ - cpus > 4.0)
+
+  /** The regression-tripwire fields (r15 verdict #6): when the load
+    * witness flags external contention, the per-query regressions move
+    * from the driver-read "regressions" field to
+    * "regressions_under_load" — ANNOTATED, not FIRED — because a
+    * 2×-with-0.3s-drift reading taken inside a co-tenant wave is
+    * evidence about the machine, not the plan (every drift the
+    * tripwire has fired cross-round so far re-measured clean idle).
+    * Returns (regressions, regressions_under_load) JSON objects;
+    * exactly one carries the entries.
+    */
+  private[graft] def regressionFields(results: Map[String, Double],
+      prior: Option[(String, Map[String, Double])],
+      flagged: Boolean): (String, String) = prior match {
+    case None => ("{}", "{}")
+    case Some((file, p)) =>
+      // significance floor: a ratio alone flags 0.1 s -> 0.25 s jitter
+      // on micro-queries; require the ABSOLUTE drift to also clear
+      // 0.3 s before naming a regression (r6 verdict #3)
+      val regs = results.toSeq.sorted.collect {
+        case (name, v) if v > 0 && p.getOrElse(name, -1.0) > 0 &&
+            v > 2 * p(name) && v - p(name) > 0.3 =>
+          f""""$name":${v / p(name)}%.2f"""
+      }
+      val body = regs.mkString("{", ",", s""","prior":"$file"}""")
+        .replace("{,", "{")
+      if (flagged) ("{}", body) else (body, "{}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +108,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // load witness (r15 verdict #6): the FIRST sample lands before any
+    // bench work — anything there is external — and one more lands at
+    // every pass/epoch boundary, so a mid-run co-tenant wave shows in
+    // the record instead of needing a post-hoc adjudication essay
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Unit = load1().foreach(loadSamples += _)
+    sampleLoad()
 
     // sf0.01, not sf0.001: the tiny tier doesn't run the md5/LSH hot
     // loops long enough to trigger C2 JIT, and the first heavy query
@@ -74,7 +136,9 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val passes = 3
-    val allPasses = (1 to passes).map(_ => timedPass())
+    val allPasses = (1 to passes).map { _ =>
+      sampleLoad(); val p = timedPass(); sampleLoad(); p
+    }
     val results = allPasses.head.keys.map { name =>
       val vs = allPasses.map(_(name))
       if (vs.exists(_ < 0)) name -> -1.0
@@ -121,6 +185,7 @@ object Bench {
           graft.text.Dsir.queries ++
           graft.mm.Multimodal.queries).toSeq.sortBy(_._1)
         val epochs = (1 to 2).map { _ =>
+          sampleLoad()
           graft.queries.Graph.dropAdjacency(spark, sfDir)
           graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
           graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
@@ -177,20 +242,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val regJson = priorTimes(expectSf = Some(sfDir)) match {
-      case None => "{}"
-      case Some((file, prior)) =>
-        // significance floor: a ratio alone flags 0.1 s -> 0.25 s jitter
-        // on micro-queries; require the ABSOLUTE drift to also clear
-        // 0.3 s before naming a regression (r6 verdict #3)
-        val regs = results.toSeq.sorted.collect {
-          case (name, v) if v > 0 && prior.getOrElse(name, -1.0) > 0 &&
-              v > 2 * prior(name) && v - prior(name) > 0.3 =>
-            f""""$name":${v / prior(name)}%.2f"""
-        }
-        regs.mkString("{", ",", s""","prior":"$file"}""").replace("{,", "{")
-    }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"graph_served_samples":$servedSamplesJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    sampleLoad()
+    val cpusN = cpus.toInt
+    val flagged = loadFlagged(loadSamples.toSeq, cpusN)
+    val loadJson =
+      if (loadSamples.isEmpty) "null"
+      else f"""{"samples":${loadSamples.map(v => f"$v%.2f")
+          .mkString("[", ",", "]")},"min":${loadSamples.min}%.2f,"max":${loadSamples.max}%.2f,"mean":${loadSamples.sum / loadSamples.size}%.2f,"cpus":$cpusN,"flagged":$flagged}"""
+    val (regJson, regLoadJson) =
+      regressionFields(results, priorTimes(expectSf = Some(sfDir)), flagged)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"graph_served_samples":$servedSamplesJson,"errors":$errJson,"regressions":$regJson,"regressions_under_load":$regLoadJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the complete line FIRST: the driver captures a BOUNDED
     // 2000-char tail of stdout (measured from every BENCH_r*.json), and
@@ -219,7 +280,7 @@ object Bench {
     // pointer to the committed full record. Every parseable aggregate
     // the big line carries is here; only the per-query map (which is
     // physically larger than the capture window) lives in the file.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"graph_persist_sec":$persistSec,"graph_served":$servedJson,"errors":$errJson,"regressions":$regJson,"full_record":"BENCH_SELF.json","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"graph_persist_sec":$persistSec,"graph_served":$servedJson,"errors":$errJson,"regressions":$regJson,"regressions_under_load":$regLoadJson,"load":$loadJson,"full_record":"BENCH_SELF.json","sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }

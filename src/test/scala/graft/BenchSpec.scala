@@ -136,4 +136,32 @@ class BenchSpec extends AnyFunSuite {
   test("SPARK_GRAFT_PREV_BENCH pointing at a missing file degrades to None, not a crash") {
     assert(Bench.priorTimes() != null) // no throw in any environment
   }
+
+  test("loadFlagged: pre-warmup external load or in-run excess over own workers flags the run") {
+    // clean: idle start, in-run samples bounded by own 32 workers
+    assert(!Bench.loadFlagged(Seq(0.5, 30.0, 31.5, 28.0), 32))
+    // a busy machine BEFORE the bench ran anything is external
+    assert(Bench.loadFlagged(Seq(12.0, 30.0), 32))
+    // mid-run load exceeding own worker count by > 4 is a co-tenant wave
+    assert(Bench.loadFlagged(Seq(0.5, 30.0, 45.0), 32))
+    // no samples (non-Linux): never flags
+    assert(!Bench.loadFlagged(Seq.empty, 32))
+  }
+
+  test("regressionFields: regressions fire idle, annotate under load; floors unchanged") {
+    val prior = Some(("BENCH_r15.json", Map("slow" -> 1.0, "micro" -> 0.1)))
+    // slow: 2x AND >0.3s absolute — a real regression candidate;
+    // micro: 2.5x but only +0.15s — under the absolute floor
+    val results = Map("slow" -> 2.5, "micro" -> 0.25)
+    val (idleReg, idleAnn) = Bench.regressionFields(results, prior, flagged = false)
+    assert(idleReg.contains("\"slow\":2.50") && !idleReg.contains("micro"))
+    assert(idleAnn == "{}")
+    // same readings under flagged load: ANNOTATED, not fired — the
+    // driver-read "regressions" field stays empty
+    val (loadReg, loadAnn) = Bench.regressionFields(results, prior, flagged = true)
+    assert(loadReg == "{}")
+    assert(loadAnn.contains("\"slow\":2.50") && loadAnn.contains("BENCH_r15.json"))
+    // no prior record: both empty either way
+    assert(Bench.regressionFields(results, None, flagged = true) == (("{}", "{}")))
+  }
 }
