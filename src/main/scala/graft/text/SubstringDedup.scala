@@ -48,21 +48,21 @@ import graft.lake.Tables._
   * per-doc windows ordered by position — bounded by document length,
   * independent of corpus size.
   *
-  * Measured scale law (r15): every shuffled relation is bounded by
-  * the occurrence count — linear in corpus — so the worst case is
-  * dup-density saturation, and both sides of it are committed.
-  * 10× step (10% dup density on both tiers): exp 0.23/0.14,
-  * bexp 0.999/0.998 (SCALE_NEW_R15_10x). The 100× step read
-  * bexp 1.398/1.303 (SCALE_NEW_R15_10to100) — adjudicated to the
-  * synthetic tier generator, not the operator: ScaleUp's per-copy
-  * letter rotation aliases mod 26, so copies ≥ 26 are text-clones
-  * and dup-start density jumps 10% → 100% between the tiers (DuckDB
-  * decomposition in PROGRESS r15: dup starts 25 090/250 900 at
-  * 0.1/1 = exactly 10.0%, then 25 070 400/25 070 400 = 100%). The
-  * saturated 100×→200× step — both tiers at the 100% ceiling, the
-  * true worst case — reads bexp 0.934/0.977
-  * (SCALE_R15_SAT_100to200): past saturation growth is linear, and
-  * there is nothing past the ceiling to densify into.
+  * Measured scale law (r16, on the alias-free tier generator —
+  * planted dup density held at the source tier's ~10% at every
+  * factor, ScaleUpSpec): every shuffled relation is bounded by the
+  * occurrence count — linear in corpus. 10× step: bexp 0.999/0.998
+  * (SCALE_NEW_R16_10x). 10→100 step: the raw reading is
+  * bexp 1.374/1.278 (SCALE_NEW_R16_10to100), which is a
+  * broadcast→shuffle THRESHOLD TRANSITION, not a law — at the sf1
+  * tier the duplicated-hash side still broadcasts into the probe, at
+  * sf10 it outgrows the threshold and the probe pays a shuffle join;
+  * with broadcasts disabled on BOTH planner paths the same step
+  * reads bexp 0.999/0.998 (SCALE_R16_BCASTOFF_10to100 — the
+  * SCALE_R12_BCASTOFF methodology), i.e. linear on both sides of the
+  * one-time transition. r15's saturated-tier history
+  * (SCALE_R15_SAT_100to200, measured through the old generator's
+  * mod-26 dup-density ceiling) remains as the worst-case record.
   */
 object SubstringDedup {
 
@@ -249,6 +249,14 @@ object SubstringDedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** The corpus after the cut, as a reusable relation — what a
+    * curation pipeline composes downstream stages over
+    * (pipe_span_curate chains quality → DSIR → dedup → pack on it).
+    * Serves the persisted occurrence table when fresh, like t40/t41.
+    */
+  def cleanedCorpus(s: SparkSession, d: String): DataFrame =
+    cutSpans(documents(s, d).select("doc_id", "text"), occurrences(s, d))
+
   /** t41: [[cutSpans]] with the cleaned text md5'd — the hash, not the
     * text, keeps the oracle's compare payload bounded; pipelines use
     * [[cutSpans]] directly for the string.
@@ -354,6 +362,143 @@ object SubstringDedup {
       .withColumn("admit", col("coverage_bp") <= lit(maxCoverageBp))
   }
 
+  // ---- production-width cut over trained tokenizer ids (r16, t44) --
+
+  /** Span width in TRAINED BPE tokens — Lee et al. 2022's production
+    * grain and width (§3: remove every repeated span of ≥ 50 BPE
+    * tokens, keeping one occurrence). t40/t41's N=5 word grain remains
+    * the test-scale surface; t44 is the same family at the width and
+    * unit a production curation run uses, over [[TextAnalysis]]'s
+    * trained token stream.
+    */
+  val WBpe = 50
+
+  /** N-gram occurrences over an arbitrary token stream: `toks` is
+    * (doc_id, text) with text a space-joined token sequence (word
+    * grain or trained-BPE grain — the digest kernel is
+    * unit-oblivious).
+    */
+  private def occurrencesOfText(toks: DataFrame, n: Int): DataFrame = {
+    graft.functions.TextSignatures.ensureRegistered(toks.sparkSession)
+    toks
+      .select(col("doc_id"), posexplode(expr(s"graft_ngram_md5(text, $n)")))
+      .withColumnRenamed("pos", "s")
+      .withColumnRenamed("col", "ngh")
+  }
+
+  /** The MAXIMAL-RUN cut (Lee et al. §3 semantics at fixed window
+    * width): duplicated n-gram starts are merged into maximal runs of
+    * consecutive positions BEFORE canonical election, the run's full
+    * covered token span is its identity, and election keeps the
+    * corpus-wide min (doc_id, start) occurrence of each repeated
+    * maximal span — so a long boilerplate region is kept or cut
+    * ATOMICALLY per occurrence. This is what [[cutSpans]]' per-gram
+    * election cannot promise: a third document sharing only an
+    * interior slice of the region can win individual grams and
+    * mosaic-cut the canonical occurrence itself; at run grain the
+    * region's occurrences elect among EACH OTHER.
+    *
+    * Documented conservative residue: a run whose maximal content is
+    * corpus-UNIQUE (it only partially overlaps other regions — the
+    * containment case) is kept whole. The paper's suffix-array pass
+    * would trim the shared slice from one side; electing at run grain
+    * trades that for never cutting text that exists nowhere else as a
+    * complete span. Its gram-level duplication still shows in the t40
+    * coverage signal.
+    *
+    * Scale shape = [[cutSpans]]': one scan → token-scale fixed-width
+    * occurrences, HAVING-filtered dup starts, a per-doc lag window for
+    * the run merge (bounded by dup starts), the run-hash join back to
+    * the doc-grain text (bounded by runs ≪ tokens), and the
+    * reconstruction as a marker union + per-doc running-max window —
+    * variable-width spans need a ROWS running max over the cut-end
+    * instead of t41's fixed-width RANGE frame; same one-sort cost
+    * class, never a token × span join.
+    */
+  def cutSpansMaximal(toks: DataFrame, w: Int): DataFrame = {
+    val o = occurrencesOfText(toks, w)
+    val dupStarts = o.join(
+      o.groupBy("ngh").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("ngh"),
+      "ngh").select("doc_id", "s")
+
+    // gaps-and-islands: consecutive duplicated starts form one run
+    val wOrd = Window.partitionBy("doc_id").orderBy("s")
+    val runs = dupStarts
+      .withColumn("nr",
+        when(col("s") - coalesce(lag("s", 1).over(wOrd), lit(-2L)) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("rid", sum("nr").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "rid")
+      .agg(min("s").as("s0"), (max("s") + lit(w)).as("e"))
+
+    // the run's identity is its FULL covered token span
+    val packed = when(
+      col("s0") < lit(PosCap) && col("doc_id") < lit(1L << 43),
+      col("doc_id") * lit(PosCap) + col("s0"))
+      .otherwise(expr(
+        "CAST(raise_error('graft substring-dedup: run outside the " +
+          "packed-key bounds — switch to min(struct(doc_id, s0))') " +
+          "AS BIGINT)"))
+    val runH = runs.join(toks, "doc_id")
+      .select(col("doc_id"), col("s0"), col("e"),
+        md5(concat_ws(" ",
+          slice(split(col("text"), " "), col("s0") + 1,
+            col("e") - col("s0")))).as("rh"))
+    val elected = runH.groupBy("rh")
+      .agg(min(packed).as("ck"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val cuts = runH.join(elected, "rh")
+      .filter(packed =!= col("ck"))
+      .select(col("doc_id"), col("s0"), col("e"))
+
+    // reconstruction: markers carry their EXCLUSIVE end; a token at p
+    // is cut iff the running max of marker ends at-or-before p
+    // exceeds p (markers sort before tokens at the same position)
+    val tokens = toks
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "tok")
+    val ev = tokens.select(col("doc_id"), col("p"), col("tok"),
+        lit(null).cast("long").as("e"), lit(false).as("iscut"))
+      .unionByName(cuts.select(col("doc_id"), col("s0").as("p"),
+        lit(null).cast("string").as("tok"), col("e"), lit(true).as("iscut")))
+    val wr = Window.partitionBy("doc_id")
+      .orderBy(col("p"), col("iscut").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = ev
+      .withColumn("cut_until", max("e").over(wr))
+      .filter(!col("iscut") &&
+        (col("cut_until").isNull || col("cut_until") <= col("p")))
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept"),
+      array_join(expr(
+        "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        " ").as("text_clean"))
+
+    toks.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept"), lit(0L))).cast("long")
+          .as("cut_tokens"),
+        coalesce(col("kept"), lit(0L)).cast("long").as("kept_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** t44: the production-grain cut — [[cutSpansMaximal]] at
+    * [[WBpe]]=50 trained BPE tokens over the corpus's trained token
+    * stream, cleaned text md5'd for the compare (the t41 posture).
+    */
+  def t44BpeSpanCut(s: SparkSession, d: String): DataFrame =
+    cutSpansMaximal(TextAnalysis.bpeTokenText(s, d), WBpe)
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        col("kept_tokens"), md5(col("text_clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
   /** Composition proof: the cut feeding a downstream per-language
     * aggregate — the [[cutSpans]] transform is a relation like any
     * other (what a curation pipeline does with it), and the whole
@@ -372,6 +517,7 @@ object SubstringDedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_dup_span_coverage" -> (t40DupSpanCoverage _),
     "t41_substring_dedup" -> (t41SubstringDedup _),
+    "t44_bpe_span_cut" -> (t44BpeSpanCut _),
     "pipe_span_clean_stats" -> (pipeSpanCleanStats _)
   )
 
@@ -428,6 +574,52 @@ object SubstringDedup {
          |  CAST(coalesce(a.kept_tokens,0) AS BIGINT) AS kept_tokens,
          |  coalesce(a.clean_md5, md5('')) AS clean_md5
          |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t44_bpe_span_cut" ->
+      s"""WITH ${TextAnalysis.bpeTokenTextCtes},
+         |d2 AS (SELECT doc_id, string_split(text,' ') AS t FROM bt),
+         |occ AS (
+         |  SELECT doc_id, unnest(range(len(t)-${WBpe - 1})) AS s,
+         |    unnest(list_transform(range(len(t)-${WBpe - 1}),
+         |      i -> array_to_string(list_slice(t, i+1, i+$WBpe), ' '))) AS ng
+         |  FROM d2 WHERE len(t) >= $WBpe),
+         |dup AS (SELECT ng FROM occ GROUP BY ng HAVING count(*) >= 2),
+         |ds AS (SELECT o.doc_id, o.s FROM occ o JOIN dup USING (ng)),
+         |r0 AS (SELECT doc_id, s,
+         |  CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) = 1
+         |       THEN 0 ELSE 1 END AS nr FROM ds),
+         |r1 AS (SELECT doc_id, s,
+         |  sum(nr) OVER (PARTITION BY doc_id ORDER BY s) AS rid FROM r0),
+         |runs AS (SELECT doc_id, min(s) AS s0, max(s) + $WBpe AS e
+         |         FROM r1 GROUP BY doc_id, rid),
+         |rh AS (SELECT r.doc_id, r.s0, r.e,
+         |  md5(array_to_string(list_slice(d2.t, r.s0+1, r.e), ' ')) AS h
+         |  FROM runs r JOIN d2 USING (doc_id)),
+         |el AS (SELECT h, min(doc_id * $PosCap + s0) AS ck,
+         |       count(*) AS cnt FROM rh GROUP BY h),
+         |cuts AS (SELECT rh.doc_id, rh.s0, rh.e FROM rh JOIN el USING (h)
+         |         WHERE el.cnt >= 2 AND rh.doc_id * $PosCap + rh.s0 <> el.ck),
+         |tok AS (SELECT doc_id, unnest(range(len(t))) AS p,
+         |        unnest(t) AS tok FROM d2),
+         |ev AS (
+         |  SELECT doc_id, p, tok, CAST(NULL AS BIGINT) AS e,
+         |    FALSE AS iscut FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, s0 AS p, NULL AS tok, e, TRUE AS iscut FROM cuts),
+         |mk AS (SELECT doc_id, p, tok, iscut,
+         |  max(e) OVER (PARTITION BY doc_id ORDER BY p, iscut DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut_until
+         |  FROM ev),
+         |kept AS (SELECT doc_id, p, tok FROM mk
+         |         WHERE NOT iscut AND (cut_until IS NULL OR cut_until <= p)),
+         |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+         |        md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d2.doc_id,
+         |  CAST(len(d2.t) AS INTEGER) AS n_tokens,
+         |  CAST(len(d2.t) - coalesce(a.kept_tokens,0) AS BIGINT) AS cut_tokens,
+         |  CAST(coalesce(a.kept_tokens,0) AS BIGINT) AS kept_tokens,
+         |  coalesce(a.clean_md5, md5('')) AS clean_md5
+         |FROM d2 LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "pipe_span_clean_stats" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          |occ AS (

@@ -1086,6 +1086,57 @@ object TextAnalysis {
           .cast("long").as("nt"))
   }
 
+  /** The trained-token STREAM, one space-joined string per doc in
+    * word order — the relation the production-width substring cut
+    * (t44) slides over: BPE symbols contain no spaces, so the
+    * space-joined form round-trips exactly and the word-grain span
+    * machinery ([[SubstringDedup]]) applies verbatim at token grain.
+    * Same scale shape as t33: the memoized merge list compiles into a
+    * codegen'd literal-replace chain over the word explode, one
+    * corpus scan, one doc_id-keyed agg.
+    */
+  private[graft] def bpeTokenText(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrained(s, d)._2.map(m => (m._2, m._3))
+    val st = bpeApply(
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")), merges)
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("pos"), trim(st).as("enc"))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, enc))), x -> x.enc), ' ')").as("text"))
+  }
+
+  /** [[bpeEncodePosCtes]]' stream twin for the t44 oracle:
+    * `bt(doc_id, text)` — the per-doc space-joined trained-token
+    * stream, built from the same replayed merge chain.
+    */
+  private[text] lazy val bpeTokenTextCtes: String = {
+    val applied = (1 to BpeMerges).foldLeft(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, i) =>
+      (1 to BpeReplacePasses).foldLeft(acc)((a, _) =>
+        s"replace($a, m$i.pat, m$i.rep)")
+    }
+    val mergeFrom = (1 to BpeMerges).map(i => s"m$i").mkString(", ")
+    s"""$bpeChainDuck,
+       |dwp AS (
+       |  SELECT doc_id, pos, w FROM (
+       |    SELECT doc_id,
+       |      unnest(range(len(ws))) AS pos,
+       |      unnest(list_transform(range(len(ws)), i -> ws[i+1])) AS w
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |          FROM documents))
+       |  WHERE w <> ''
+       |), bt AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(trim(st), ' ' ORDER BY pos) AS text
+       |  FROM (SELECT dwp.doc_id, dwp.pos, $applied AS st
+       |        FROM dwp, $mergeFrom)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   /** Per-doc trained token totals with the shard key — the t35/t36
     * input relation (one doc_id-keyed partial-agg shuffle over
     * [[encodedWords]]). Grouped on doc_id ALONE (lang rides as max —

@@ -59,6 +59,7 @@ class MaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(s"$d/documents.parquet"), buckets = 4)
     Winnowing.persistFingerprintIndex(spark, d, buckets = 4)
     graft.text.SubstringDedup.persistOccurrenceIndex(spark, d, buckets = 4)
+    graft.text.Dsir.persistRatioTable(spark, d, buckets = 4)
     graft.mm.Multimodal.persistPhashIndex(spark, d, buckets = 4)
     graft.text.TextAnalysis.persistBpe(spark, d)
     graft.ops.Warehouse.persistWarehouseState(spark, d, buckets = 4)
@@ -70,6 +71,7 @@ class MaintenanceSpec extends AnyFunSuite {
     graft.lake.IndexTables.drop(spark, "band", s"$d/documents.parquet")
     Winnowing.dropFingerprintIndex(spark, d)
     graft.text.SubstringDedup.dropOccurrenceIndex(spark, d)
+    graft.text.Dsir.dropRatioTable(spark, d)
     graft.mm.Multimodal.dropPhashIndex(spark, d)
     graft.text.TextAnalysis.dropBpe(spark, d)
     graft.ops.Warehouse.dropWarehouseState(spark, d)
@@ -100,6 +102,8 @@ class MaintenanceSpec extends AnyFunSuite {
         .contains(docSig), "ngram-occurrence index stale after nightly")
       assert(graft.text.TextAnalysis.bpeStamp(spark, d).contains(docSig),
         "bpe artifact stale after nightly")
+      assert(graft.text.Dsir.ratioStamp(spark, d).contains(docSig),
+        "dsir counts table stale after nightly")
       assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
         "adjacency stale after nightly")
       assert(Graph.g1Stamp(spark, d).contains(tierSig),
@@ -123,6 +127,16 @@ class MaintenanceSpec extends AnyFunSuite {
           .get) ==
         ngoRows(graft.text.SubstringDedup.occurrencesOf(fullDocs)),
         "ngo table != rebuild after nightly")
+      // dsir counts: the delta's per-feature counts appended as rows,
+      // merge-on-read must equal a from-scratch aggregate of the grown
+      // corpus (count additivity)
+      assert(rowSet(graft.text.Dsir.servedCounts(spark, d).get) ==
+        rowSet({
+          graft.text.Dsir.dropRatioTable(spark, d)
+          graft.text.Dsir.persistRatioTable(spark, d, buckets = 4)
+          val r = graft.text.Dsir.servedCounts(spark, d).get
+          r
+        }), "dsir counts != rebuild after nightly")
       // warehouse states (r14 verdict #6): whagg and whjoin are EXACT
       // through the append path; the sketch states pass their l4/l5
       // gates computed from the SERVED merged state vs exact recompute
@@ -209,7 +223,7 @@ class MaintenanceSpec extends AnyFunSuite {
       val adjBefore = rowSet(Graph.coAdj(spark, d))
       val report = Maintenance.nightly(spark, d, newDocs = Some(dDocs))
       assert(report.maintained("band") && report.maintained("fingerprints")
-        && report.maintained("ngo"))
+        && report.maintained("ngo") && report.maintained("dsir"))
       assert(report.maintained("coadj") && report.maintained("g1_edges") &&
         report.maintained("lpa"),
         "graph artifacts not re-stamped on a docs-only nightly")

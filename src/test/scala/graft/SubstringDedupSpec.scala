@@ -246,4 +246,89 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(countShuffles(t40) <= 8)
     assert(countShuffles(t41) <= 10)
   }
+
+  /** Plain-Scala reference of [[SubstringDedup.cutSpansMaximal]]'s
+    * whole semantics: gram dup detection, gaps-and-islands run merge,
+    * run-content canonical election, conservative keep of
+    * content-unique runs, interval cut + reconstruction.
+    */
+  private def bruteMaximal(docs: Seq[(Long, String)],
+      w: Int): Map[Long, (Int, Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    final case class Occ(id: Long, s: Int, ng: String)
+    val occ = docs.flatMap { case (id, _) =>
+      val t = toks(id)
+      (0 to t.length - w).map(s => Occ(id, s, t.slice(s, s + w).mkString(" ")))
+    }
+    val dupNg = occ.groupBy(_.ng).filter(_._2.size >= 2).keySet
+    final case class Run(id: Long, s0: Int, e: Int) // e exclusive
+    val runs = occ.filter(o => dupNg(o.ng)).groupBy(_.id).toSeq.flatMap {
+      case (id, os) =>
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        for (s <- os.map(_.s).sorted) {
+          if (rs.nonEmpty && rs.last._2 + 1 == s)
+            rs(rs.length - 1) = (rs.last._1, s)
+          else rs += ((s, s))
+        }
+        rs.map { case (a, b) => Run(id, a, b + w) }
+    }
+    def packed(r: Run): Long = r.id * (1L << 20) + r.s0
+    val cuts = runs.groupBy(r => toks(r.id).slice(r.s0, r.e).mkString(" "))
+      .values.filter(_.size >= 2).flatMap { g =>
+        val ck = g.map(packed).min
+        g.filter(packed(_) != ck)
+      }.toSeq
+    docs.map { case (id, _) =>
+      val t = toks(id)
+      val cut = Array.fill(t.length)(false)
+      cuts.filter(_.id == id)
+        .foreach(r => (r.s0 until r.e).foreach(cut(_) = true))
+      val kept = t.zipWithIndex.collect { case (tk, i) if !cut(i) => tk }
+      id -> ((t.length, (t.length - kept.length).toLong,
+        kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("cutSpansMaximal fixture: runs cut atomically, interior-slice runs kept, within-doc repeat elects its first copy") {
+    import spark.implicits._
+    val w = 3
+    val docs = Seq(
+      (0L, "a b c d e f x y"),        // canonical long span @ 0
+      (1L, "p q a b c d e f r"),      // same maximal span @ 2 (cut whole)
+      (2L, "m c d e n o p"),          // interior slice only: content-unique run, kept
+      (3L, "u v w z u v w"),          // within-doc repeat: second copy cut
+      (4L, "s t")                     // too short for any gram
+    )
+    val out = SubstringDedup.cutSpansMaximal(docs.toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val want = bruteMaximal(docs, w)
+    assert(out == want, s"spark=$out\nbrute=$want")
+    // the planted semantics, pinned by hand on top of the brute:
+    assert(out(0L)._2 == 0L, "canonical occurrence must survive whole")
+    assert(out(1L) == ((9, 6L, 3L, "p q r")),
+      "non-canonical maximal run must cut atomically")
+    assert(out(2L)._2 == 0L,
+      "content-unique interior-slice run must be kept (conservative residue)")
+    assert(out(3L) == ((7, 3L, 4L, "u v w z")),
+      "within-doc repeat must keep the first copy only")
+    assert(out(4L)._2 == 0L)
+  }
+
+  test("t44 ≡ brute-force maximal-run cut at W=50 over the real trained-token corpus; cut is non-degenerate") {
+    val bt = graft.text.TextAnalysis.bpeTokenText(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = bruteMaximal(bt, SubstringDedup.WBpe)
+    val out = SubstringDedup.t44BpeSpanCut(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == want.keySet)
+    out.foreach { case (id, (n, cut, kept, cleanMd5)) =>
+      val (wn, wcut, wkept, wtext) = want(id)
+      assert((n, cut, kept) == ((wn, wcut, wkept)), s"doc $id counts differ")
+      assert(cleanMd5 == md5hex(wtext), s"doc $id cleaned stream differs")
+    }
+    assert(out.values.exists(_._2 > 0),
+      "W=50 cut is degenerate on this corpus — width not exercised")
+  }
 }
