@@ -213,6 +213,31 @@ object Dsir {
       .orderBy("doc_id")
   }
 
+  /** Relation-parameterized resample — the composition form the
+    * curation pipeline (pipe_span_curate) chains after the span cut:
+    * `docs` is any (doc_id, lang, text, …) relation. Target-language
+    * rows pass through at the probability-1 cap (the paper keeps the
+    * quality corpus whole); raw rows flip the SAME content-keyed coin
+    * as t43 against ratios derived FROM THIS RELATION — the mixture is
+    * estimated over what survived the upstream stages, not the raw
+    * corpus. Raw docs with no bigram feature drop, matching t43.
+    * Output = the input columns + score_ppm.
+    */
+  def resampleRelation(docs: DataFrame): DataFrame = {
+    val raw = docs.filter(col("lang") =!= TargetLang)
+    val scored = features(raw)
+      .join(broadcast(ratiosFromCounts(countsOf(docs))), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("r_ppm").as("sr"))
+      .select(col("doc_id"), expr("sr div n_feats").as("score_ppm"))
+    docs.filter(col("lang") === TargetLang)
+      .withColumn("score_ppm", lit(1000000L))
+      .unionByName(
+        raw.join(scored, "doc_id")
+          .filter(pmod(expr(Hashing.h60Sql("text")), lit(1000000L)) <
+            least(col("score_ppm"), lit(1000000L))))
+  }
+
   // ---- production log-domain estimator (r16, verdict #5) -----------
 
   /** The paper's exact log-domain importance weight, as a PRODUCTION
@@ -275,46 +300,52 @@ object Dsir {
     "t43_dsir_resample" -> (t43DsirResample _)
   )
 
-  private def weightsSql: String =
-    s"""tok AS (
+  /** The weights CTE chain over an arbitrary (doc_id, lang, text)
+    * relation `rel` — `w(doc_id, n_feats, score_ppm)` for its raw-pool
+    * rows. Shared by the t42/t43 oracles (rel = documents) and the
+    * composed-pipeline oracle (rel = the post-quality cleaned docs);
+    * CTE names are prefixed to keep the composition collision-free.
+    */
+  private[text] def weightsSqlOver(rel: String): String =
+    s"""dsir_tok AS (
        |  SELECT doc_id, lang,
        |    unnest(range(len(t))) AS p, unnest(t) AS tok
        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
-       |        FROM documents)),
-       |bg AS (
+       |        FROM $rel)),
+       |dsir_bg AS (
        |  SELECT doc_id, lang, tok AS w1,
        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-       |  FROM tok QUALIFY w2 IS NOT NULL),
-       |feat AS (
+       |  FROM dsir_tok QUALIFY w2 IS NOT NULL),
+       |dsir_feat AS (
        |  SELECT doc_id, lang,
        |    CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 8) AS BIGINT)
        |      % $Buckets AS f
-       |  FROM bg),
-       |tf AS (SELECT f, count(*) AS ct FROM feat
+       |  FROM dsir_bg),
+       |dsir_tf AS (SELECT f, count(*) AS ct FROM dsir_feat
        |       WHERE lang = '$TargetLang' GROUP BY f),
-       |rf AS (SELECT f, count(*) AS cr FROM feat
+       |dsir_rf AS (SELECT f, count(*) AS cr FROM dsir_feat
        |       WHERE lang <> '$TargetLang' GROUP BY f),
-       |ratio AS (
-       |  SELECT coalesce(tf.f, rf.f) AS f,
+       |dsir_ratio AS (
+       |  SELECT coalesce(dsir_tf.f, dsir_rf.f) AS f,
        |    ((coalesce(ct, 0) + 1) *
-       |     ((SELECT sum(cr) FROM rf) + $Buckets) * 1000000)
+       |     ((SELECT sum(cr) FROM dsir_rf) + $Buckets) * 1000000)
        |    // ((coalesce(cr, 0) + 1) *
-       |        ((SELECT sum(ct) FROM tf) + $Buckets)) AS r_ppm
-       |  FROM tf FULL JOIN rf ON tf.f = rf.f),
+       |        ((SELECT sum(ct) FROM dsir_tf) + $Buckets)) AS r_ppm
+       |  FROM dsir_tf FULL JOIN dsir_rf ON dsir_tf.f = dsir_rf.f),
        |w AS (
        |  SELECT doc_id,
        |    CAST(count(*) AS BIGINT) AS n_feats,
        |    CAST(sum(r_ppm) // count(*) AS BIGINT) AS score_ppm
-       |  FROM feat JOIN ratio USING (f)
+       |  FROM dsir_feat JOIN dsir_ratio USING (f)
        |  WHERE lang <> '$TargetLang'
        |  GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "t42_dsir_weights" ->
-      s"""WITH $weightsSql
+      s"""WITH ${weightsSqlOver("documents")}
          |SELECT doc_id, n_feats, score_ppm FROM w ORDER BY doc_id""".stripMargin,
     "t43_dsir_resample" ->
-      s"""WITH $weightsSql
+      s"""WITH ${weightsSqlOver("documents")}
          |SELECT w.doc_id, w.n_feats, w.score_ppm
          |FROM w JOIN documents d ON w.doc_id = d.doc_id
          |WHERE CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) % 1000000
