@@ -657,6 +657,18 @@ object Dedup {
     * and the rebuild is d7's one per-doc aggregate. The survivor
     * relation is corpus-sized (one row per distinct chunk), so it is
     * NEVER broadcast — unlike d7's tiny over-frequent set.
+    *
+    * RETIREMENT DECISION (r16, D9_VS_T41_R16.json): the tiling is
+    * blind to any duplicate that is not chunk-aligned — measured
+    * against the sliding-window exact cut on the real tiers, d9
+    * misses 35.5% of t41's cut tokens and over-cuts 5.2% (both
+    * ratios tier-invariant), for a 1.7–2.1× COLD-cost saving that
+    * the served `ngo` occurrence table (the 100 TB default) mostly
+    * erases. Production cuts belong to
+    * [[SubstringDedup.t41SubstringDedup]] (word grain) /
+    * [[SubstringDedup.t44BpeSpanCut]] (trained-token grain); d9 stays
+    * as the cheap tiled SCREEN for admission-grade gating where a
+    * bounded miss is acceptable, and for its oracle history.
     */
   def dropDuplicateSpansGlobal(docs: DataFrame, span: Int = 10): DataFrame = {
     val chunks = docs
