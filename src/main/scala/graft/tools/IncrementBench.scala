@@ -156,6 +156,30 @@ object IncrementBench {
         f""""ngo":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
       }
 
+      // ---- dsir feature-counts table (t42/t43) ----------------------
+      // the CHEAPEST IndexTables client: the persisted relation is
+      // bucket-bounded (≤ 8192 rows) however large the corpus — the
+      // append prices the increment's feature hashing alone, the
+      // rebuild re-aggregates both corpus sides
+      val dsirJson = withTempDir("incb_dsir") { tmp =>
+        val td = tmp.toString
+        val docs = graft.lake.Tables.documents(spark, d)
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+          .write.parquet(s"$td/documents.parquet")
+        val nCorpus = spark.read.parquet(s"$td/documents.parquet").count()
+        val persistSec = time(graft.text.Dsir.persistRatioTable(spark, td))
+        val sig = graft.text.Dsir.ratioStamp(spark, td).get
+        val inc = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .localCheckpoint()
+        val nInc = inc.count()
+        inc.write.mode("append").parquet(s"$td/documents.parquet")
+        val appendSec = time(
+          graft.text.Dsir.appendRatioTable(spark, td, inc, sig))
+        val rebuildSec = time(graft.text.Dsir.persistRatioTable(spark, td))
+        graft.text.Dsir.dropRatioTable(spark, td)
+        f""""dsir":{"corpus_rows":$nCorpus,"increment_rows":$nInc,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f}"""
+      }
+
       // ---- embedding admission index -------------------------------
       val admJson = if (!new java.io.File(s"$d/embeddings.parquet").exists())
         """"admission":null"""
@@ -250,7 +274,7 @@ object IncrementBench {
         f""","adjacency":{"delta_lineitem_rows":$nDelta,"persist_sec":$persistSec%.3f,"append_sec":$appendSec%.3f,"rebuild_sec":$rebuildSec%.3f,"retract_sec":$retractSec%.3f},"g1_edges":{"persist_sec":$persistG1Sec%.3f,"append_sec":$appendG1Sec%.3f,"rebuild_sec":$rebuildG1Sec%.3f},"lpa":{"build_sec":$lpaBuildSec%.3f,"warm_sec":$lpaWarmSec%.3f,"full_sec":$lpaFullSec%.3f}"""
       }
 
-      s""""$d":{$bandJson,$mmJson,$ngoJson,$admJson$adjJson}"""
+      s""""$d":{$bandJson,$mmJson,$ngoJson,$dsirJson,$admJson$adjJson}"""
     }
     println(rows.mkString(
       "{\"metric\":\"index_increment\",\"tiers\":{", ",", "}}"))
