@@ -190,12 +190,14 @@ object Bench {
           graft.text.Winnowing.dropFingerprintIndex(spark, sfDir)
           graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
           graft.text.Dsir.dropRatioTable(spark, sfDir)
+          graft.text.TextAnalysis.dropBpeStream(spark, sfDir)
           graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
           val t0 = System.nanoTime()
           graft.queries.Graph.persistAdjacency(spark, sfDir)
           graft.text.Winnowing.persistFingerprintIndex(spark, sfDir)
           graft.text.SubstringDedup.persistOccurrenceIndex(spark, sfDir)
           graft.text.Dsir.persistRatioTable(spark, sfDir)
+          graft.text.TextAnalysis.persistBpeStream(spark, sfDir)
           graft.mm.Multimodal.persistPhashIndex(spark, sfDir)
           val p = (System.nanoTime() - t0) / 1e9
           // one failing query records no sample like timedPass — it
@@ -225,6 +227,8 @@ object Bench {
         try graft.text.SubstringDedup.dropOccurrenceIndex(spark, sfDir)
         catch { case _: Throwable => () }
         try graft.text.Dsir.dropRatioTable(spark, sfDir)
+        catch { case _: Throwable => () }
+        try graft.text.TextAnalysis.dropBpeStream(spark, sfDir)
         catch { case _: Throwable => () }
         try graft.mm.Multimodal.dropPhashIndex(spark, sfDir)
         catch { case _: Throwable => () }

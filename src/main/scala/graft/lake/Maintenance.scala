@@ -83,6 +83,7 @@ object Maintenance {
     val dsirSig = graft.text.Dsir.ratioStamp(s, d)
     val mmSig = graft.mm.Multimodal.phashStamp(s, d)
     val bpeSig = graft.text.TextAnalysis.bpeStamp(s, d)
+    val bpeStreamSig = graft.text.TextAnalysis.bpeStreamStamp(s, d)
     val adjSig = Graph.adjacencyStamp(s, d)
     val g1Sig = Graph.g1Stamp(s, d)
     val lpaSig = Graph.lpaStamp(s, d)
@@ -167,9 +168,20 @@ object Maintenance {
     // leg delegates to the retrain policy — "always" re-trains on the
     // grown corpus, "on-doubling" restamps the frozen artifact until
     // corpus bytes double (r14 verdict #3)
-    val bpe = (newDocs, bpeSig) match {
+    val (bpe, bpeRetrained) = (newDocs, bpeSig) match {
       case (Some(_), Some(sig)) =>
-        graft.text.TextAnalysis.maintainBpe(s, d, sig, bpePolicy); true
+        (true, graft.text.TextAnalysis.maintainBpe(s, d, sig, bpePolicy))
+      case _ => (false, true)
+    }
+    // the trained-token STREAM derives from the tokenizer the leg
+    // above just left serving, so it maintains strictly after it:
+    // retrained merges re-encode everything (re-persist); a frozen
+    // restamp means per-doc locality holds and the delta appends
+    val bpeStream = (newDocs, bpeStreamSig) match {
+      case (Some(docs), Some(sig)) =>
+        graft.text.TextAnalysis.maintainBpeStream(s, d, docs, sig,
+          retrained = bpeRetrained || bpeSig.isEmpty)
+        true
       case _ => false
     }
     val adj = adjSig match {
@@ -240,7 +252,8 @@ object Maintenance {
     }
     NightlyReport(Map("band" -> band, "fingerprints" -> fp, "ngo" -> ngo,
       "dsir" -> dsir, "mm" -> mm,
-      "bpe" -> bpe, "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa,
+      "bpe" -> bpe, "bpe_stream" -> bpeStream,
+      "coadj" -> adj, "g1_edges" -> g1, "lpa" -> lpa,
       "ann" -> ann, "wh_orders" -> whOrders, "wh_events" -> whEvents,
       "wh_join" -> whJoin))
   }

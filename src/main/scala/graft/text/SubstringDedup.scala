@@ -491,10 +491,13 @@ object SubstringDedup {
 
   /** t44: the production-grain cut — [[cutSpansMaximal]] at
     * [[WBpe]]=50 trained BPE tokens over the corpus's trained token
-    * stream, cleaned text md5'd for the compare (the t41 posture).
+    * stream (the persisted `bpets` table when fresh — the corpus
+    * encode was this query's recompute-per-query bill; served, the
+    * per-doc windows and joins also ride its doc_id bucketing),
+    * cleaned text md5'd for the compare (the t41 posture).
     */
   def t44BpeSpanCut(s: SparkSession, d: String): DataFrame =
-    cutSpansMaximal(TextAnalysis.bpeTokenText(s, d), WBpe)
+    cutSpansMaximal(TextAnalysis.bpeStream(s, d), WBpe)
       .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
         col("kept_tokens"), md5(col("text_clean")).as("clean_md5"))
       .orderBy("doc_id")

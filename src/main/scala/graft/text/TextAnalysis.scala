@@ -680,8 +680,12 @@ object TextAnalysis {
     * retrain. Same caller contract as every appendIncrement: prevSig
     * read before the delta landed.
     */
+  /** Returns TRUE when the tokenizer was retrained (merges may have
+    * moved — [[maintainBpeStream]] keys its re-persist-vs-append
+    * decision on it), FALSE when the frozen artifact was re-stamped.
+    */
   def maintainBpe(s: SparkSession, d: String, prevSig: String,
-      policy: String = "always"): Unit = {
+      policy: String = "always"): Boolean = {
     val stamp = bpeStamp(s, d)
     if (!stamp.contains(prevSig))
       throw new IllegalStateException(
@@ -701,13 +705,14 @@ object TextAnalysis {
         bpePath(d), prevSig)
     }
     policy match {
-      case "always" => persistBpe(s, d)
+      case "always" => persistBpe(s, d); true
       case "on-doubling" =>
         val trainedBytes = graft.lake.IndexTables
           .peek(s, BpeMergesPrefix, bpePath(d)).get
           .select("trained_bytes").limit(1).collect()(0).getLong(0)
-        if (corpusBytes(s, bpePath(d)) >= 2L * trainedBytes) persistBpe(s, d)
-        else restampBoth()
+        if (corpusBytes(s, bpePath(d)) >= 2L * trainedBytes) {
+          persistBpe(s, d); true
+        } else { restampBoth(); false }
       case other => throw new IllegalArgumentException(
         s"maintainBpe: unknown policy '$other' (always | on-doubling)")
     }
@@ -1095,11 +1100,20 @@ object TextAnalysis {
     * codegen'd literal-replace chain over the word explode, one
     * corpus scan, one doc_id-keyed agg.
     */
-  private[graft] def bpeTokenText(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeTrained(s, d)._2.map(m => (m._2, m._3))
+  private[graft] def bpeTokenText(s: SparkSession, d: String): DataFrame =
+    bpeTokenTextOf(documents(s, d),
+      bpeTrained(s, d)._2.map(m => (m._2, m._3)))
+
+  /** The stream encode against an EXPLICIT merge list — the shared
+    * body [[bpeTokenText]] and the frozen-tokenizer append path
+    * ([[maintainBpeStream]]) both compile their literal-replace chain
+    * from, so the two cannot drift.
+    */
+  private def bpeTokenTextOf(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val st = bpeApply(
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")), merges)
-    documents(s, d)
+    docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
@@ -1107,6 +1121,75 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(expr("array_join(transform(array_sort(collect_list(" +
         "struct(pos, enc))), x -> x.enc), ' ')").as("text"))
+  }
+
+  // ---- persisted trained-token STREAM (r16) --------------------------
+  // t44's input relation: the whole corpus re-encoded through the
+  // merge chain on every run was the round's newest
+  // recompute-per-query bill (the encode, not the span logic,
+  // dominates — the same shape the band/fingerprint/ngo families
+  // escaped). The stream is derived from docs + the trained tokenizer,
+  // and the tokenizer is itself a function of docs, so the
+  // documents.parquet stamp witnesses BOTH inputs. Bucketed + sorted
+  // on doc_id: t44's per-doc windows, the run-hash join, and the
+  // token explode's doc-grain aggregate all ride the layout.
+  //
+  // Maintenance is POLICY-COUPLED to the tokenizer ([[maintainBpe]]):
+  // under "always" every delta can move the merges, which re-encodes
+  // EVERY doc — the only sound move is a full re-persist (the same
+  // corpus-sized bill the "always" tokenizer leg already accepts);
+  // under "on-doubling" the tokenizer is FROZEN, encodings are
+  // per-doc local, and the increment's rows append exactly (with the
+  // re-persist fallback when the doubling retrain fires).
+
+  private val BpeStreamPrefix = "bpets"
+
+  /** Persist the trained-token stream table for tier `d`. */
+  def persistBpeStream(s: SparkSession, d: String,
+      buckets: Int = 32): String =
+    graft.lake.IndexTables.persist(s, bpeTokenText(s, d),
+      BpeStreamPrefix, bpePath(d), Seq("doc_id"), buckets)
+
+  /** Drop the stream table for tier `d`, if any. */
+  def dropBpeStream(s: SparkSession, d: String): Unit =
+    graft.lake.IndexTables.drop(s, BpeStreamPrefix, bpePath(d))
+
+  /** The stream table's stamp — [[maintainBpeStream]]'s prevSig handle. */
+  def bpeStreamStamp(s: SparkSession, d: String): Option[String] =
+    graft.lake.IndexTables.stampOf(s, BpeStreamPrefix, bpePath(d))
+
+  /** The served stream when fresh — t44's 100 TB default. */
+  private[graft] def servedBpeStream(s: SparkSession,
+      d: String): Option[DataFrame] =
+    graft.lake.IndexTables.serve(s, BpeStreamPrefix, bpePath(d))
+
+  /** The stream relation consumers read: served table else inline. */
+  private[graft] def bpeStream(s: SparkSession, d: String): DataFrame =
+    servedBpeStream(s, d).getOrElse(bpeTokenText(s, d))
+
+  /** NIGHTLY stream maintenance — run AFTER [[maintainBpe]] (the
+    * stream derives from whatever tokenizer that leg left serving):
+    * `retrained` is maintainBpe's return — true means the merges
+    * moved, every encoding is suspect, re-persist; false (the frozen
+    * on-doubling path) means per-doc locality holds and the admitted
+    * docs' rows append exactly, encoded with the SERVED frozen merges
+    * (BpeSpec pins append ≡ rebuild under the frozen artifact).
+    */
+  def maintainBpeStream(s: SparkSession, d: String, admitted: DataFrame,
+      prevSig: String, retrained: Boolean): Unit = {
+    val stamp = bpeStreamStamp(s, d)
+    if (!stamp.contains(prevSig))
+      throw new IllegalStateException(
+        s"maintainBpeStream($d): table stamp $stamp != expected $prevSig " +
+          "— corpus or table changed under the maintainer")
+    if (retrained) persistBpeStream(s, d)
+    else {
+      // post-restamp, bpeTrained serves the FROZEN artifact
+      val frozen = bpeTrained(s, d)._2.map(m => (m._2, m._3))
+      graft.lake.IndexTables.appendIncrement(s,
+        bpeTokenTextOf(admitted, frozen), BpeStreamPrefix, bpePath(d),
+        prevSig)
+    }
   }
 
   /** [[bpeEncodePosCtes]]' stream twin for the t44 oracle:

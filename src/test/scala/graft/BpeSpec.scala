@@ -54,6 +54,51 @@ class BpeSpec extends AnyFunSuite {
     } finally TextAnalysis.dropBpe(spark, d)
   }
 
+  test("trained-token stream table: served ≡ inline; frozen-tokenizer append ≡ rebuild; t44 served ≡ cold; stale handle refuses") {
+    import graft.text.SubstringDedup
+    val dir = java.nio.file.Files.createTempDirectory("bpe_stream")
+    val d = dir.toString
+    val docs = graft.lake.Tables.documents(spark, sf).localCheckpoint()
+    val n = docs.count()
+    val base = docs.filter(col("doc_id") < 4L * n / 5L)
+    val delta = docs.filter(col("doc_id") >= 4L * n / 5L).localCheckpoint()
+    base.write.parquet(s"$d/documents.parquet")
+    try {
+      TextAnalysis.persistBpe(spark, d) // the artifact the stream derives from
+      val inline = rowSet(TextAnalysis.bpeTokenText(spark, d))
+      val t44Cold = SubstringDedup.t44BpeSpanCut(spark, d)
+        .collect().map(_.toString).toSeq
+      TextAnalysis.persistBpeStream(spark, d, buckets = 4)
+      assert(rowSet(TextAnalysis.servedBpeStream(spark, d).get) == inline,
+        "served stream != inline encode")
+      assert(SubstringDedup.t44BpeSpanCut(spark, d)
+        .collect().map(_.toString).toSeq == t44Cold,
+        "t44 served != t44 cold")
+
+      // frozen-tokenizer append: the on-doubling restamp freezes the
+      // merges, so per-doc locality holds and the delta's rows append
+      // exactly — equal to a full re-encode of the grown corpus under
+      // the SAME frozen artifact
+      val sigB = TextAnalysis.bpeStamp(spark, d).get
+      val sigS = TextAnalysis.bpeStreamStamp(spark, d).get
+      delta.write.mode("append").parquet(s"$d/documents.parquet")
+      val retrained =
+        TextAnalysis.maintainBpe(spark, d, sigB, policy = "on-doubling")
+      assert(!retrained, "a 20% delta must not trip the doubling retrain")
+      TextAnalysis.maintainBpeStream(spark, d, delta, sigS, retrained)
+      TextAnalysis.evictBpeMemo() // rebuild path must read the frozen table
+      assert(rowSet(TextAnalysis.servedBpeStream(spark, d).get) ==
+        rowSet(TextAnalysis.bpeTokenText(spark, d)),
+        "frozen append != full re-encode under the frozen merges")
+      // a stale stream handle refuses
+      intercept[IllegalStateException] {
+        TextAnalysis.maintainBpeStream(spark, d, delta, sigS,
+          retrained = false)
+      }
+    } finally { TextAnalysis.dropBpe(spark, d)
+      TextAnalysis.dropBpeStream(spark, d) }
+  }
+
   test("nightly policies: 'always' retrains on the grown corpus; 'on-doubling' freezes the artifact until bytes double") {
     val dir = java.nio.file.Files.createTempDirectory("bpe_policy")
     val d = dir.toString

@@ -62,6 +62,7 @@ class MaintenanceSpec extends AnyFunSuite {
     graft.text.Dsir.persistRatioTable(spark, d, buckets = 4)
     graft.mm.Multimodal.persistPhashIndex(spark, d, buckets = 4)
     graft.text.TextAnalysis.persistBpe(spark, d)
+    graft.text.TextAnalysis.persistBpeStream(spark, d, buckets = 4)
     graft.ops.Warehouse.persistWarehouseState(spark, d, buckets = 4)
     Graph.persistAdjacency(spark, d, buckets = 4)
     Graph.lpaLabels(spark, d) // memoize the propagation history
@@ -74,6 +75,7 @@ class MaintenanceSpec extends AnyFunSuite {
     graft.text.Dsir.dropRatioTable(spark, d)
     graft.mm.Multimodal.dropPhashIndex(spark, d)
     graft.text.TextAnalysis.dropBpe(spark, d)
+    graft.text.TextAnalysis.dropBpeStream(spark, d)
     graft.ops.Warehouse.dropWarehouseState(spark, d)
     Graph.dropAdjacency(spark, d)
   }
@@ -104,6 +106,8 @@ class MaintenanceSpec extends AnyFunSuite {
         "bpe artifact stale after nightly")
       assert(graft.text.Dsir.ratioStamp(spark, d).contains(docSig),
         "dsir counts table stale after nightly")
+      assert(graft.text.TextAnalysis.bpeStreamStamp(spark, d)
+        .contains(docSig), "bpe stream table stale after nightly")
       assert(Graph.adjacencyStamp(spark, d).contains(tierSig),
         "adjacency stale after nightly")
       assert(Graph.g1Stamp(spark, d).contains(tierSig),
@@ -127,6 +131,12 @@ class MaintenanceSpec extends AnyFunSuite {
           .get) ==
         ngoRows(graft.text.SubstringDedup.occurrencesOf(fullDocs)),
         "ngo table != rebuild after nightly")
+      // bpe stream: the "always" policy retrained, so the leg
+      // re-persisted — served rows must equal an inline re-encode of
+      // the grown corpus under the retrained merges
+      assert(rowSet(graft.text.TextAnalysis.servedBpeStream(spark, d).get)
+        == rowSet(graft.text.TextAnalysis.bpeTokenText(spark, d)),
+        "bpe stream table != re-encode after nightly")
       // dsir counts: the delta's per-feature counts appended as rows,
       // merge-on-read must equal a from-scratch aggregate of the grown
       // corpus (count additivity)
@@ -223,7 +233,8 @@ class MaintenanceSpec extends AnyFunSuite {
       val adjBefore = rowSet(Graph.coAdj(spark, d))
       val report = Maintenance.nightly(spark, d, newDocs = Some(dDocs))
       assert(report.maintained("band") && report.maintained("fingerprints")
-        && report.maintained("ngo") && report.maintained("dsir"))
+        && report.maintained("ngo") && report.maintained("dsir")
+        && report.maintained("bpe_stream"))
       assert(report.maintained("coadj") && report.maintained("g1_edges") &&
         report.maintained("lpa"),
         "graph artifacts not re-stamped on a docs-only nightly")
