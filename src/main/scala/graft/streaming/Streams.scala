@@ -323,10 +323,16 @@ object Streams {
     * partitioned by batch_id, and batch `bid` screens against the
     * corpus ∪ partitions STRICTLY EARLIER than bid — d13's
     * fold-forward admission posture. Admitted-only, mirroring
-    * [[admitStream]]: a REJECTED batch doc's spans are already flagged
-    * wherever they next occur (they were flagged against the corpus or
-    * within their own batch), and folding rejects forward would let
-    * one spam burst poison the screen for unrelated docs. The side
+    * [[admitStream]]: folding rejects forward would let one spam burst
+    * poison the screen for unrelated docs, so rejected docs' spans are
+    * deliberately NOT remembered. KNOWN RESIDUE (ADVICE r16): a span
+    * whose only prior sighting was inside a REJECTED doc is invisible
+    * to later batches — if it next appears once in a new doc, neither
+    * occurrence is flagged (the rejected doc never reaches the corpus
+    * or the side store). That blind spot is the price of the
+    * spam-poisoning defense and is accepted by design; a deployment
+    * that wants rejected-doc memory can screen against the flagged
+    * store's rejected rows at its own poisoning risk. The side
     * store is NOT the `ngo` table: that table is stamped as "exactly
     * the corpus's occurrence rows" and appending screened docs that
     * never land in the corpus would silently break its

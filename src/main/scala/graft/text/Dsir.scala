@@ -96,11 +96,15 @@ object Dsir {
     * The totals are an aggregate OF the counts table itself (≤
     * [[Buckets]] rows), broadcast back — no corpus-side work.
     *
-    * ADVICE r15 overflow posture: the int64 bound
-    * (ct+1)·(rt+B)·10⁶ ≤ 2⁶³ is CHECKED per row — a corpus whose
-    * counts approach it gets a loud error naming the DecimalType
-    * switch instead of silently wrapped resampling weights. The guard
-    * runs on ≤ [[Buckets]] rows, off every hot path.
+    * ADVICE r15/r16 overflow posture: BOTH int64 bounds are CHECKED
+    * per row — the numerator (ct+1)·(rt+B)·10⁶ ≤ 2⁶³ AND the
+    * denominator (cr+1)·(tt+B) ≤ 2⁶³ (the r16 ADVICE gap: a target
+    * pool much larger than the raw pool keeps the numerator small
+    * while cr·tt wraps, silently corrupting every weight the guard
+    * claims to protect). A corpus near either bound gets a loud error
+    * naming the DecimalType switch instead of wrapped resampling
+    * weights. The guard runs on ≤ [[Buckets]] rows, off every hot
+    * path.
     */
   private[graft] def ratiosFromCounts(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("rt"))
@@ -109,9 +113,12 @@ object Dsir {
       .select(col("f"),
         expr(s"""CASE WHEN (ct + 1L) <= ${Long.MaxValue}L div 1000000L
                 |             div (rt + ${Buckets}L)
+                |         AND (cr + 1L) <= ${Long.MaxValue}L
+                |             div (tt + ${Buckets}L)
                 |  THEN ((ct + 1L) * (rt + ${Buckets}L) * 1000000L)
                 |       div ((cr + 1L) * (tt + ${Buckets}L))
-                |  ELSE CAST(raise_error(concat('graft dsir: (ct+1)*(rt+B)*1e6 ',
+                |  ELSE CAST(raise_error(concat('graft dsir: ',
+                |    '(ct+1)*(rt+B)*1e6 or (cr+1)*(tt+B) ',
                 |    'exceeds int64 at f=', f,
                 |    ' — switch featureRatios to DecimalType(38,0)'))
                 |    AS BIGINT) END"""

@@ -44,21 +44,27 @@ object Pipelines {
     * could keep a duplicate whose lower-id twin was sampled out,
     * changing which survivor dedup picks — order matters and is part
     * of the pipeline's contract). Packing runs last over exactly the
-    * surviving docs. Every stage is deterministic, so the whole chain
-    * is oracle-checked end-to-end.
+    * surviving docs, via the distributed two-pass prefix sum
+    * ([[graft.ops.PrefixSum.runningBefore]], r16 verdict #2 — the
+    * per-lang running-sum window this replaced was the exact
+    * single-task-per-language sort r13 evicted from t10; the swap is
+    * bit-identical by PrefixSumSpec's reassociation pin, so the oracle
+    * hash does not move). Every stage is deterministic, so the whole
+    * chain is oracle-checked end-to-end.
     */
   def pipeCuratePack(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val quality = documents(s, d).filter(expr(s"$qualityBpSql >= 6500"))
     val exact = Dedup.dropExactDuplicates(quality)
     val sampled = graft.ops.Sampling.stratified(
       exact, col("lang"), col("doc_id"),
       rates = Map("en" -> 0.5), defaultRate = 0.9, salt = "cur")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sampled
+    // quality + dedup + sample lineage feeds the prefix sum's two
+    // consumers — materialize once (the PrefixSum caller note)
+    val sized = sampled
       .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .localCheckpoint()
+    graft.ops.PrefixSum.runningBefore(
+        sized, "lang", "doc_id", "n_tokens", "tok_before")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("tok_before div 2048L").as("pack_id"))
       .orderBy("doc_id")

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.text.Dedup
 import graft.sim.Similarity
+import scala.jdk.CollectionConverters._
 
 /** Physical-plan audit for the at-scale properties of the round-2
   * operators: exchange reuse on self-joins (the signature computation
@@ -458,5 +459,39 @@ class PlanAuditSpec extends AnyFunSuite {
     val n = TestSpark.countShuffles(df)
     assert(n <= 2, s"expected user_id hash + output sort, got $n:\n" +
       df.queryExecution.executedPlan)
+  }
+
+  test("pipe_curate_pack packs via the distributed prefix sum (r16 verdict #2)") {
+    // the per-lang unbounded-preceding window this replaced was a
+    // single-task-per-language sort at cluster scale; the prefix-sum
+    // form's bucket column must appear in the plan, and no window in
+    // the plan may partition on lang alone
+    val df = graft.text.Pipelines.pipeCuratePack(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__ps_b"),
+      s"prefix-sum bucket column missing from the pipe_curate_pack plan:\n$plan")
+  }
+
+  test("no per-lang running-sum window remains in src/main outside PrefixSum (r16 verdict #2 audit)") {
+    // source-level audit: the one-reducer-per-language anti-pattern is
+    // Window.partitionBy("lang") — after the r17 swap nothing in main
+    // source may construct one (PrefixSum partitions on a caller-chosen
+    // shard VARIABLE; doc-grain windows are fine). Comment/docstring
+    // mentions are excluded.
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assume(java.nio.file.Files.exists(root))
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().zipWithIndex
+          .filter { case (line, _) =>
+            val t = line.trim
+            !t.startsWith("*") && !t.startsWith("//") &&
+              t.contains("Window.partitionBy(\"lang\")")
+          }.map { case (_, i) => s"$p:${i + 1}" }.toList
+      }.toList
+    assert(offenders.isEmpty,
+      s"per-lang window(s) back in main source: ${offenders.mkString(", ")}")
   }
 }
