@@ -164,4 +164,108 @@ class BenchSpec extends AnyFunSuite {
     // no prior record: both empty either way
     assert(Bench.regressionFields(results, None, flagged = true) == (("{}", "{}")))
   }
+
+  test("regressionFields: retired queries never trip the cross-round tripwire") {
+    // retired queries are timed ONCE (pass 1 only) — a single sample vs
+    // a min-of-3 prior is noise, not evidence (r16 stretch #10)
+    val retired = Bench.Retired.head
+    val prior = Some(("BENCH_r16.json", Map(retired -> 1.0, "live" -> 1.0)))
+    val results = Map(retired -> 2.6, "live" -> 2.6)
+    val (reg, _) = Bench.regressionFields(results, prior, flagged = false)
+    assert(reg.contains("\"live\":2.60"), reg)
+    assert(!reg.contains(retired), s"retired query fired the tripwire: $reg")
+  }
+
+  test("budget ladder replays r16's kill profile to a completed, degraded run (r16 verdict #1)") {
+    // r16's driver box: warmup ~130s, passes ~280-310s each, served
+    // epoch ~250-300s. Under the old fixed protocol (3 passes + 2
+    // epochs) the run needed ~1900s and was killed mid epoch-persist.
+    // Replay through the ladder at the default budget: it must keep
+    // 3 passes + exactly ONE served epoch and skip the second — a
+    // complete record instead of rc=124.
+    val l = Bench.Ladder(Bench.DefaultBudgetSec) // 1500
+    var t = 130.0 // warmup done
+    val pass = 300.0
+    t += pass // pass 1 always runs
+    assert(l.runPass2(t, pass), "pass 2 must fit r16's profile")
+    t += pass
+    // pass 3 reserves one epoch (served column outranks the 3rd sample)
+    assert(l.runPass3(t, pass, pass), "pass 3 + one epoch must fit")
+    t += pass
+    val epoch = 280.0
+    assert(l.runEpoch(t, pass), "epoch 1 must fit after 3 passes")
+    t += epoch
+    assert(!l.runEpoch(t, epoch), "epoch 2 must be skipped — the r16 kill")
+    // a tighter box sacrifices in order: pass 3 first, then the served
+    // column, never past the budget
+    val tight = Bench.Ladder(1100.0)
+    var t2 = 130.0 + 300.0
+    assert(tight.runPass2(t2, pass), "pass 2 fits an 1100s box")
+    t2 += pass
+    assert(!tight.runPass3(t2, pass, pass), "pass 3 must be sacrificed first")
+    assert(!tight.runEpoch(t2, pass), "served column skipped last")
+    // and a genuinely tiny box degrades to a single flushed pass
+    val tiny = Bench.Ladder(700.0)
+    assert(!tiny.runPass2(130.0 + pass, pass),
+      "a 700s box holds one pass + the flush, nothing more")
+  }
+
+  test("cpu witness: same-envelope contention flags where loadavg is blind (r16 verdict #3)") {
+    // r16's measured blind spot: a same-code re-run read 1.384x under a
+    // loadavg profile nearly identical to the clean run's — co-tenants
+    // competing INSIDE the 32-worker envelope never raise loadavg above
+    // it. Replay both profiles through the CPU witness. USER_HZ=100,
+    // 32 cpus => machine-total delta = wall * 3200 ticks.
+    def snaps(profile: Seq[(Double, Double, Double)]): Seq[Bench.CpuSnap] = {
+      // profile: (wallSec, ownCores, externalCores) per interval
+      var wall = 0L; var own = 0L; var busy = 0L; var tot = 0L
+      Bench.CpuSnap(0, 0, 0, 0) +: profile.map { case (w, o, e) =>
+        wall += (w * 1e9).toLong
+        own += (o * w * 100).toLong
+        busy += ((o + e) * w * 100).toLong
+        tot += (w * 32 * 100).toLong
+        Bench.CpuSnap(wall, own, busy, tot)
+      }
+    }
+    // clean morning run: bench owns ~20 cores, external ~1
+    val clean = snaps(Seq((70.0, 20.0, 1.0), (70.0, 22.0, 0.5), (70.0, 21.0, 1.5)))
+    assert(!Bench.cpuFlagged(clean, 32), "clean profile must not flag")
+    // the 1.384x re-run: wall stretched, own concurrency squeezed to
+    // ~14 cores while SOMEONE ELSE burned ~15 — loadavg identical
+    // (own+ext ~ 29 both times), the witness must flag it
+    val contended = snaps(Seq((97.0, 14.0, 15.0), (97.0, 15.0, 14.0), (97.0, 14.5, 15.5)))
+    assert(Bench.cpuFlagged(contended, 32),
+      "same-envelope contention must flag through CPU accounting")
+    // the intervals themselves carry the adjudication data
+    val iv = Bench.cpuIntervals(contended, 32)
+    assert(iv.size == 3 && iv.forall { case (w, own, ext) =>
+      w > 90 && own < 16 && ext > Bench.ExternalCoresFlag }, iv.toString)
+    // degenerate: no samples / one sample / frozen counters never flag
+    assert(!Bench.cpuFlagged(Seq.empty, 32))
+    assert(!Bench.cpuFlagged(clean.take(1), 32))
+    assert(!Bench.cpuFlagged(Seq(Bench.CpuSnap(0, 0, 0, 0),
+      Bench.CpuSnap(1000000000L, 0, 0, 0)), 32))
+  }
+
+  test("cpu witness: readCpuSnap reads monotone counters on Linux") {
+    val a = Bench.readCpuSnap()
+    assume(a.isDefined, "not Linux — witness degrades to None")
+    // burn a little CPU so own ticks move
+    var x = 0L; var i = 0; while (i < 50000000) { x += i; i += 1 }
+    val b = Bench.readCpuSnap().get
+    assert(x != 42) // keep the loop alive
+    assert(b.wallNs > a.get.wallNs)
+    assert(b.ownTicks >= a.get.ownTicks)
+    assert(b.totalTicks > a.get.totalTicks)
+    assert(b.busyTicks >= a.get.busyTicks)
+  }
+
+  test("early-flush record shape: the main-phase line (no served column yet) parses like r16's committed record") {
+    // the crash-durability contract: a kill during served work leaves
+    // the main-phase file — parseTimes must read its full queries map
+    // and never confuse the new budget/cpu/retired fields for timings
+    val mainPhase = """{"metric":"total","value":3.0,"unit":"sec","passes":3,"queries":{"q1":0.5,"q2":1.25,"q3":1.25},"graph_persist_sec":-1.0,"graph_served":{},"graph_served_samples":{},"errors":[],"retired":["d9_substring_dedup"],"regressions":{},"regressions_under_load":{},"load":{"samples":[0.5],"min":0.50,"max":0.50,"mean":0.50,"cpus":32,"flagged":false},"cpu":{"iv":[[70.0,20.0,1.0]],"flagged":false},"budget":{"sec":1500,"elapsed":900.0,"passes_run":3,"epochs_run":0},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseTimes(mainPhase) ==
+      Map("q1" -> 0.5, "q2" -> 1.25, "q3" -> 1.25))
+  }
 }
