@@ -96,9 +96,29 @@ object IndexTables {
     */
   def commitPersist(s: SparkSession, df: DataFrame, prefix: String,
       path: String, bucketCols: Seq[String], buckets: Int,
-      expected: Option[String]): String = {
+      expected: Option[String]): String =
+    commitPersistImpl(s, df, prefix, path, bucketCols, buckets, expected,
+      () => ())
+
+  /** [[commitPersist]] with a crash failpoint between the intent write
+    * and the metastore swap — ConcurrencySpec drives the crashed-winner
+    * recovery through it; production callers use the wrapper above.
+    */
+  private[graft] def commitPersistImpl(s: SparkSession, df: DataFrame,
+      prefix: String, path: String, bucketCols: Seq[String], buckets: Int,
+      expected: Option[String], beforeSwap: () => Unit): String = {
     val table = tableName(prefix, path)
     val staging = table + "_staging"
+    // checked at ENTRY, before building: the staging table name is
+    // shared, so building past a live intent would saveAsTable-
+    // overwrite the crashed winner's fully-written staging before
+    // recoverIndexCommit could replay it
+    readTableIntent(s, table).foreach { tok =>
+      throw new java.util.ConcurrentModificationException(
+        s"commitPersist($prefix, $path): a commit intent ($tok) is live — " +
+          "another writer is mid-swap, or crashed there; run " +
+          "IndexTables.recoverIndexCommit and retry from a fresh read")
+    }
     val sig = CorpusIndexCache.signature(path)
     // repartition on the bucket keys first: bucketBy does NOT shuffle,
     // so an unaligned input writes (write tasks × buckets) fragment
@@ -114,6 +134,15 @@ object IndexTables {
     val token = java.util.UUID.randomUUID().toString
     s.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
       s"('$SigProp' = '$sig', '$TokenProp' = '$token')")
+    // a live intent is a writer mid-swap (or crashed there): same
+    // loss-of-race as a moved token (r16 verdict #5)
+    readTableIntent(s, table).foreach { tok =>
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      throw new java.util.ConcurrentModificationException(
+        s"commitPersist($prefix, $path): a commit intent ($tok) is live — " +
+          "another writer is mid-swap, or crashed there; run " +
+          "IndexTables.recoverIndexCommit and retry from a fresh read")
+    }
     val now = commitToken(s, prefix, path)
     if (now != expected) {
       s.sql(s"DROP TABLE IF EXISTS $staging")
@@ -122,12 +151,91 @@ object IndexTables {
           s"$expected -> $now during the rebuild — a concurrent writer " +
           "committed; retry from a fresh read")
     }
-    // Swap: the only window where neither table serves is between these
-    // two metastore ops; a crash there falls back to the from-scratch
-    // build and the orphaned staging table is overwritten next persist.
+    // WRITE-AHEAD INTENT over the swap (r16 verdict #5): the two
+    // metastore ops below were the guard's residue window — a crash
+    // between them left neither table serving with nothing naming the
+    // in-flight commit. The intent (token; staging name is
+    // deterministic) makes a crash replayable by recoverIndexCommit
+    // and visible to a racing writer's pre-swap check above.
+    writeTableIntent(s, table, token)
+    beforeSwap()
     s.sql(s"DROP TABLE IF EXISTS $table")
     s.sql(s"ALTER TABLE $staging RENAME TO $table")
+    clearTableIntent(s, table)
     table
+  }
+
+  // ------------------------------------ write-ahead intent (metastore)
+  // The filesystem-store twin lives in [[Lake]]; here the swap unit is
+  // a catalog table, so the intent lives next to the warehouse as a
+  // file keyed by the TARGET table name, holding the committing token.
+  // The staging table is always `<table>_staging` — recoverable without
+  // recording it.
+
+  private def intentFile(s: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, s"_graft_intent_$table")
+
+  private[graft] def readTableIntent(s: SparkSession,
+      table: String): Option[String] = {
+    val m = intentFile(s, table)
+    val fs = m.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def writeTableIntent(s: SparkSession, table: String,
+      token: String): Unit = {
+    val m = intentFile(s, table)
+    val fs = m.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(m, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearTableIntent(s: SparkSession, table: String): Unit = {
+    val m = intentFile(s, table)
+    val fs = m.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(m, false)
+  }
+
+  /** Replay a crashed index-table commit to completion (the metastore
+    * twin of [[Lake.recoverCommit]]). Returns true when something was
+    * repaired. Single-recoverer contract. States under a live intent:
+    *   - target already carries the intent token: swap completed, only
+    *     the intent clear was lost → clear;
+    *   - staging carries the intent token: the DROP/RENAME pair was
+    *     torn → finish it (drop target if present, rename staging in),
+    *     clear;
+    *   - neither does: the intent is stale (its writer lost a race and
+    *     dropped staging) → clear it so future writers stop refusing.
+    */
+  def recoverIndexCommit(s: SparkSession, prefix: String,
+      path: String): Boolean = {
+    val table = tableName(prefix, path)
+    readTableIntent(s, table) match {
+      case None => false
+      case Some(token) =>
+        val staging = table + "_staging"
+        def tokenOf(t: String): Option[String] =
+          if (!s.catalog.tableExists(t)) None
+          else s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+            .properties.get(TokenProp)
+        if (tokenOf(table).contains(token)) ()
+        else if (tokenOf(staging).contains(token)) {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          s.sql(s"ALTER TABLE $staging RENAME TO $table")
+          CorpusIndexCache.invalidateAll(path)
+        }
+        clearTableIntent(s, table)
+        true
+    }
   }
 
   /** The serving table's current commit token, if any — the `expected`

@@ -195,7 +195,7 @@ object Lake {
     * Old data survives every failure point; the reader-visible no-data
     * window is one rename.
     */
-  private def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
+  private[graft] def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
@@ -449,6 +449,117 @@ object Lake {
     try out.write(token.getBytes("UTF-8")) finally out.close()
   }
 
+  // ------------------------------------ write-ahead intent manifest
+  // (r16 verdict #5): the guarded commit's residue was the re-check →
+  // swap window — two filesystem renames with nothing naming the
+  // in-flight commit, so a crash inside it needed manual repair and a
+  // racing writer could slip through between the loser's re-check and
+  // the winner's stamp. The manifest closes it the WAL way: BEFORE the
+  // swap, the winner writes an intent file naming its token + staging
+  // dir; the swap + stamp complete under that intent; the intent is
+  // cleared last. A crash anywhere inside leaves the intent on disk,
+  // from which [[recoverCommit]] replays the commit to completion (the
+  // staging rows were already fully written — recovery is renames +
+  // a stamp, no data work). A RACING guarded writer treats a live
+  // intent exactly like a moved stamp: ConcurrentModificationException
+  // at its re-check. Still not a transactional table format — two
+  // writers can interleave BUILD phases — but every torn state is now
+  // either self-healing (crashed winner) or detected (racing loser).
+
+  private def intentMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_intent")
+
+  /** The in-flight commit intent for `path`, if a guarded writer
+    * crashed (or is right now) between its re-check and its stamp:
+    * (token, stagingDir).
+    */
+  def readIntent(spark: SparkSession,
+      path: String): Option[(String, String)] = {
+    val m = intentMarker(path)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      txt.split("\n", 2) match {
+        case Array(token, tmp) => Some((token, tmp))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeIntent(spark: SparkSession, path: String, token: String,
+      tmp: String): Unit = {
+    val m = intentMarker(path)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(m, true)
+    try out.write(s"$token\n$tmp".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearIntent(spark: SparkSession, path: String): Unit = {
+    val m = intentMarker(path)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(m, false)
+  }
+
+  /** Replay a crashed guarded commit to completion — the manual-repair
+    * step [[commitUpsert]]'s old residue demanded, now mechanical.
+    * Returns true when something was repaired. Single-recoverer
+    * contract (run it before restarting writers, not concurrently with
+    * them). The intent pins exactly one of four torn states, each with
+    * one safe exit:
+    *   - stamp already == intent token: swap + stamp completed, only
+    *     the intent clear was lost → clear it;
+    *   - staging dir still present: the swap itself was torn (or never
+    *     started) → re-run [[swapInto]] (it heals its own partial
+    *     states: a leftover `_old` aside is deleted, a missing target
+    *     is re-created from staging), stamp, clear;
+    *   - staging gone, target present: the swap finished but the stamp
+    *     write was lost → stamp the intent token, clear;
+    *   - staging AND target gone, `_old` aside present (the double
+    *     rename failure swapInto reports): restore the aside — the
+    *     commit did NOT land and the writer must retry from a fresh
+    *     read.
+    */
+  def recoverCommit(spark: SparkSession, path: String): Boolean =
+    readIntent(spark, path) match {
+      case None => false
+      case Some((token, tmp)) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(path)
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_old")
+        val fs = target.getFileSystem(conf)
+        if (readCommitStamp(spark, path).contains(token)) ()
+        else if (fs.exists(tmpPath)) {
+          if (fs.exists(target)) swapInto(spark, tmp, path)
+          else {
+            // crash between rename(target -> old) and rename(tmp -> target)
+            if (!fs.rename(tmpPath, target))
+              throw new java.io.IOException(
+                s"recoverCommit: rename $tmp -> $path failed; " +
+                  s"originals at $old")
+            fs.delete(old, true)
+          }
+          writeCommitStamp(spark, path, token)
+        } else if (fs.exists(target)) {
+          fs.delete(old, true)
+          writeCommitStamp(spark, path, token)
+        } else if (fs.exists(old)) {
+          if (!fs.rename(old, target))
+            throw new java.io.IOException(
+              s"recoverCommit: restore $old -> $path failed")
+          // the commit did not land; the old stamp (if any) still
+          // describes the restored rows — do not move it
+        } else throw new java.io.IOException(
+          s"recoverCommit($path): intent names staging $tmp but neither " +
+            "staging, target, nor aside exists — nothing to restore")
+        clearIntent(spark, path)
+        true
+    }
+
   /** MULTI-WRITER-guarded [[upsertByKey]] (r14 verdict stretch #8):
     * optimistic concurrency over the commit marker — read the stamp,
     * build the rewritten store into staging, RE-CHECK the stamp, and
@@ -475,7 +586,16 @@ object Lake {
     * spec drives).
     */
   def commitUpsert(spark: SparkSession, increment: DataFrame, path: String,
-      key: String, expected: Option[String]): Unit = {
+      key: String, expected: Option[String]): Unit =
+    commitUpsertImpl(spark, increment, path, key, expected, () => ())
+
+  /** [[commitUpsert]] with a crash failpoint between the intent write
+    * and the swap — ConcurrencySpec drives the crashed-winner recovery
+    * through it; production callers use the no-op wrapper above.
+    */
+  private[graft] def commitUpsertImpl(spark: SparkSession,
+      increment: DataFrame, path: String, key: String,
+      expected: Option[String], beforeSwap: () => Unit): Unit = {
     val dup = increment.groupBy(key).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -483,6 +603,19 @@ object Lake {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def recheck(): Unit = {
+      // checked at ENTRY too (below), before this writer builds its
+      // staging: the staging dir name is shared, so building past a
+      // live intent would clobber the crashed winner's fully-written
+      // rows before recoverCommit could replay them
+      // a live intent is a writer mid-swap (or crashed mid-swap): the
+      // same loss-of-race as a moved stamp, plus a pointer to
+      // recoverCommit for the crashed case (r16 verdict #5)
+      readIntent(spark, path).foreach { case (tok, _) =>
+        throw new java.util.ConcurrentModificationException(
+          s"commitUpsert($path): a commit intent ($tok) is live — another " +
+            "writer is mid-swap, or crashed there; run Lake.recoverCommit " +
+            "and retry from a fresh read")
+      }
       val now = readCommitStamp(spark, path)
       if (now != expected)
         throw new java.util.ConcurrentModificationException(
@@ -490,6 +623,7 @@ object Lake {
             "during the rewrite — a concurrent writer committed; retry " +
             "from a fresh read")
     }
+    recheck() // early: refuse before clobbering a crashed winner's staging
     val token = java.util.UUID.randomUUID().toString
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       recheck() // a guarded writer may have created the store just now
@@ -509,8 +643,15 @@ object Lake {
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         throw e
     }
+    // WRITE-AHEAD INTENT (r16 verdict #5): from here to the stamp, the
+    // commit is named on disk — a crash at any point is replayed to
+    // completion by recoverCommit, and a racing writer's recheck sees
+    // the intent instead of slipping through the window.
+    writeIntent(spark, path, token, tmp)
+    beforeSwap()
     swapInto(spark, tmp, path)
     writeCommitStamp(spark, path, token)
+    clearIntent(spark, path)
   }
 
   /** K-layer extension: targeted deletion from a partitioned store —
