@@ -399,6 +399,124 @@ object Streams {
       }
   }
 
+  // ---- span-screen side-store lifecycle (r16 verdict #4 / ADVICE #3)
+  // The cross-batch store grew one batch_id partition per micro-batch
+  // forever: unbounded partition count = unbounded per-batch file
+  // listing and localCheckpoint footprint at 100 TB. Two maintenance
+  // ops close it, both with the single-maintainer / no-concurrent-
+  // micro-batch contract (run them between batches or across a stream
+  // restart, the IndexTables.maintain posture):
+  //
+  //  COMPACTION folds every partition EXCEPT the newest into ONE
+  //  partition keyed at the largest folded batch_id. Correct under the
+  //  replay discipline because Structured Streaming commits batches in
+  //  order, so at most the NEWEST batch can ever replay: its read
+  //  (batch_id < max) sees exactly the folded predecessors, and every
+  //  future batch (bid > max) sees everything — "strictly earlier"
+  //  semantics are preserved verbatim (IncrementalDedupSpec pins
+  //  screened ≡ cumulative across a mid-stream compaction). The
+  //  rewrite goes through a staging dir + [[graft.lake.Lake.swapInto]]
+  //  so a crash leaves either the old store or recoverable aside dirs,
+  //  never a half-folded read.
+  //
+  //  PROMOTION is the corpus-rebuild contract: when admitted docs are
+  //  folded into the corpus itself (and its `ngo` occurrence table
+  //  re-persisted), their side-store rows become pure REDUNDANCY —
+  //  the screen's corpus hit is presence-based (distinct ngh, see
+  //  screenIncrement), so flags don't change, but every future batch
+  //  scans the same token-scale occurrence rows TWICE (corpus table +
+  //  side store) and the store never shrinks even though the corpus
+  //  absorbed its content. The orchestrator that rebuilt the corpus
+  //  through batch `coveredUpTo` drops the covered partitions at the
+  //  stream-restart boundary (spanScreenStream reads its corpus at
+  //  stream start, so a corpus rebuild implies a restart; the new
+  //  checkpoint's committed batches are all > coveredUpTo, so no
+  //  covered batch can replay). Screened output is IDENTICAL before
+  //  and after the promote (spec-pinned) — the op is a cost lifecycle,
+  //  not a correctness patch.
+
+  /** batch_id partition values present in the span-screen side store
+    * for `flaggedPath`, ascending; empty when no store exists. One
+    * directory listing — the same debt gauge as
+    * [[graft.lake.IndexTables.filesPerBucket]].
+    */
+  def spanScreenStoreParts(spark: SparkSession,
+      flaggedPath: String): Seq[Long] = {
+    val occPath = flaggedPath.stripSuffix("/") + "_occ"
+    val p = new org.apache.hadoop.fs.Path(occPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).sorted
+  }
+
+  /** Partition-count trigger for [[compactSpanScreenStore]] — mirrors
+    * IndexTables.CompactionFilesPerBucket's calibration posture: the
+    * per-batch bill is the probe-side file LISTING + read, near-linear
+    * in partition count, and one compaction is a store-sized rewrite
+    * amortized over the batches it absorbs.
+    */
+  val SpanScreenMaxParts = 8
+
+  /** Compact the side store iff its partition debt exceeds `maxParts`.
+    * Returns true when a compaction ran. Same contract as
+    * [[compactSpanScreenStore]].
+    */
+  def maintainSpanScreenStore(spark: SparkSession, flaggedPath: String,
+      maxParts: Int = SpanScreenMaxParts): Boolean =
+    spanScreenStoreParts(spark, flaggedPath).size > maxParts &&
+      compactSpanScreenStore(spark, flaggedPath)
+
+  /** Fold all side-store partitions except the newest into one keyed at
+    * the largest folded batch_id (see the lifecycle note above for why
+    * that preserves replay + strictly-earlier reads). Returns false
+    * when there are fewer than 3 partitions (nothing worth folding).
+    * Run between micro-batches only.
+    */
+  def compactSpanScreenStore(spark: SparkSession,
+      flaggedPath: String): Boolean = {
+    val parts = spanScreenStoreParts(spark, flaggedPath)
+    if (parts.size < 3) return false
+    val occPath = flaggedPath.stripSuffix("/") + "_occ"
+    val keep = parts.max
+    val foldKey = parts.filter(_ < keep).max
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("s", org.apache.spark.sql.types.IntegerType)
+      .add("ngh", org.apache.spark.sql.types.BinaryType)
+      .add("batch_id", org.apache.spark.sql.types.LongType)
+    val tmp = occPath + "_compacting"
+    spark.read.schema(schema).parquet(occPath)
+      .withColumn("batch_id",
+        when(col("batch_id") < keep, lit(foldKey)).otherwise(col("batch_id")))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.lake.Lake.swapInto(spark, tmp, occPath)
+    true
+  }
+
+  /** Drop side-store partitions with batch_id ≤ `coveredUpTo` after the
+    * corpus has been REBUILT to contain those batches' admitted docs —
+    * their occurrence rows now live on the corpus (`ngo`) side, so the
+    * covered partitions are redundant rows every future batch would
+    * scan twice (see the lifecycle note above; flags are unchanged
+    * either way — the screen's corpus hit is presence-based). Returns
+    * the number of partitions dropped. Apply at the stream-restart
+    * boundary only.
+    */
+  def promoteSpanScreenStore(spark: SparkSession, flaggedPath: String,
+      coveredUpTo: Long): Int = {
+    val occPath = flaggedPath.stripSuffix("/") + "_occ"
+    val root = new org.apache.hadoop.fs.Path(occPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val covered = spanScreenStoreParts(spark, flaggedPath)
+      .filter(_ <= coveredUpTo)
+    covered.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$b"), true)
+    }
+    covered.size
+  }
+
   def admitStream(docs: DataFrame, corpus: DataFrame, admittedPath: String,
       checkpoint: String, minJaccard: Double = 0.8,
       corpusBands: Option[DataFrame] = None): DataStreamWriter[Row] = {

@@ -204,6 +204,146 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally SubstringDedup.dropOccurrenceIndex(spark, base)
   }
 
+  test("spanScreenStream: screened ≡ cumulative across a mid-stream side-store compaction (r16 verdict #4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.SubstringDedup
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("span_compact").toString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").localCheckpoint()
+    val n = docs.count()
+    val cut = 3L * n / 5L
+    docs.filter(col("doc_id") < cut)
+      .write.parquet(s"$base/documents.parquet")
+    val incoming = docs.filter(col("doc_id") >= cut).localCheckpoint()
+    val chunks = (0 until 4).map(i =>
+      incoming.filter(pmod(col("doc_id"), lit(4)) === i)
+        .collect().map(r => (r.getLong(0), r.getString(1))))
+    // the uncompacted batch twin: batch i screens against
+    // corpus ∪ occurrences of batches < i's admitted docs
+    var against = SubstringDedup.occurrencesOf(
+      spark.read.parquet(s"$base/documents.parquet")).localCheckpoint()
+    val want = chunks.flatMap { c =>
+      val df = c.toSeq.toDF("doc_id", "text")
+      val screened = SubstringDedup.screenIncrement(against, df)
+        .localCheckpoint()
+      val admitted = df.join(
+        screened.filter(col("admit")).select("doc_id"), "doc_id")
+      against = against.unionByName(
+        SubstringDedup.occurrencesOf(admitted).localCheckpoint())
+      screened.collect().map(_.toString)
+    }.toSet
+    assert(want.nonEmpty, "fixture produced no screen rows")
+
+    val flaggedPath = s"$base/flagged"
+    val ms = MemoryStream[(Long, String)]
+    def startStream() = Streams.spanScreenStream(
+      ms.toDF().toDF("doc_id", "text"), base, flaggedPath,
+      s"$base/ckpt").start()
+    val q = startStream()
+    val q2 = try {
+      (0 until 3).foreach { i =>
+        ms.addData(chunks(i).toSeq); q.processAllAvailable()
+      }
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      q.stop()
+      // between micro-batches: 3 partitions → fold 0,1 into key 1
+      assert(Streams.spanScreenStoreParts(spark, flaggedPath) ==
+        Seq(0L, 1L, 2L))
+      assert(Streams.compactSpanScreenStore(spark, flaggedPath),
+        "compaction refused a 3-partition store")
+      assert(Streams.spanScreenStoreParts(spark, flaggedPath) ==
+        Seq(1L, 2L), "fold did not land as [foldKey, newest]")
+      // the listing trigger: at the default threshold 2 partitions are
+      // no debt; a threshold of 1 re-triggers but a 2-partition store
+      // has nothing worth folding
+      assert(!Streams.maintainSpanScreenStore(spark, flaggedPath))
+      assert(!Streams.maintainSpanScreenStore(spark, flaggedPath,
+        maxParts = 1))
+      // restart the stream off the same checkpoint and run batch 3
+      // against the folded store
+      val qq = startStream()
+      ms.addData(chunks(3).toSeq); qq.processAllAvailable()
+      assert(qq.exception.isEmpty, s"restarted stream died: ${qq.exception}")
+      qq
+    } catch { case e: Throwable => q.stop(); throw e }
+    try {
+      val got = spark.read.parquet(flaggedPath)
+        .drop("batch_id").collect().map(_.toString).toSet
+      assert(got == want,
+        "screened across a compaction != cumulative batch screening")
+    } finally q2.stop()
+  }
+
+  test("spanScreenStream: screened ≡ cumulative across a corpus re-persist + promote (r16 verdict #4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.SubstringDedup
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("span_promote").toString
+    // small controlled corpus + stream fixture
+    Seq((0L, "c1 c2 c3 c4 c5 c6 c7"))
+      .toDF("doc_id", "text").write.parquet(s"$base/documents.parquet")
+    val flaggedPath = s"$base/flagged"
+    val b0 = Seq((100L, "q1 q2 q3 q4 q5 q6"))          // novel, admitted
+    val b1 = Seq((101L, "r1 r2 r3 r4 r5 r6"))          // novel, admitted
+    // batch 2 (post-promote): one repeat of b0's text (must flag via
+    // the CORPUS side after the rebuild) + one genuinely novel doc
+    val b2 = Seq((102L, "q1 q2 q3 q4 q5 q6"),
+      (103L, "s1 s2 s3 s4 s5 s6"))
+    val ms = MemoryStream[(Long, String)]
+    def startStream() = Streams.spanScreenStream(
+      ms.toDF().toDF("doc_id", "text"), base, flaggedPath,
+      s"$base/ckpt").start()
+    val q = startStream()
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    assert(Streams.spanScreenStoreParts(spark, flaggedPath) == Seq(0L, 1L))
+
+    // corpus rebuild: fold the admitted docs of batches ≤ 1 into the
+    // corpus itself (the orchestrator's move), then promote — their
+    // side-store partitions are now redundant with the corpus side
+    val admittedIds = spark.read.parquet(flaggedPath)
+      .filter(col("admit")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admittedIds == Set(100L, 101L), s"fixture drift: $admittedIds")
+    val rebuilt = spark.read.parquet(s"$base/documents.parquet")
+      .unionByName(Seq(b0.head, b1.head).toDF("doc_id", "text"))
+      .localCheckpoint()
+    rebuilt.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    assert(Streams.promoteSpanScreenStore(spark, flaggedPath, 1L) == 2)
+    assert(Streams.spanScreenStoreParts(spark, flaggedPath).isEmpty)
+
+    // restart off the same checkpoint: batch 2 screens against the
+    // REBUILT corpus only — and must match the batch twin exactly
+    val q2 = startStream()
+    try {
+      ms.addData(b2); q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restarted stream died: ${q2.exception}")
+      val want = SubstringDedup.screenIncrement(
+          SubstringDedup.occurrencesOf(rebuilt),
+          b2.toDF("doc_id", "text"))
+        .collect().map(_.toString).toSet
+      val got = spark.read.parquet(flaggedPath)
+        .filter(col("batch_id") === 2L).drop("batch_id")
+        .collect().map(_.toString).toSet
+      assert(got == want,
+        "screened after promote != batch screening against the rebuilt corpus")
+      // the duplicate flags through the corpus side; the novel admits
+      val admit = spark.read.parquet(flaggedPath)
+        .filter(col("batch_id") === 2L)
+        .select("doc_id", "admit").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(admit == Map(102L -> false, 103L -> true), admit.toString)
+    } finally q2.stop()
+  }
+
   test("spanScreenStream: a span admitted in batch 0 and repeated in batch 2 is flagged (cross-batch memory)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
