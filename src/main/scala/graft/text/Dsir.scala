@@ -302,9 +302,42 @@ object Dsir {
       .orderBy("doc_id")
   }
 
+  /** t45: the log-domain resample, ORACLE-GATED (r16 verdict #6 — it
+    * was engine-private/sbt-only). Floats are not hash-stable in
+    * general, but this gate is BOUNDED-COMPARE SAFE on the gate corpus,
+    * in the a6/l4 style plus a measured-margin argument:
+    *   - the survivor SET is robust: the closest coin to its survival
+    *     boundary sits 2578 ppm away at sf0.01 (992 at sf0.001),
+    *     ~6 orders above cross-engine exp/ln drift (≲ 1 ulp ≈ 10⁻⁹
+    *     absolute at this scale), so both engines elect identical
+    *     survivors;
+    *   - score_geo_ppm = floor(exp(log_w/n)·10⁶) is integer-stable for
+    *     the same reason: the closest fractional part to an integer
+    *     boundary is 3.4·10⁻³ at sf0.01 (5.7·10⁻⁴ at sf0.001);
+    *   - the STRUCTURAL claims ride as data: subset_ok = membership in
+    *     t43's surrogate survivor set (the AM–GM containment — geo
+    *     mean ≤ arithmetic mean pointwise, so the log-domain coin
+    *     keeps a subset), geo_le_am = score_geo_ppm ≤ score_ppm. Both
+    *     engines derive them independently; a containment break
+    *     hash-mismatches loudly instead of hiding in an sbt-only pin.
+    */
+  def t45DsirLogResample(s: SparkSession, d: String): DataFrame = {
+    val surrogate = t43DsirResample(s, d)
+      .select(col("doc_id"), col("score_ppm"))
+    logResample(s, d)
+      .join(surrogate, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("score_geo_ppm"),
+        col("score_ppm").isNotNull.cast("int").as("subset_ok"),
+        (col("score_ppm").isNotNull &&
+          col("score_geo_ppm") <= coalesce(col("score_ppm"), lit(-1L)))
+          .cast("int").as("geo_le_am"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t42_dsir_weights" -> (t42DsirWeights _),
-    "t43_dsir_resample" -> (t43DsirResample _)
+    "t43_dsir_resample" -> (t43DsirResample _),
+    "t45_dsir_log_resample" -> (t45DsirLogResample _)
   )
 
   /** The weights CTE chain over an arbitrary (doc_id, lang, text)
@@ -357,6 +390,36 @@ object Dsir {
          |FROM w JOIN documents d ON w.doc_id = d.doc_id
          |WHERE CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) % 1000000
          |      < least(w.score_ppm, 1000000)
-         |ORDER BY w.doc_id""".stripMargin
+         |ORDER BY w.doc_id""".stripMargin,
+    "t45_dsir_log_resample" ->
+      s"""WITH ${weightsSqlOver("documents")},
+         |dsir_lr AS (
+         |  SELECT coalesce(dsir_tf.f, dsir_rf.f) AS f,
+         |    ln(coalesce(ct, 0) + 1) - ln((SELECT sum(ct) FROM dsir_tf) + $Buckets)
+         |    - ln(coalesce(cr, 0) + 1) + ln((SELECT sum(cr) FROM dsir_rf) + $Buckets)
+         |      AS lr
+         |  FROM dsir_tf FULL JOIN dsir_rf ON dsir_tf.f = dsir_rf.f),
+         |gw AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(floor(exp(sum(lr) / count(*)) * 1000000) AS BIGINT)
+         |      AS score_geo_ppm
+         |  FROM dsir_feat JOIN dsir_lr USING (f)
+         |  WHERE lang <> '$TargetLang' GROUP BY doc_id),
+         |surv_geo AS (
+         |  SELECT gw.* FROM gw JOIN documents d USING (doc_id)
+         |  WHERE CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) % 1000000
+         |        < least(score_geo_ppm, 1000000)),
+         |surv_am AS (
+         |  SELECT w.doc_id, w.score_ppm FROM w JOIN documents d USING (doc_id)
+         |  WHERE CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) % 1000000
+         |        < least(w.score_ppm, 1000000))
+         |SELECT g.doc_id, g.n_feats, g.score_geo_ppm,
+         |  CAST(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS subset_ok,
+         |  CAST(CASE WHEN a.doc_id IS NOT NULL
+         |            AND g.score_geo_ppm <= a.score_ppm
+         |       THEN 1 ELSE 0 END AS INT) AS geo_le_am
+         |FROM surv_geo g LEFT JOIN surv_am a USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin
   )
 }
