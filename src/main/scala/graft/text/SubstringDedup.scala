@@ -195,7 +195,16 @@ object SubstringDedup {
     * range-frame window (RANGE N-1 PRECEDING .. CURRENT) carries each
     * marker over exactly the N positions it covers.
     */
-  def cutSpans(docs: DataFrame, occ: DataFrame): DataFrame = {
+  def cutSpans(docs: DataFrame, occ: DataFrame): DataFrame =
+    cutSpans(docs, occ, N)
+
+  /** The per-gram cut's SURVIVING token positions (doc_id, p, tok) —
+    * the mask core of [[cutSpans]], exposed so the t44 residue
+    * diagnostic can diff positional cut sets against
+    * [[keptTokensMaximal]] at equal grain (r16 verdict #7).
+    */
+  private[graft] def keptTokensPerGram(docs: DataFrame, occ: DataFrame,
+      w: Int): DataFrame = {
     val o = occ
     // ADVICE r15: the PosBits packing bound is CHECKED, not just
     // documented — an occurrence outside it (a >1M-word doc, or a
@@ -224,14 +233,23 @@ object SubstringDedup {
         lit(false).as("iscut"))
       .unionByName(cuts.select(col("doc_id"), col("s").as("p"),
         lit(null).cast("string").as("tok"), lit(true).as("iscut")))
-    // RANGE frame: marker at position s reaches tokens p ∈ [s, s+N-1].
+    // RANGE frame: marker at position s reaches tokens p ∈ [s, s+w-1].
     // Marker and token tie on p — RANGE frames include peers, so the
     // marker covers its own start in both engines.
     val wr = Window.partitionBy("doc_id").orderBy("p")
-      .rangeBetween(-(N - 1), Window.currentRow)
-    val kept = ev
-      .withColumn("lastcut", max(when(col("iscut"), col("p"))).over(wr))
+      .rangeBetween(-(w - 1), Window.currentRow)
+    ev.withColumn("lastcut", max(when(col("iscut"), col("p"))).over(wr))
       .filter(!col("iscut") && col("lastcut").isNull)
+      .select("doc_id", "p", "tok")
+  }
+
+  /** Width-parameterized [[cutSpans]] — `w` must be the width `occ`'s
+    * n-grams were digested at (the default N path is t41; the t44
+    * residue diagnostic drives it at [[WBpe]] over the trained token
+    * stream to price per-gram vs maximal-run election at equal grain).
+    */
+  def cutSpans(docs: DataFrame, occ: DataFrame, w: Int): DataFrame = {
+    val kept = keptTokensPerGram(docs, occ, w)
     val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("kept"),
       array_join(expr(
@@ -378,7 +396,7 @@ object SubstringDedup {
     * grain or trained-BPE grain — the digest kernel is
     * unit-oblivious).
     */
-  private def occurrencesOfText(toks: DataFrame, n: Int): DataFrame = {
+  private[graft] def occurrencesOfText(toks: DataFrame, n: Int): DataFrame = {
     graft.functions.TextSignatures.ensureRegistered(toks.sparkSession)
     toks
       .select(col("doc_id"), posexplode(expr(s"graft_ngram_md5(text, $n)")))
@@ -416,6 +434,30 @@ object SubstringDedup {
     * class, never a token × span join.
     */
   def cutSpansMaximal(toks: DataFrame, w: Int): DataFrame = {
+    val kept = keptTokensMaximal(toks, w)
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept"),
+      array_join(expr(
+        "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        " ").as("text_clean"))
+
+    toks.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept"), lit(0L))).cast("long")
+          .as("cut_tokens"),
+        coalesce(col("kept"), lit(0L)).cast("long").as("kept_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The maximal-run cut's SURVIVING token positions (doc_id, p, tok) —
+    * the mask core of [[cutSpansMaximal]], exposed for the t44 residue
+    * diagnostic (r16 verdict #7).
+    */
+  private[graft] def keptTokensMaximal(toks: DataFrame, w: Int): DataFrame = {
     val o = occurrencesOfText(toks, w)
     val dupStarts = o.join(
       o.groupBy("ngh").agg(count(lit(1)).as("cnt"))
@@ -467,26 +509,10 @@ object SubstringDedup {
     val wr = Window.partitionBy("doc_id")
       .orderBy(col("p"), col("iscut").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = ev
-      .withColumn("cut_until", max("e").over(wr))
+    ev.withColumn("cut_until", max("e").over(wr))
       .filter(!col("iscut") &&
         (col("cut_until").isNull || col("cut_until") <= col("p")))
-    val agg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("kept"),
-      array_join(expr(
-        "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
-        " ").as("text_clean"))
-
-    toks.select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_tokens").cast("int").as("n_tokens"),
-        (col("n_tokens") - coalesce(col("kept"), lit(0L))).cast("long")
-          .as("cut_tokens"),
-        coalesce(col("kept"), lit(0L)).cast("long").as("kept_tokens"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .select("doc_id", "p", "tok")
   }
 
   /** t44: the production-grain cut — [[cutSpansMaximal]] at
