@@ -327,4 +327,47 @@ class MaintenanceSpec extends AnyFunSuite {
       Maintenance.nightly(spark, d, newLineitem = Some(dLi))
     } finally dropAll(d)
   }
+
+  test("nightly maintains named span-screen side stores (r16 verdict #4 wiring)") {
+    import spark.implicits._
+    val (d, _, _, _, _, _, _) = freshTier()
+    val flagged = java.nio.file.Files
+      .createTempDirectory("maint_span").toString + "/flagged"
+    try {
+      // a store with partition debt past the threshold: 10 one-row
+      // batch_id partitions, written the way the stream writes them
+      (0 until 10).foreach { b =>
+        Seq((100L + b, b, Array[Byte](b.toByte)))
+          .toDF("doc_id", "s", "ngh")
+          .withColumn("batch_id", lit(b.toLong))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(flagged + "_occ")
+      }
+      val before = spark.read.parquet(flagged + "_occ")
+        .collect().map(_.toString).toSet
+      val report = Maintenance.nightly(spark, d,
+        spanScreenStores = Seq(flagged))
+      assert(report.maintained("span_screen_stores"),
+        s"compaction did not run: ${report.maintained}")
+      // folded to [foldKey=8, newest=9]; rows preserved verbatim
+      assert(graft.streaming.Streams.spanScreenStoreParts(spark, flagged)
+        == Seq(8L, 9L))
+      val after = spark.read.parquet(flagged + "_occ")
+        .select("doc_id", "s", "ngh").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+        .toSet
+      assert(before.nonEmpty && after.map(_._1) ==
+        (0 until 10).map(100L + _).toSet,
+        s"rows lost or invented by the fold: $after")
+      // a second nightly over the now-compacted store is a no-op leg
+      val again = Maintenance.nightly(spark, d,
+        spanScreenStores = Seq(flagged))
+      assert(!again.maintained("span_screen_stores"),
+        "compaction re-ran with no partition debt")
+      // and an un-named nightly's report has no span leg at all
+      assert(!Maintenance.nightly(spark, d).maintained
+        .contains("span_screen_stores"))
+    } finally dropAll(d)
+  }
 }
