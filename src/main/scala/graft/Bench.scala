@@ -264,6 +264,15 @@ object Bench {
       }
 
     var errors = List.empty[String]
+    // mid-pass witness boundaries every K queries (~40 s apart): a
+    // pass-length interval averages a 5-minute co-tenant wave down
+    // below the flag threshold — the r13–r16 waves are shorter than a
+    // pass but longer than a few queries, so this grain sees them
+    var sinceBoundary = 0
+    def midPassBoundary(): Unit = {
+      sinceBoundary += 1
+      if (sinceBoundary >= 25) { sinceBoundary = 0; boundary() }
+    }
     def timedPass(skipRetired: Boolean): Map[String, Double] =
       SparkEntry.queries.collect {
         case (name, fn) if !(skipRetired && Retired.contains(name)) =>
@@ -271,6 +280,7 @@ object Bench {
           val ok =
             try { runNoop(fn(spark, sfDir)); true }
             catch { case _: Throwable => errors ::= name; false }
+          midPassBoundary()
           name -> (if (ok) (System.nanoTime() - t) / 1e9 else -1.0)
       }
     // ---- timed passes under the budget ladder -----------------------
@@ -316,19 +326,33 @@ object Bench {
     // per-query result BEFORE any served-column write can be killed.
     boundary()
     val cpusN = cpus.toInt
-    def witnessJson(): (Boolean, String, String) = {
+    /** (flagged, full loadJson, full cpuJson, compact loadJson, compact
+      * cpuJson). The COMPACT forms carry aggregates only — the summary
+      * stdout line must stay inside the driver's ~2000-char tail
+      * capture (r15's summary measured 1090 chars with 27 served
+      * pairs; the r17 mid-pass witness samples and 31-query served
+      * family would push the verbose form past the bound and turn
+      * "parsed" null). The full record file keeps every sample.
+      */
+    def witnessJson(): (Boolean, String, String, String, String) = {
       val lFlag = loadFlagged(loadSamples.toSeq, cpusN)
       val cFlag = cpuFlagged(cpuSnaps.toSeq, cpusN)
+      val loadAgg =
+        if (loadSamples.isEmpty) "null"
+        else f"""{"min":${loadSamples.min}%.2f,"max":${loadSamples.max}%.2f,"mean":${loadSamples.sum / loadSamples.size}%.2f,"cpus":$cpusN,"flagged":$lFlag}"""
       val loadJson =
         if (loadSamples.isEmpty) "null"
         else f"""{"samples":${loadSamples.map(v => f"$v%.2f")
             .mkString("[", ",", "]")},"min":${loadSamples.min}%.2f,"max":${loadSamples.max}%.2f,"mean":${loadSamples.sum / loadSamples.size}%.2f,"cpus":$cpusN,"flagged":$lFlag}"""
       val iv = cpuIntervals(cpuSnaps.toSeq, cpusN)
+      val cpuAgg =
+        if (iv.isEmpty) "null"
+        else f"""{"n":${iv.size},"max_ext":${iv.map(_._3).max}%.1f,"mean_own":${iv.map(i => i._2 * i._1).sum / math.max(iv.map(_._1).sum, 1e-9)}%.1f,"flagged":$cFlag}"""
       val cpuJson =
         if (iv.isEmpty) "null"
         else f"""{"iv":${iv.map { case (w, o, e) =>
             f"[$w%.1f,$o%.1f,$e%.1f]" }.mkString("[", ",", "]")},"flagged":$cFlag}"""
-      (lFlag || cFlag, loadJson, cpuJson)
+      (lFlag || cFlag, loadJson, cpuJson, loadAgg, cpuAgg)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -341,16 +365,19 @@ object Bench {
     def render(persistSec: Double, servedMap: Map[String, Double],
         servedSamples: Seq[(String, List[Double])],
         epochsRun: Int): (String, String) = {
-      val (flagged, loadJson, cpuJson) = witnessJson()
+      val (flagged, loadJson, cpuJson, loadAgg, cpuAgg) = witnessJson()
       val (regJson, regLoadJson) = regressionFields(results, prior, flagged)
       val servedJson = servedMap.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val servedSamplesJson = servedSamples.map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val servedTotal = servedMap.values.filter(_ >= 0).sum
       val budgetJson = f"""{"sec":$budget%.0f,"elapsed":${elapsed()}%.1f,"passes_run":$passes,"epochs_run":$epochsRun}"""
       val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"graph_served_samples":$servedSamplesJson,"errors":$errJson,"retired":$retiredJson,"regressions":$regJson,"regressions_under_load":$regLoadJson,"load":$loadJson,"cpu":$cpuJson,"budget":$budgetJson,"sf":"$sfDir"}"""
-      val summary = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"graph_persist_sec":$persistSec,"graph_served":$servedJson,"errors":$errJson,"regressions":$regJson,"regressions_under_load":$regLoadJson,"load":$loadJson,"cpu":$cpuJson,"budget":$budgetJson,"full_record":"BENCH_SELF.json","sf":"$sfDir"}"""
+      // the summary carries AGGREGATES of the served column + witnesses
+      // (full detail lives in the file record) — it must fit the tail
+      val summary = f"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"graph_persist_sec":$persistSec,"graph_served_total":$servedTotal%.1f,"graph_served_n":${servedMap.size},"errors":$errJson,"regressions":$regJson,"regressions_under_load":$regLoadJson,"load":$loadAgg,"cpu":$cpuAgg,"budget":$budgetJson,"full_record":"BENCH_SELF.json","sf":"$sfDir"}"""
       (line, summary)
     }
     // Persist the complete line to FILES first: the driver captures a
