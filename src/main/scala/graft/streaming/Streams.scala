@@ -435,15 +435,13 @@ object Streams {
   //  and after the promote (spec-pinned) — the op is a cost lifecycle,
   //  not a correctness patch.
 
-  /** batch_id partition values present in the span-screen side store
-    * for `flaggedPath`, ascending; empty when no store exists. One
-    * directory listing — the same debt gauge as
+  /** batch_id partition values present in a `batch_id=`-partitioned
+    * store, ascending; empty when no store exists. One directory
+    * listing — the same debt gauge as
     * [[graft.lake.IndexTables.filesPerBucket]].
     */
-  def spanScreenStoreParts(spark: SparkSession,
-      flaggedPath: String): Seq[Long] = {
-    val occPath = flaggedPath.stripSuffix("/") + "_occ"
-    val p = new org.apache.hadoop.fs.Path(occPath)
+  def batchIdStoreParts(spark: SparkSession, storePath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
@@ -451,7 +449,43 @@ object Streams {
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong).sorted
   }
 
-  /** Partition-count trigger for [[compactSpanScreenStore]] — mirrors
+  /** Fold all `batch_id=` partitions of `storePath` except the NEWEST
+    * into one keyed at the largest folded batch id. Sound for every
+    * store this module writes — side states read strictly earlier
+    * (`batch_id < bid`: a future batch sees the fold as exactly its
+    * predecessors) and output/delta stores whose consumers drop
+    * batch_id (rows identical, only partition keys move) — because
+    * Structured Streaming commits batches in order, so only the NEWEST
+    * batch can ever replay, and its partition is left untouched for
+    * the dynamic overwrite to hit. `schema` pins the read when given
+    * (the span-screen store can be all-footer-less after a rejected-
+    * only stream); inferred otherwise. Returns false when fewer than
+    * 3 partitions exist (nothing worth folding). Run between
+    * micro-batches only (single-maintainer, the IndexTables posture);
+    * the rewrite goes through staging + [[graft.lake.Lake.swapInto]]
+    * so a crash leaves the old store or recoverable aside dirs, never
+    * a half-folded read. Empty (footer-less) partition dirs are
+    * absorbed — their absence is observationally identical.
+    */
+  def compactBatchIdStore(spark: SparkSession, storePath: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
+    val parts = batchIdStoreParts(spark, storePath)
+    if (parts.size < 3) return false
+    val keep = parts.max
+    val foldKey = parts.filter(_ < keep).max
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val rows =
+      try reader.parquet(storePath)
+      catch { case _: org.apache.spark.sql.AnalysisException => return false }
+    val tmp = storePath.stripSuffix("/") + "_compacting"
+    rows.withColumn("batch_id",
+        when(col("batch_id") < keep, lit(foldKey)).otherwise(col("batch_id")))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.lake.Lake.swapInto(spark, tmp, storePath)
+    true
+  }
+
+  /** Partition-count trigger for [[compactBatchIdStore]] — mirrors
     * IndexTables.CompactionFilesPerBucket's calibration posture: the
     * per-batch bill is the probe-side file LISTING + read, near-linear
     * in partition count, and one compaction is a store-sized rewrite
@@ -459,41 +493,36 @@ object Streams {
     */
   val SpanScreenMaxParts = 8
 
-  /** Compact the side store iff its partition debt exceeds `maxParts`.
-    * Returns true when a compaction ran. Same contract as
-    * [[compactSpanScreenStore]].
+  /** Compact `storePath` iff its partition debt exceeds `maxParts`. */
+  def maintainBatchIdStore(spark: SparkSession, storePath: String,
+      maxParts: Int = SpanScreenMaxParts,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean =
+    batchIdStoreParts(spark, storePath).size > maxParts &&
+      compactBatchIdStore(spark, storePath, schema)
+
+  private def spanScreenOccSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("s", org.apache.spark.sql.types.IntegerType)
+    .add("ngh", org.apache.spark.sql.types.BinaryType)
+    .add("batch_id", org.apache.spark.sql.types.LongType)
+
+  /** The span-screen entry points over the generic lifecycle (the side
+    * store lives at `<flaggedPath>_occ`; its schema is pinned — a
+    * rejected-only stream leaves it all-footer-less).
     */
+  def spanScreenStoreParts(spark: SparkSession,
+      flaggedPath: String): Seq[Long] =
+    batchIdStoreParts(spark, flaggedPath.stripSuffix("/") + "_occ")
+
   def maintainSpanScreenStore(spark: SparkSession, flaggedPath: String,
       maxParts: Int = SpanScreenMaxParts): Boolean =
-    spanScreenStoreParts(spark, flaggedPath).size > maxParts &&
-      compactSpanScreenStore(spark, flaggedPath)
+    maintainBatchIdStore(spark, flaggedPath.stripSuffix("/") + "_occ",
+      maxParts, Some(spanScreenOccSchema))
 
-  /** Fold all side-store partitions except the newest into one keyed at
-    * the largest folded batch_id (see the lifecycle note above for why
-    * that preserves replay + strictly-earlier reads). Returns false
-    * when there are fewer than 3 partitions (nothing worth folding).
-    * Run between micro-batches only.
-    */
   def compactSpanScreenStore(spark: SparkSession,
-      flaggedPath: String): Boolean = {
-    val parts = spanScreenStoreParts(spark, flaggedPath)
-    if (parts.size < 3) return false
-    val occPath = flaggedPath.stripSuffix("/") + "_occ"
-    val keep = parts.max
-    val foldKey = parts.filter(_ < keep).max
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("doc_id", org.apache.spark.sql.types.LongType)
-      .add("s", org.apache.spark.sql.types.IntegerType)
-      .add("ngh", org.apache.spark.sql.types.BinaryType)
-      .add("batch_id", org.apache.spark.sql.types.LongType)
-    val tmp = occPath + "_compacting"
-    spark.read.schema(schema).parquet(occPath)
-      .withColumn("batch_id",
-        when(col("batch_id") < keep, lit(foldKey)).otherwise(col("batch_id")))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    graft.lake.Lake.swapInto(spark, tmp, occPath)
-    true
-  }
+      flaggedPath: String): Boolean =
+    compactBatchIdStore(spark, flaggedPath.stripSuffix("/") + "_occ",
+      Some(spanScreenOccSchema))
 
   /** Drop side-store partitions with batch_id ≤ `coveredUpTo` after the
     * corpus has been REBUILT to contain those batches' admitted docs —
@@ -515,6 +544,50 @@ object Streams {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$b"), true)
     }
     covered.size
+  }
+
+  /** Streaming DSIR admission (r17) — the importance-gating twin of
+    * t43/t46 for a live ingest feed: each micro-batch of incoming
+    * (doc_id, lang, text) docs is scored against the CORPUS's
+    * per-feature ratio relation and admission-gated under t43's
+    * content-keyed coin, via [[graft.text.Dsir.admitWith]] REUSED
+    * VERBATIM — streamed and batch admission share one implementation
+    * and cannot drift (DsirSpec pins streamed ≡ per-chunk
+    * admitIncoming and the replay).
+    *
+    * Scale shape: the ratio relation is ≤ Dsir.Buckets rows — served
+    * from the persisted `dsir` counts table when fresh (the 100 TB
+    * default; the corpus-side aggregates are skipped entirely) —
+    * localCheckpointed ONCE at stream start and broadcast into each
+    * batch's scan-bound feature join; per-batch work is batch-sized.
+    * CORPUS-FROZEN BY DESIGN: admission compares incoming docs to the
+    * distribution the corpus was curated toward, so admitted docs do
+    * NOT fold into the reference mixture mid-stream (the deliberate
+    * opposite of spanScreenStream's cross-batch memory — a dup screen
+    * must remember what it admitted; an importance gate that updated
+    * its own reference would drift toward whatever it lets in). A
+    * corpus rebuild picks up the new mixture at stream restart.
+    * Output rows land in `batch_id=` partitions via dynamic overwrite
+    * (idempotent replay, the module posture) and the store is
+    * [[compactBatchIdStore]]-maintainable like every other.
+    */
+  def dsirAdmitStream(docs: DataFrame, corpusDir: String, outPath: String,
+      checkpoint: String): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    val ratio = graft.text.Dsir.corpusRatios(spark, corpusDir)
+      .localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.text.Dsir.admitWith(ratio,
+            batch.select("doc_id", "lang", "text").localCheckpoint())
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
   }
 
   def admitStream(docs: DataFrame, corpus: DataFrame, admittedPath: String,

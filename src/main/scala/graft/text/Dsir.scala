@@ -245,6 +245,69 @@ object Dsir {
             least(col("score_ppm"), lit(1000000L))))
   }
 
+  // ---- admission scoring for INCOMING docs (r17) --------------------
+
+  /** The corpus's per-feature ratio relation, served from the persisted
+    * `dsir` counts table when fresh (≤ [[Buckets]] rows — the
+    * broadcast side every admission batch probes).
+    */
+  def corpusRatios(s: SparkSession, d: String): DataFrame =
+    ratiosFromCounts(counts(s, d))
+
+  /** Score + admission-gate a relation of INCOMING docs against a
+    * ratio relation derived from the CORPUS (not from the incoming
+    * mixture — the difference from [[resampleRelation]], which
+    * estimates ratios over its own input): the new-day-feed question
+    * is "does this doc resemble the target distribution the corpus
+    * was curated toward", so the reference mixture is the corpus's.
+    * Output (doc_id, lang, n_feats, score_ppm, admit):
+    *   - target-language docs pass at the cap (the paper keeps the
+    *     quality corpus whole) — score 10⁶, admit 1;
+    *   - raw docs flip t43's content-keyed coin against their corpus-
+    *     ratio score — deterministic under retries/repartitioning;
+    *   - raw docs with NO bigram feature (< 2 tokens) are unassessable
+    *     and REJECTED (score null, admit 0) — conservative, matching
+    *     t43's drop of featureless docs.
+    * Shared verbatim by the batch query (t46) and
+    * [[graft.streaming.Streams.dsirAdmitStream]] so the two cannot
+    * drift (the screenIncrement posture).
+    */
+  private[graft] def admitWith(ratio: DataFrame, docs: DataFrame): DataFrame = {
+    val raw = docs.filter(col("lang") =!= TargetLang)
+    val scored = features(raw)
+      .join(broadcast(ratio), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("r_ppm").as("sr"))
+      .select(col("doc_id"), col("n_feats"),
+        expr("sr div n_feats").as("score_ppm"))
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        when(col("lang") === TargetLang, lit(1000000L))
+          .otherwise(col("score_ppm")).as("score_ppm"),
+        when(col("lang") === TargetLang, lit(1))
+          .when(col("score_ppm").isNotNull &&
+            pmod(expr(Hashing.h60Sql("text")), lit(1000000L)) <
+              least(col("score_ppm"), lit(1000000L)), lit(1))
+          .otherwise(lit(0)).cast("int").as("admit"))
+  }
+
+  /** Batch admission scoring against tier `d`'s corpus ratios. */
+  def admitIncoming(s: SparkSession, d: String, docs: DataFrame): DataFrame =
+    admitWith(corpusRatios(s, d), docs)
+
+  /** t46: admission scoring of a deterministic "new-day feed" slice
+    * (doc_id % 5 = 0) against the full corpus's ratios — the
+    * oracle-gated surface of [[admitIncoming]] (the streaming twin
+    * reuses [[admitWith]] verbatim and is spec-pinned ≡ this batch
+    * form per micro-batch).
+    */
+  def t46DsirAdmit(s: SparkSession, d: String): DataFrame =
+    admitIncoming(s, d,
+      documents(s, d).filter(col("doc_id") % 5 === 0))
+      .orderBy("doc_id")
+
   // ---- production log-domain estimator (r16, verdict #5) -----------
 
   /** The paper's exact log-domain importance weight, as a PRODUCTION
@@ -337,7 +400,8 @@ object Dsir {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t42_dsir_weights" -> (t42DsirWeights _),
     "t43_dsir_resample" -> (t43DsirResample _),
-    "t45_dsir_log_resample" -> (t45DsirLogResample _)
+    "t45_dsir_log_resample" -> (t45DsirLogResample _),
+    "t46_dsir_admit" -> (t46DsirAdmit _)
   )
 
   /** The weights CTE chain over an arbitrary (doc_id, lang, text)
@@ -420,6 +484,27 @@ object Dsir {
          |            AND g.score_geo_ppm <= a.score_ppm
          |       THEN 1 ELSE 0 END AS INT) AS geo_le_am
          |FROM surv_geo g LEFT JOIN surv_am a USING (doc_id)
-         |ORDER BY g.doc_id""".stripMargin
+         |ORDER BY g.doc_id""".stripMargin,
+    "t46_dsir_admit" ->
+      s"""WITH ${weightsSqlOver("documents")},
+         |inc AS (SELECT doc_id, lang, text FROM documents
+         |        WHERE doc_id % 5 = 0),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(r_ppm) // count(*) AS BIGINT) AS score_ppm
+         |  FROM dsir_feat JOIN dsir_ratio USING (f)
+         |  WHERE lang <> '$TargetLang' AND doc_id % 5 = 0
+         |  GROUP BY doc_id)
+         |SELECT i.doc_id, i.lang,
+         |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(CASE WHEN i.lang = '$TargetLang' THEN 1000000
+         |       ELSE s.score_ppm END AS BIGINT) AS score_ppm,
+         |  CAST(CASE WHEN i.lang = '$TargetLang' THEN 1
+         |       WHEN s.score_ppm IS NOT NULL
+         |            AND CAST('0x' || substr(md5(i.text), 1, 15) AS BIGINT)
+         |                % 1000000 < least(s.score_ppm, 1000000) THEN 1
+         |       ELSE 0 END AS INT) AS admit
+         |FROM inc i LEFT JOIN sc s USING (doc_id)
+         |ORDER BY i.doc_id""".stripMargin
   )
 }

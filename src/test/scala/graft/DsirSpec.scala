@@ -156,4 +156,72 @@ class DsirSpec extends AnyFunSuite {
     assert(scores(10L) > 1000000L,
       "a doc of pure target bigrams should score above the 1.0 line")
   }
+
+  test("t46 admission semantics: target cap, coin gate, featureless rejection") {
+    val rows = Dsir.t46DsirAdmit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // every target-lang doc admitted at the cap
+    val en = rows.filter(_._2 == Dsir.TargetLang)
+    assert(en.nonEmpty && en.forall(r => r._3.contains(1000000L) && r._4 == 1),
+      "target-language docs must pass at the probability-1 cap")
+    // the gate is non-degenerate on the raw pool
+    val raw = rows.filter(_._2 != Dsir.TargetLang)
+    assert(raw.exists(_._4 == 1) && raw.exists(_._4 == 0),
+      s"degenerate admission split on the raw pool")
+    // a scored raw doc's admit bit equals t43's coin against its score
+    val t43 = Dsir.t43DsirResample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    raw.filter(_._3.nonEmpty).foreach { case (id, _, _, admit) =>
+      assert((admit == 1) == t43.contains(id),
+        s"doc $id: admit=$admit but t43 survivor=${t43.contains(id)}")
+    }
+  }
+
+  test("dsirAdmitStream: streamed admission ≡ per-chunk batch admission; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("dsir_admit").toString
+    val outPath = s"$base/admitted"
+    val docs = graft.lake.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").localCheckpoint()
+    val chunks = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+    // the batch twin, per chunk (ratios are corpus-frozen on both sides)
+    val want = chunks.map { c =>
+      Dsir.admitIncoming(spark, sf, c.toSeq.toDF("doc_id", "lang", "text"))
+        .collect().map(_.toString).toSet
+    }
+    assert(want.forall(_.nonEmpty), "fixture produced empty admission sets")
+
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streams.dsirAdmitStream(
+      ms.toDF().toDF("doc_id", "lang", "text"), sf, outPath,
+      s"$base/ckpt").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      def batchRows(b: Long): Set[String] = spark.read.parquet(outPath)
+        .filter(col("batch_id") === b).drop("batch_id")
+        .collect().map(_.toString).toSet
+      (0 until 3).foreach { i =>
+        assert(batchRows(i.toLong) == want(i),
+          s"streamed admission batch $i != batch admitIncoming")
+      }
+      // replay batch 1's body under its own batch_id — dynamic
+      // overwrite must leave the store unchanged
+      graft.text.Dsir.admitWith(
+          Dsir.corpusRatios(spark, sf),
+          chunks(1).toSeq.toDF("doc_id", "lang", "text"))
+        .withColumn("batch_id", lit(1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
+      (0 until 3).foreach { i =>
+        assert(batchRows(i.toLong) == want(i), "replay changed the store")
+      }
+    } finally q.stop()
+  }
 }

@@ -760,6 +760,45 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(stateA == Seq((1L, 10L), (1L, 11L), (2L, 20L)),
         s"replayed batch changed the fact state: $stateA")
+
+      // ---- batch_id-store lifecycle over the SAME stores (r17): a
+      // store only gets a partition for batches that carried its
+      // side's rows, so grow state/a to 3 partitions first
+      ms.addData(("a", 3L, 30L, 0L)) // batch 3: fact with no dim yet
+      q.processAllAvailable()
+      q.stop()
+      assert(Streams.batchIdStoreParts(spark, s"$statePath/a")
+        == Seq(0L, 1L, 3L))
+      assert(Streams.batchIdStoreParts(spark, s"$statePath/b")
+        == Seq(0L, 2L))
+      // under 3 partitions: nothing worth folding — refuse
+      assert(!Streams.compactBatchIdStore(spark, s"$statePath/b"))
+      // fold the fact state and the view between micro-batches
+      assert(Streams.compactBatchIdStore(spark, s"$statePath/a"))
+      assert(Streams.batchIdStoreParts(spark, s"$statePath/a")
+        == Seq(1L, 3L))
+      assert(Streams.batchIdStoreParts(spark, viewPath) == Seq(0L, 1L, 2L))
+      assert(Streams.compactBatchIdStore(spark, viewPath))
+      assert(Streams.batchIdStoreParts(spark, viewPath) == Seq(1L, 2L))
+      assert(viewRows() == want, "compaction changed the view rows")
+      val q2 = Streams.joinViewStream(updates, statePath, viewPath,
+        s"$base/ckpt", "k", Seq("oval"), Seq("cval")).start()
+      try {
+        // batch 4 against the folded states: dim deltas that must pair
+        // with EVERY matching fact-state row, folded or not
+        ms.addData(("b", 1L, 0L, 102L), ("b", 3L, 0L, 300L))
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"restarted stream died: ${q2.exception}")
+        val allA2 = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+          .toDF("k", "oval")
+        val allB2 = Seq((1L, 100L), (2L, 200L), (1L, 101L), (1L, 102L),
+          (3L, 300L)).toDF("k", "cval")
+        val want2 = allA2.join(allB2, "k").select("k", "oval", "cval")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sorted
+        assert(viewRows() == want2,
+          "view diverged from the one-shot join across a compaction")
+      } finally q2.stop()
     } finally q.stop()
   }
 }
