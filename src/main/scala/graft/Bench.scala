@@ -62,19 +62,47 @@ object Bench {
   private def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Default wall-clock budget. The r16 driver kill landed between
-    * ~1500 and ~2100 s of run time (3 passes ≈ 970 s incl. warmup at
-    * the driver tier, death mid epoch-1 persists); 1500 s fits the
-    * observed box with slack for session startup while still admitting
-    * 3 passes + 1 served epoch on an idle machine.
+  /** Default wall-clock budget. The r16 driver kill landed somewhere
+    * past ~1300 s of run time (3 passes + warmup ≈ 1000–1250 s at the
+    * driver tier, death mid epoch-1 persists) — consistent with an
+    * 1800 s box. 1650 admits 3 passes + 1 served epoch + the extra
+    * samples on an idle machine (~1480 s by the r17 measured profile)
+    * while leaving ≥ 150 s under an 1800 s kill for JVM startup and
+    * the final flush; a tighter actual box degrades through the
+    * ladder and still flushes a complete record.
     */
-  private[graft] val DefaultBudgetSec = 1500.0
+  private[graft] val DefaultBudgetSec = 1650.0
 
   /** Queries retired from the recommended path but kept for oracle
     * history (d9: the span-10 tiled screen, retired from the cut path
     * by the r16 D9_VS_T41 measurement). Timed once, pass 1 only.
     */
   private[graft] val Retired: Set[String] = Set("d9_substring_dedup")
+
+  /** The served-column query names — the families the second bench
+    * column re-times off their persisted index tables.
+    */
+  private def servedNames: Set[String] =
+    (graft.queries.Graph.queries ++ graft.text.Winnowing.queries ++
+      graft.text.SubstringDedup.queries ++ graft.text.Dsir.queries ++
+      graft.mm.Multimodal.queries).keySet
+
+  /** Pre-measurement cost estimate of ONE served epoch, from a timed
+    * pass's per-query seconds: an epoch is two passes over the served
+    * family plus the six index persists — the persists are roughly
+    * half a served pass (r15 measured persist 10 s vs served-sum 60 s;
+    * the r16 families added the bpe-stream encode and mm decode), so
+    * 2.5 × served-sum + 30 s slack. Only the admission of epoch 1 and
+    * the pass-3 reserve use this; epoch 2 is gated on epoch 1's
+    * MEASURED cost.
+    */
+  private[graft] def epochEstimate(passTimes: Map[String, Double],
+      served: Set[String] = servedNames): Double = {
+    val servedSum = passTimes.collect {
+      case (n, v) if served(n) && v > 0 => v
+    }.sum
+    2.5 * servedSum + 30.0
+  }
 
   /** The budget ladder's decision rules — pure, so BenchSpec can replay
     * a round's timing profile through them. `slack` reserves room for
@@ -168,7 +196,10 @@ object Bench {
   private[graft] def cpuIntervals(snaps: Seq[CpuSnap],
       cpus: Int): Seq[(Double, Double, Double)] =
     snaps.sliding(2).collect {
-      case Seq(a, b) if b.totalTicks > a.totalTicks =>
+      // sub-half-second intervals (back-to-back boundaries) carry no
+      // signal and would only pad the record
+      case Seq(a, b) if b.totalTicks > a.totalTicks &&
+          b.wallNs - a.wallNs >= 500000000L =>
         val wall = (b.wallNs - a.wallNs) / 1e9
         val share = cpus.toDouble / (b.totalTicks - a.totalTicks)
         val own = (b.ownTicks - a.ownTicks) * share
@@ -298,26 +329,26 @@ object Bench {
       boundary()
     }
     runPass(skipRetired = false)
-    val estEpoch0 = lastPassSec // pre-measurement epoch estimate
+    // pre-measurement epoch estimate, derived from the SERVED subset's
+    // own times inside the pass just run — NOT the whole-pass wall (the
+    // r17 idle run's lesson: pass 1 covers 177 queries and is
+    // JIT-inflated, so using it as the epoch reserve skipped the served
+    // column with 470 s of budget left; an epoch is ~2 served-family
+    // passes + the persists, and the family is ~31 of the queries)
+    def estEpoch0: Double = epochEstimate(allPasses.head)
     if (ladder.runPass2(elapsed(), lastPassSec)) runPass(skipRetired = true)
     if (allPasses.size == 2 &&
         ladder.runPass3(elapsed(), lastPassSec, estEpoch0))
       runPass(skipRetired = true)
     val passes = allPasses.size
-    val results = SparkEntry.queries.keys.map { name =>
+    // min-of-passes only — the disagreement extra-samples are deferred
+    // to AFTER the served column (r17 idle-run lesson: they cost ~80 s
+    // when pass 1 is JIT-skewed, and they are the CHEAPEST information
+    // in the run — min-of-passes is already robust — so they must be
+    // the first thing the budget sacrifices, not the served column)
+    var results: Map[String, Double] = SparkEntry.queries.keys.map { name =>
       val vs = allPasses.flatMap(_.get(name)).toSeq
-      if (vs.isEmpty) name -> -1.0
-      else if (vs.exists(_ < 0)) name -> -1.0
-      else if (vs.size > 1 && vs.max > 2 * vs.min &&
-          ladder.runPass2(elapsed(), lastPassSec / math.max(results0Size, 1))) {
-        // the samples disagree — take one more before believing the min
-        val t = System.nanoTime()
-        val extra =
-          try { runNoop(SparkEntry.queries(name)(spark, sfDir))
-                (System.nanoTime() - t) / 1e9 }
-          catch { case _: Throwable => Double.MaxValue }
-        name -> math.min(vs.min, extra)
-      } else name -> vs.min
+      if (vs.isEmpty || vs.exists(_ < 0)) name -> -1.0 else name -> vs.min
     }.toMap
     errors = errors.distinct
 
@@ -354,17 +385,17 @@ object Bench {
             f"[$w%.1f,$o%.1f,$e%.1f]" }.mkString("[", ",", "]")},"flagged":$cFlag}"""
       (lFlag || cFlag, loadJson, cpuJson, loadAgg, cpuAgg)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retiredJson = Retired.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
     val prior = priorTimes(expectSf = Some(sfDir))
 
     def render(persistSec: Double, servedMap: Map[String, Double],
         servedSamples: Seq[(String, List[Double])],
         epochsRun: Int): (String, String) = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
       val (flagged, loadJson, cpuJson, loadAgg, cpuAgg) = witnessJson()
       val (regJson, regLoadJson) = regressionFields(results, prior, flagged)
       val servedJson = servedMap.map { case (k, v) => "\"" + k + "\":" + v }
@@ -494,6 +525,28 @@ object Bench {
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
 
+    // ---- disagreement extra-samples (bought LAST, budget permitting):
+    // a query whose pass samples disagree by >2x gets one more sample
+    // before its minimum is believed (r3 verdict #2). Per-query cost is
+    // its own min, so the gate reserves exactly that plus slack.
+    boundary()
+    if (passes > 1) {
+      val disagreeing = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+        val vs = allPasses.flatMap(_.get(name)).toSeq
+        vs.size > 1 && vs.forall(_ >= 0) && vs.max > 2 * vs.min
+      }
+      disagreeing.foreach { name =>
+        if (ladder.runEpoch(elapsed(), results(name) max 0.0)) {
+          val t = System.nanoTime()
+          val extra =
+            try { runNoop(SparkEntry.queries(name)(spark, sfDir))
+                  (System.nanoTime() - t) / 1e9 }
+            catch { case _: Throwable => Double.MaxValue }
+          results += name -> math.min(results(name), extra)
+        }
+      }
+    }
+
     boundary()
     // ---- FINAL RECORD (rewrites the early flush in place) ------------
     val (line, summary) = render(persistSec, servedMap, servedSamples,
@@ -509,10 +562,6 @@ object Bench {
     println(summary)
     spark.stop()
   }
-
-  // the extra-sample guard in `results` needs the query count before
-  // the map is built
-  private def results0Size: Int = SparkEntry.queries.size
 
   /** Prior round's per-query times: SPARK_GRAFT_PREV_BENCH if set, else
     * the committed FULL records first — BENCH_SELF.json (the last

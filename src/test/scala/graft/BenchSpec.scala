@@ -180,10 +180,11 @@ class BenchSpec extends AnyFunSuite {
     // r16's driver box: warmup ~130s, passes ~280-310s each, served
     // epoch ~250-300s. Under the old fixed protocol (3 passes + 2
     // epochs) the run needed ~1900s and was killed mid epoch-persist.
-    // Replay through the ladder at the default budget: it must keep
-    // 3 passes + exactly ONE served epoch and skip the second — a
-    // complete record instead of rc=124.
-    val l = Bench.Ladder(Bench.DefaultBudgetSec) // 1500
+    // Replay through the ladder at a 1500 s budget (the box size the
+    // r16 evidence brackets from below): it must keep 3 passes +
+    // exactly ONE served epoch and skip the second — a complete
+    // record instead of rc=124.
+    val l = Bench.Ladder(1500.0)
     var t = 130.0 // warmup done
     val pass = 300.0
     t += pass // pass 1 always runs
@@ -208,6 +209,29 @@ class BenchSpec extends AnyFunSuite {
     val tiny = Bench.Ladder(700.0)
     assert(!tiny.runPass2(130.0 + pass, pass),
       "a 700s box holds one pass + the flush, nothing more")
+  }
+
+  test("epoch estimate derives from the served subset, not the whole-pass wall (r17 idle-run lesson)") {
+    // the r17 idle run: pass 1 wall 507s (JIT-inflated, 177 queries)
+    // used as the epoch reserve skipped pass 3 AND both served epochs
+    // with 470s of budget unused. The estimate must track the served
+    // family's own times: 2.5 x served-sum + 30.
+    val pass = Map("g1_pagerank" -> 40.0, "t44_bpe_span_cut" -> 20.0,
+      "a1_groupby_sum_top5" -> 300.0, "failed_q" -> -1.0)
+    val est = Bench.epochEstimate(pass,
+      served = Set("g1_pagerank", "t44_bpe_span_cut", "failed_q"))
+    assert(est == 2.5 * 60.0 + 30.0, s"got $est")
+    // replay the r17 idle profile: warmup 214 + pass1 507 + pass2 227
+    // + extras 80; served-sum ~75 => estimate ~218 — pass 3 and epoch 1
+    // must now FIT where the old whole-pass estimate (507) refused both
+    val l = Bench.Ladder(Bench.DefaultBudgetSec)
+    val estReal = 2.5 * 75.0 + 30.0
+    assert(l.runPass3(948.0, 227.0, estReal),
+      "pass 3 must fit the r17 idle profile under the served-sum estimate")
+    assert(l.runEpoch(948.0 + 250.0 + 80.0, estReal),
+      "epoch 1 must fit after 3 passes + extras")
+    assert(!l.runPass3(948.0, 227.0, 507.0),
+      "sanity: the old whole-pass estimate indeed refused pass 3")
   }
 
   test("cpu witness: same-envelope contention flags where loadavg is blind (r16 verdict #3)") {
