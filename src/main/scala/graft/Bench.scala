@@ -330,12 +330,19 @@ object Bench {
     }
     runPass(skipRetired = false)
     // pre-measurement epoch estimate, derived from the SERVED subset's
-    // own times inside the pass just run — NOT the whole-pass wall (the
-    // r17 idle run's lesson: pass 1 covers 177 queries and is
-    // JIT-inflated, so using it as the epoch reserve skipped the served
-    // column with 470 s of budget left; an epoch is ~2 served-family
-    // passes + the persists, and the family is ~31 of the queries)
-    def estEpoch0: Double = epochEstimate(allPasses.head)
+    // per-query MINIMUM across the passes run so far — NOT the
+    // whole-pass wall (first r17 idle lesson: 177 JIT-inflated queries
+    // as the reserve skipped the served column with 470 s left) and
+    // NOT pass 1 alone (second r17 idle lesson: pass 1's served-family
+    // times alone still read ~2.5× their min and refused the epoch
+    // with 600 s left; the min is the same statistic the record
+    // reports, so the reserve estimates the cost the column will
+    // actually pay)
+    def minTimes: Map[String, Double] = SparkEntry.queries.keys.map { n =>
+      val vs = allPasses.flatMap(_.get(n)).filter(_ >= 0)
+      n -> (if (vs.isEmpty) -1.0 else vs.min)
+    }.toMap
+    def estEpoch0: Double = epochEstimate(minTimes)
     if (ladder.runPass2(elapsed(), lastPassSec)) runPass(skipRetired = true)
     if (allPasses.size == 2 &&
         ladder.runPass3(elapsed(), lastPassSec, estEpoch0))
@@ -404,7 +411,10 @@ object Bench {
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val servedTotal = servedMap.values.filter(_ >= 0).sum
-      val budgetJson = f"""{"sec":$budget%.0f,"elapsed":${elapsed()}%.1f,"passes_run":$passes,"epochs_run":$epochsRun}"""
+      // est_epoch lands in the record so a skipped served column is
+      // auditable from the artifact alone (was the estimate wrong, or
+      // the budget genuinely short?)
+      val budgetJson = f"""{"sec":$budget%.0f,"elapsed":${elapsed()}%.1f,"passes_run":$passes,"epochs_run":$epochsRun,"est_epoch":$estEpoch0%.1f}"""
       val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"graph_persist_sec":$persistSec,"graph_served":$servedJson,"graph_served_samples":$servedSamplesJson,"errors":$errJson,"retired":$retiredJson,"regressions":$regJson,"regressions_under_load":$regLoadJson,"load":$loadJson,"cpu":$cpuJson,"budget":$budgetJson,"sf":"$sfDir"}"""
       // the summary carries AGGREGATES of the served column + witnesses
       // (full detail lives in the file record) — it must fit the tail
