@@ -158,12 +158,12 @@ object Bench {
   // it is exactly what stretches wall time without moving loadavg.
 
   /** One boundary sample: wall clock + the JVM's own cumulative CPU
-    * jiffies + machine-wide busy/total jiffies. All three counters are
-    * monotone, so interval deltas are exact regardless of when other
-    * processes start or stop.
+    * jiffies + machine-wide busy/iowait/total jiffies. All counters
+    * are monotone, so interval deltas are exact regardless of when
+    * other processes start or stop.
     */
   private[graft] case class CpuSnap(wallNs: Long, ownTicks: Long,
-      busyTicks: Long, totalTicks: Long)
+      busyTicks: Long, totalTicks: Long, iowaitTicks: Long = 0L)
 
   /** Read a [[CpuSnap]] — None off-Linux or on any parse failure (the
     * witness must never fail the bench). /proc/self/stat's comm field
@@ -172,6 +172,8 @@ object Bench {
     * post-paren split. /proc/stat's cpu line: busy = Σ(user..steal)
     * − idle − iowait; total = Σ(user..steal) — dividing deltas of the
     * two cancels the USER_HZ unit, so no HZ assumption is made.
+    * iowait is kept separately: it is in NEITHER own nor busy, and it
+    * is exactly the r17 disaster mode (below).
     */
   private[graft] def readCpuSnap(): Option[CpuSnap] =
     try {
@@ -184,17 +186,19 @@ object Bench {
         .linesIterator.next().split("\\s+").drop(1).take(8).map(_.toLong)
       val total = cpu.sum
       val busy = total - cpu(3) - cpu(4) // minus idle, iowait
-      Some(CpuSnap(System.nanoTime(), own, busy, total))
+      Some(CpuSnap(System.nanoTime(), own, busy, total, cpu(4)))
     } catch { case _: Throwable => None }
 
-  /** Boundary-to-boundary intervals: (wallSec, ownCores, externalCores).
+  /** Boundary-to-boundary intervals:
+    * (wallSec, ownCores, externalCores, iowaitCores).
     * ownCores = the bench JVM's own CPU concurrency over the interval;
     * externalCores = machine busy minus own — CPU someone else burned
-    * while the bench's queries ran. Both derived as jiffy-delta shares
-    * of the machine-total delta × cpus, so USER_HZ cancels.
+    * while the bench's queries ran; iowaitCores = cpus idle-but-
+    * waiting-on-disk. All derived as jiffy-delta shares of the
+    * machine-total delta × cpus, so USER_HZ cancels.
     */
   private[graft] def cpuIntervals(snaps: Seq[CpuSnap],
-      cpus: Int): Seq[(Double, Double, Double)] =
+      cpus: Int): Seq[(Double, Double, Double, Double)] =
     snaps.sliding(2).collect {
       // sub-half-second intervals (back-to-back boundaries) carry no
       // signal and would only pad the record
@@ -205,20 +209,30 @@ object Bench {
         val own = (b.ownTicks - a.ownTicks) * share
         val ext = ((b.busyTicks - a.busyTicks) -
           (b.ownTicks - a.ownTicks)) * share
-        (wall, own, math.max(ext, 0.0))
+        val iow = (b.iowaitTicks - a.iowaitTicks) * share
+        (wall, own, math.max(ext, 0.0), math.max(iow, 0.0))
     }.toSeq
 
-  /** The same-envelope contention flag: any interval of ≥ 1 s where
-    * external processes sustained more than [[ExternalCoresFlag]]
-    * cores. Calibrated to the loadFlagged excess threshold (external
-    * waves of 4–16 cores are the documented r13–r16 amplitudes; the
-    * r16 blind-spot re-run profiles replay to flagged under this rule,
-    * BenchSpec pins it).
+  /** The contention flags: any interval of ≥ 1 s where external
+    * processes sustained more than [[ExternalCoresFlag]] cores (the
+    * r16 same-envelope blind spot — calibrated to the documented
+    * r13–r16 wave amplitudes of 4–16 cores), OR where the machine sat
+    * in iowait past [[IowaitCoresFlag]] cores — the r17 DISASTER MODE:
+    * a third idle bench run measured one 25-query stretch at 623 s
+    * wall with own ≈ 3 and external ≈ 0.4 cores and BOTH witnesses
+    * silent, because a storage-throttling stall (hours of heavy disk
+    * use exhausted the volume's burst budget) stretches wall while
+    * burning NO cpu anywhere — iowait is the one counter that sees
+    * threads blocked on disk. A run stalled on I/O is not measuring
+    * the plan no matter whose I/O it is; the driver-read regressions
+    * field must not fire from it (that record carried 56 bogus 2–68×
+    * "regressions" before this flag existed).
     */
   private[graft] val ExternalCoresFlag = 4.0
+  private[graft] val IowaitCoresFlag = 2.0
   private[graft] def cpuFlagged(snaps: Seq[CpuSnap], cpus: Int): Boolean =
-    cpuIntervals(snaps, cpus).exists { case (wall, _, ext) =>
-      wall >= 1.0 && ext > ExternalCoresFlag
+    cpuIntervals(snaps, cpus).exists { case (wall, _, ext, iow) =>
+      wall >= 1.0 && (ext > ExternalCoresFlag || iow > IowaitCoresFlag)
     }
 
   /** The regression-tripwire fields (r15 verdict #6): when the load
@@ -385,11 +399,11 @@ object Bench {
       val iv = cpuIntervals(cpuSnaps.toSeq, cpusN)
       val cpuAgg =
         if (iv.isEmpty) "null"
-        else f"""{"n":${iv.size},"max_ext":${iv.map(_._3).max}%.1f,"mean_own":${iv.map(i => i._2 * i._1).sum / math.max(iv.map(_._1).sum, 1e-9)}%.1f,"flagged":$cFlag}"""
+        else f"""{"n":${iv.size},"max_ext":${iv.map(_._3).max}%.1f,"max_iowait":${iv.map(_._4).max}%.1f,"mean_own":${iv.map(i => i._2 * i._1).sum / math.max(iv.map(_._1).sum, 1e-9)}%.1f,"flagged":$cFlag}"""
       val cpuJson =
         if (iv.isEmpty) "null"
-        else f"""{"iv":${iv.map { case (w, o, e) =>
-            f"[$w%.1f,$o%.1f,$e%.1f]" }.mkString("[", ",", "]")},"flagged":$cFlag}"""
+        else f"""{"iv":${iv.map { case (w, o, e, i) =>
+            f"[$w%.1f,$o%.1f,$e%.1f,$i%.1f]" }.mkString("[", ",", "]")},"flagged":$cFlag}"""
       (lFlag || cFlag, loadJson, cpuJson, loadAgg, cpuAgg)
     }
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

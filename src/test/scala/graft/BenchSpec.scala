@@ -262,13 +262,43 @@ class BenchSpec extends AnyFunSuite {
       "same-envelope contention must flag through CPU accounting")
     // the intervals themselves carry the adjudication data
     val iv = Bench.cpuIntervals(contended, 32)
-    assert(iv.size == 3 && iv.forall { case (w, own, ext) =>
+    assert(iv.size == 3 && iv.forall { case (w, own, ext, _) =>
       w > 90 && own < 16 && ext > Bench.ExternalCoresFlag }, iv.toString)
     // degenerate: no samples / one sample / frozen counters never flag
     assert(!Bench.cpuFlagged(Seq.empty, 32))
     assert(!Bench.cpuFlagged(clean.take(1), 32))
     assert(!Bench.cpuFlagged(Seq(Bench.CpuSnap(0, 0, 0, 0),
       Bench.CpuSnap(1000000000L, 0, 0, 0)), 32))
+  }
+
+  test("cpu witness: an I/O-stalled run flags through iowait (the r17 disaster mode)") {
+    // the third r17 idle run: one 25-query stretch at 623s wall, own
+    // ~3 cores, external ~0.4 — BOTH cpu-based witnesses silent while
+    // a storage-throttling stall produced 56 bogus 2-68x regressions.
+    // Threads blocked on disk land in machine iowait; replay the
+    // profile with the stall's idle time accounted there and the flag
+    // must fire.
+    def snaps(profile: Seq[(Double, Double, Double, Double)]): Seq[Bench.CpuSnap] = {
+      var wall = 0L; var own = 0L; var busy = 0L; var tot = 0L; var iow = 0L
+      Bench.CpuSnap(0, 0, 0, 0, 0) +: profile.map { case (w, o, e, i) =>
+        wall += (w * 1e9).toLong
+        own += (o * w * 100).toLong
+        busy += ((o + e) * w * 100).toLong
+        iow += (i * w * 100).toLong
+        tot += (w * 32 * 100).toLong
+        Bench.CpuSnap(wall, own, busy, tot, iow)
+      }
+    }
+    val stalled = snaps(Seq((40.0, 3.5, 0.2, 0.5), (623.5, 3.0, 0.4, 9.0),
+      (96.7, 2.5, 1.3, 4.0)))
+    assert(Bench.cpuFlagged(stalled, 32),
+      "an I/O stall must flag the run via iowait")
+    val iv = Bench.cpuIntervals(stalled, 32)
+    assert(iv.exists { case (w, _, _, iow) =>
+      w > 600 && iow > Bench.IowaitCoresFlag }, iv.toString)
+    // ordinary background I/O (sub-threshold iowait) stays unflagged
+    val normal = snaps(Seq((70.0, 20.0, 1.0, 0.8), (70.0, 22.0, 0.5, 1.2)))
+    assert(!Bench.cpuFlagged(normal, 32))
   }
 
   test("cpu witness: readCpuSnap reads monotone counters on Linux") {
