@@ -197,8 +197,14 @@ object Bench {
     * waiting-on-disk. All derived as jiffy-delta shares of the
     * machine-total delta × cpus, so USER_HZ cancels.
     */
+  /** USER_HZ — universal 100 on Linux x86 (verified live on this
+    * machine: 99.9 measured ticks/sec/cpu); only the unaccounted-wall
+    * ratio depends on it, the core shares cancel it.
+    */
+  private val UserHz = 100.0
+
   private[graft] def cpuIntervals(snaps: Seq[CpuSnap],
-      cpus: Int): Seq[(Double, Double, Double, Double)] =
+      cpus: Int): Seq[(Double, Double, Double, Double, Double)] =
     snaps.sliding(2).collect {
       // sub-half-second intervals (back-to-back boundaries) carry no
       // signal and would only pad the record
@@ -210,7 +216,12 @@ object Bench {
         val ext = ((b.busyTicks - a.busyTicks) -
           (b.ownTicks - a.ownTicks)) * share
         val iow = (b.iowaitTicks - a.iowaitTicks) * share
-        (wall, own, math.max(ext, 0.0), math.max(iow, 0.0))
+        // machine-seconds the kernel ACCOUNTED over the interval — on a
+        // healthy guest ≈ wall; a host-side pause/steal-without-steal-
+        // accounting freezes the jiffy counters while the guest clock
+        // keeps running, so acct ≪ wall
+        val acct = (b.totalTicks - a.totalTicks) / (cpus * UserHz)
+        (wall, own, math.max(ext, 0.0), math.max(iow, 0.0), acct)
     }.toSeq
 
   /** The contention flags: any interval of ≥ 1 s where external
@@ -230,9 +241,19 @@ object Bench {
     */
   private[graft] val ExternalCoresFlag = 4.0
   private[graft] val IowaitCoresFlag = 2.0
+
+  /** Unaccounted-wall ratio: flag an interval whose wall exceeds 1.5×
+    * the machine-seconds the kernel accounted — the FOURTH r17 stall
+    * mode (one 1110 s interval at own 2.0 / ext 0.1 / iowait 0.0:
+    * neither CPU, disk-wait, nor co-tenant CPU — the guest clock ran
+    * while the jiffy counters barely moved, the signature of a
+    * host-side pause or unaccounted steal).
+    */
+  private[graft] val UnaccountedWallRatio = 1.5
   private[graft] def cpuFlagged(snaps: Seq[CpuSnap], cpus: Int): Boolean =
-    cpuIntervals(snaps, cpus).exists { case (wall, _, ext, iow) =>
-      wall >= 1.0 && (ext > ExternalCoresFlag || iow > IowaitCoresFlag)
+    cpuIntervals(snaps, cpus).exists { case (wall, _, ext, iow, acct) =>
+      wall >= 1.0 && (ext > ExternalCoresFlag || iow > IowaitCoresFlag ||
+        (acct > 0 && wall > UnaccountedWallRatio * acct))
     }
 
   /** The regression-tripwire fields (r15 verdict #6): when the load
@@ -399,11 +420,11 @@ object Bench {
       val iv = cpuIntervals(cpuSnaps.toSeq, cpusN)
       val cpuAgg =
         if (iv.isEmpty) "null"
-        else f"""{"n":${iv.size},"max_ext":${iv.map(_._3).max}%.1f,"max_iowait":${iv.map(_._4).max}%.1f,"mean_own":${iv.map(i => i._2 * i._1).sum / math.max(iv.map(_._1).sum, 1e-9)}%.1f,"flagged":$cFlag}"""
+        else f"""{"n":${iv.size},"max_ext":${iv.map(_._3).max}%.1f,"max_iowait":${iv.map(_._4).max}%.1f,"max_unacct":${iv.map(i => i._1 - i._5).max}%.1f,"mean_own":${iv.map(i => i._2 * i._1).sum / math.max(iv.map(_._1).sum, 1e-9)}%.1f,"flagged":$cFlag}"""
       val cpuJson =
         if (iv.isEmpty) "null"
-        else f"""{"iv":${iv.map { case (w, o, e, i) =>
-            f"[$w%.1f,$o%.1f,$e%.1f,$i%.1f]" }.mkString("[", ",", "]")},"flagged":$cFlag}"""
+        else f"""{"iv":${iv.map { case (w, o, e, i, acct) =>
+            f"[$w%.1f,$o%.1f,$e%.1f,$i%.1f,$acct%.1f]" }.mkString("[", ",", "]")},"flagged":$cFlag}"""
       (lFlag || cFlag, loadJson, cpuJson, loadAgg, cpuAgg)
     }
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

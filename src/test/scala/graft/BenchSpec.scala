@@ -262,7 +262,7 @@ class BenchSpec extends AnyFunSuite {
       "same-envelope contention must flag through CPU accounting")
     // the intervals themselves carry the adjudication data
     val iv = Bench.cpuIntervals(contended, 32)
-    assert(iv.size == 3 && iv.forall { case (w, own, ext, _) =>
+    assert(iv.size == 3 && iv.forall { case (w, own, ext, _, _) =>
       w > 90 && own < 16 && ext > Bench.ExternalCoresFlag }, iv.toString)
     // degenerate: no samples / one sample / frozen counters never flag
     assert(!Bench.cpuFlagged(Seq.empty, 32))
@@ -294,11 +294,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.cpuFlagged(stalled, 32),
       "an I/O stall must flag the run via iowait")
     val iv = Bench.cpuIntervals(stalled, 32)
-    assert(iv.exists { case (w, _, _, iow) =>
+    assert(iv.exists { case (w, _, _, iow, _) =>
       w > 600 && iow > Bench.IowaitCoresFlag }, iv.toString)
     // ordinary background I/O (sub-threshold iowait) stays unflagged
     val normal = snaps(Seq((70.0, 20.0, 1.0, 0.8), (70.0, 22.0, 0.5, 1.2)))
     assert(!Bench.cpuFlagged(normal, 32))
+  }
+
+  test("cpu witness: a host-side pause flags through unaccounted wall (the 4th r17 stall mode)") {
+    // run 4's 1110s interval: own 2.0 / ext 0.1 / iowait 0.0 — the
+    // guest clock ran while jiffy counters barely moved (host pause /
+    // unaccounted steal). Build snaps where only ~100s of machine time
+    // is accounted across 1110s of wall.
+    val paused = Seq(
+      Bench.CpuSnap(0, 0, 0, 0, 0),
+      // healthy 40s: full accounting (40 x 32 x 100 total ticks)
+      Bench.CpuSnap(40L * 1000000000L, 40 * 350, 40 * 380, 40 * 3200, 0),
+      // 1110s wall, but only ~100s of machine time accounted
+      Bench.CpuSnap(1150L * 1000000000L, 40 * 350 + 100 * 200,
+        40 * 380 + 100 * 210, 40 * 3200 + 100 * 3200, 0))
+    assert(Bench.cpuFlagged(paused, 32),
+      "a host pause must flag via wall >> accounted machine-seconds")
+    val iv = Bench.cpuIntervals(paused, 32)
+    assert(iv.exists { case (w, _, _, _, acct) =>
+      w > 1000 && acct < w / Bench.UnaccountedWallRatio }, iv.toString)
+    // a healthy interval accounts ~= wall and stays unflagged
+    val healthy = Seq(Bench.CpuSnap(0, 0, 0, 0, 0),
+      Bench.CpuSnap(70L * 1000000000L, 70 * 300, 70 * 320, 70 * 3200, 30))
+    assert(!Bench.cpuFlagged(healthy, 32))
   }
 
   test("cpu witness: readCpuSnap reads monotone counters on Linux") {
