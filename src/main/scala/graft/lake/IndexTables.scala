@@ -119,6 +119,23 @@ object IndexTables {
           "another writer is mid-swap, or crashed there; run " +
           "IndexTables.recoverIndexCommit and retry from a fresh read")
     }
+    // A crashed writer's staging DIRECTORY with no catalog entry
+    // blocks saveAsTable with LOCATION_ALREADY_EXISTS: an in-memory
+    // session catalog forgets tables across sessions while the dir
+    // survives, so one killed persist poisoned EVERY later persist of
+    // the index from fresh sessions (r17: a SIGTERM'd bench run left
+    // graft_g1edges_*_staging on disk and the next three runs' served
+    // columns silently failed). An UNREGISTERED staging dir is debris
+    // by construction — a live builder holds the intent (checked
+    // above) or the catalog entry — so remove it. Hive-backed
+    // catalogs keep the registration and take the overwrite path as
+    // before.
+    if (!s.catalog.tableExists(staging)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, staging)
+      val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val sig = CorpusIndexCache.signature(path)
     // repartition on the bucket keys first: bucketBy does NOT shuffle,
     // so an unaligned input writes (write tasks × buckets) fragment

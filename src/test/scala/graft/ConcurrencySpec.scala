@@ -217,6 +217,28 @@ class ConcurrencySpec extends AnyFunSuite {
     IndexTables.drop(spark, "cxi", p)
   }
 
+  test("an orphaned unregistered staging directory does not poison later persists (r17 bench postmortem)") {
+    import graft.lake.IndexTables
+    val dir = java.nio.file.Files.createTempDirectory("idx_orphan").toString
+    val p = s"$dir/corpus.parquet"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.parquet(p)
+    // plant the debris a SIGTERM'd writer leaves: the staging DIR on
+    // disk with no catalog entry (a killed JVM takes its in-memory
+    // catalog with it; here we mimic by creating the dir directly)
+    val staging = IndexTables.tableName("cxo", p) + "_staging"
+    val wh = spark.sessionState.conf.warehousePath.stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, staging)
+    java.nio.file.Files.createDirectories(loc)
+    java.nio.file.Files.write(loc.resolve("part-junk"), Array[Byte](1, 2, 3))
+    assert(!spark.catalog.tableExists(staging))
+    // the persist must clear the debris and land (this threw
+    // LOCATION_ALREADY_EXISTS before the fix)
+    IndexTables.persist(spark, spark.read.parquet(p), "cxo", p, Seq("k"), 2)
+    assert(IndexTables.serve(spark, "cxo", p).get
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    IndexTables.drop(spark, "cxo", p)
+  }
+
   test("guarded create race: a writer that saw no store fails if one was stamped meanwhile") {
     val dir = java.nio.file.Files.createTempDirectory("commit_guard2")
     val p = s"$dir/store.parquet"
